@@ -1,0 +1,394 @@
+"""Query execution over the inverted index — the IndexSearcher analogue.
+
+Physical shapes (SURVEY.md §2.4, §2.7-2.9):
+  - term scoring: pruned postings scan + per-term weight applied either
+    natively (Catalyst whole-stage codegen, double precision — default/
+    bench path) or via a vectorized Arrow pandas_udf in float32
+    (rank-identity path, bit-matching BM25Similarity.java:239-247).
+  - AND/OR/minShouldMatch: ONE union + groupBy(doc_id) shuffle
+    (ConjunctionScorer / DisjunctionSumScorer semantics,
+    ConjunctionScorer.java:56-101, DisjunctionSumScorer.java:26-84),
+    instead of N-1 pairwise joins.
+  - rarest-term-leads (ConjunctionTermScorer.java:33-48): when the rarest
+    MUST term is small, its doc set is broadcast-semi-joined against the
+    other terms' postings before the groupBy — a broadcast prune that cuts
+    the shuffle by orders of magnitude on rare∧common queries.
+  - MUST_NOT: left_anti join (ReqExclScorer.java).
+  - DisMax: groupBy max + tie*(sum-max) (DisjunctionMaxQuery.java).
+  - top-k: orderBy(score desc, doc_id asc).limit(k) — Spark compiles this
+    to TakeOrderedAndProject = per-partition bounded heap + single merge,
+    exactly Lucene's HitQueue + distributed merge
+    (TopScoreDocCollector.java:40-62, QueryComponent.java:747-800).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.builder import InvertedIndex
+from .bm25 import avg_field_length, norm_cache, term_weight
+from .query import (
+    BooleanClause,
+    BooleanQuery,
+    DisMaxQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+# df threshold under which the rarest MUST term's doc set is broadcast
+BROADCAST_DOCSET_MAX_DF = 100_000
+
+
+def _collect_terms(q: Query) -> set[str]:
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= _collect_terms(c.query)
+        return out
+    if isinstance(q, DisMaxQuery):
+        out = set()
+        for sub in q.queries:
+            out |= _collect_terms(sub)
+        return out
+    return set()
+
+
+class Searcher:
+    def __init__(self, index: InvertedIndex, exact_float32: bool = False):
+        self.index = index
+        self.exact = exact_float32
+        self.avgdl32 = avg_field_length(
+            index.stats.sum_total_term_freq, index.stats.max_doc
+        )
+        self.cache = norm_cache(self.avgdl32)  # float32[256]
+
+    # ---------- public API ----------
+
+    def search(self, q: Query, k: int = 10) -> DataFrame:
+        """TopDocs analogue: top-k (doc_id, score), HitQueue tie-break."""
+        scored = self.score(q)
+        return scored.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k)
+
+    def search_after(
+        self, q: Query, after_score: float, after_doc: int, k: int = 10
+    ) -> DataFrame:
+        """Deep paging (IndexSearcher.searchAfter, :225-247)."""
+        scored = self.score(q)
+        cur = scored.where(
+            (F.col("score") < F.lit(after_score))
+            | (
+                (F.col("score") == F.lit(after_score))
+                & (F.col("doc_id") > F.lit(after_doc))
+            )
+        )
+        return cur.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def score(self, q: Query) -> DataFrame:
+        """All matching docs: DataFrame(doc_id long, score float)."""
+        q = rewrite(q)
+        term_stats = self.index.term_stats(sorted(_collect_terms(q)))
+        return self._score(q, term_stats)
+
+    # ---------- scoring internals ----------
+
+    def _term_weight_value(
+        self, term: str, term_stats: dict, boost: float
+    ) -> float:
+        st = term_stats.get(term)
+        if st is None:
+            return 0.0
+        w = term_weight(
+            st[0], self.index.stats.max_doc, self.avgdl32, boost=boost
+        )
+        return float(w.weight_value)
+
+    def _postings_for(self, terms: list[str]) -> DataFrame:
+        # Catalyst pushes the IN filter to the scan; with segment storage
+        # (segments.py) this also prunes term-hash buckets.
+        return self.index.postings.where(F.col("term").isin(list(terms)))
+
+    def _apply_score_col(
+        self, df: DataFrame, weights: dict[str, float]
+    ) -> DataFrame:
+        """score = weight[term] * tf / (tf + cache[norm_byte])."""
+        if self.exact:
+            cache = self.cache
+            wmap = dict(weights)
+
+            @F.pandas_udf("float")
+            def bm25_f32(
+                term: pd.Series, tf: pd.Series, norm_byte: pd.Series
+            ) -> pd.Series:
+                w = term.map(wmap).to_numpy(dtype=np.float32)
+                tf32 = tf.to_numpy(dtype=np.float32)
+                add = cache[norm_byte.to_numpy(dtype=np.int64) & 0xFF]
+                return pd.Series(
+                    (w * tf32 / (tf32 + add)).astype(np.float32)
+                )
+
+            return df.withColumn(
+                "score", bm25_f32(F.col("term"), F.col("tf"), F.col("norm_byte"))
+            )
+        # native path: whole-stage-codegen'd double math, float32 constants
+        cache_arr = F.array(*[F.lit(float(v)) for v in self.cache.tolist()])
+        wexpr = F.create_map(
+            *[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))]
+        )
+        tf = F.col("tf").cast("double")
+        denom_add = F.element_at(cache_arr, F.col("norm_byte") + 1)
+        return df.withColumn(
+            "score",
+            (wexpr[F.col("term")] * tf / (tf + denom_add)).cast("float"),
+        )
+
+    def _score(self, q: Query, term_stats: dict) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self._score_terms(
+                [(q.term, q.boost)], term_stats
+            ).select("doc_id", "score")
+        if isinstance(q, MatchAllQuery):
+            return self.index.docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(1.0).cast("float").alias("score"),
+            )
+        if isinstance(q, PhraseQuery):
+            return self._score_phrase(q, term_stats)
+        if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
+            return self._score_multiterm(q)
+        if isinstance(q, DisMaxQuery):
+            return self._score_dismax(q, term_stats)
+        if isinstance(q, BooleanQuery):
+            return self._score_boolean(q, term_stats)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _score_terms(
+        self, terms_boosts: list[tuple[str, float]], term_stats: dict
+    ) -> DataFrame:
+        """Per-(term,doc) scored postings for the given terms."""
+        weights = {
+            t: self._term_weight_value(t, term_stats, boost)
+            for t, boost in terms_boosts
+        }
+        present = [t for t in weights if t in term_stats]
+        if not present:
+            return self._empty_scored()
+        df = self._postings_for(present).select(
+            "term", "doc_id", "tf", "norm_byte"
+        )
+        return self._apply_score_col(df, weights)
+
+    def _empty_scored(self) -> DataFrame:
+        return self.index.spark.createDataFrame(
+            [], "term string, doc_id long, tf int, norm_byte int, score float"
+        )
+
+    def _score_boolean(self, q: BooleanQuery, term_stats: dict) -> DataFrame:
+        must = [c.query for c in q.clauses if c.occur == "MUST"]
+        should = [c.query for c in q.clauses if c.occur == "SHOULD"]
+        must_not = [c.query for c in q.clauses if c.occur == "MUST_NOT"]
+        msm = q.min_should_match
+        # Lucene: if there are MUST clauses, SHOULD are optional (msm
+        # default 0); pure-SHOULD queries need >= max(1, msm) matches.
+        if not must:
+            msm = max(1, msm)
+
+        parts: list[DataFrame] = []
+        for i, sub in enumerate(must):
+            parts.append(
+                self._score(sub, term_stats).select(
+                    "doc_id",
+                    "score",
+                    F.lit(1).alias("is_must"),
+                    F.lit(i).alias("clause"),
+                )
+            )
+        for j, sub in enumerate(should):
+            parts.append(
+                self._score(sub, term_stats).select(
+                    "doc_id",
+                    "score",
+                    F.lit(0).alias("is_must"),
+                    F.lit(len(must) + j).alias("clause"),
+                )
+            )
+        if not parts:
+            return self.index.spark.createDataFrame(
+                [], "doc_id long, score float"
+            )
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+
+        # rarest-MUST-leads broadcast prune (ConjunctionTermScorer.java:33-48)
+        if len(must) >= 2:
+            lead = self._rarest_must_docset(must, term_stats)
+            if lead is not None:
+                unioned = unioned.join(
+                    F.broadcast(lead), on="doc_id", how="left_semi"
+                )
+
+        grouped = unioned.groupBy("doc_id").agg(
+            F.sum("score").cast("float").alias("score"),
+            F.sum("is_must").alias("n_must"),
+            F.sum(1 - F.col("is_must")).alias("n_should"),
+        )
+        cond = F.col("n_must") == F.lit(len(must))
+        if msm > 0:
+            cond = cond & (F.col("n_should") >= F.lit(msm))
+        out = grouped.where(cond).select("doc_id", "score")
+
+        if must_not:
+            excl = None
+            for sub in must_not:
+                d = self._score(sub, term_stats).select("doc_id")
+                excl = d if excl is None else excl.unionByName(d)
+            out = out.join(excl.distinct(), on="doc_id", how="left_anti")
+        return out
+
+    def _rarest_must_docset(
+        self, must: list[Query], term_stats: dict
+    ) -> DataFrame | None:
+        """If the rarest MUST term is small enough, return its doc_id set
+        for a broadcast semi-join prune. Any MUST term with df=0 means the
+        whole conjunction is empty — handled naturally (empty docset)."""
+        best: tuple[int, str] | None = None
+        for sub in must:
+            if isinstance(sub, TermQuery):
+                df_ = term_stats.get(sub.term, (0, 0))[0]
+                if best is None or df_ < best[0]:
+                    best = (df_, sub.term)
+        if best is None or best[0] > BROADCAST_DOCSET_MAX_DF:
+            return None
+        return (
+            self.index.postings.where(F.col("term") == best[1])
+            .select("doc_id")
+        )
+
+    def _score_dismax(self, q: DisMaxQuery, term_stats: dict) -> DataFrame:
+        parts = [
+            self._score(sub, term_stats).select("doc_id", "score")
+            for sub in q.queries
+        ]
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        tie = float(q.tie_breaker)
+        return unioned.groupBy("doc_id").agg(
+            (
+                F.max("score")
+                + F.lit(tie) * (F.sum("score") - F.max("score"))
+            )
+            .cast("float")
+            .alias("score")
+        )
+
+    def _score_phrase(self, q: PhraseQuery, term_stats: dict) -> DataFrame:
+        """Exact phrase (slop=0): adjacency via adjusted positions.
+        (pos_i - i) equal across all clause indices -> one occurrence
+        (ExactPhraseScorer.java:201-242). Sloppy phrases are out of scope
+        v1. Scoring: idf = float32 sum of constituent idfs
+        (BM25Similarity.idfExplain:185-196), freq = phrase occurrences."""
+        terms = list(q.terms)
+        if any(t not in term_stats for t in terms):
+            return self.index.spark.createDataFrame(
+                [], "doc_id long, score float"
+            )
+        n = len(terms)
+        parts = []
+        for i, t in enumerate(terms):
+            p = (
+                self.index.postings.where(F.col("term") == t)
+                .select(
+                    "doc_id",
+                    "norm_byte",
+                    F.explode("positions").alias("pos"),
+                )
+                .select(
+                    "doc_id",
+                    "norm_byte",
+                    (F.col("pos") - F.lit(i)).alias("apos"),
+                    F.lit(i).alias("clause"),
+                )
+            )
+            parts.append(p)
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        occ = (
+            unioned.groupBy("doc_id", "apos")
+            .agg(
+                F.countDistinct("clause").alias("nc"),
+                F.first("norm_byte").alias("norm_byte"),
+            )
+            .where(F.col("nc") == n)
+        )
+        freqs = occ.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("norm_byte").alias("norm_byte")
+        )
+        # summed idf weight, float32 accumulation like idfExplain
+        from .bm25 import idf as idf_fn
+
+        w32 = np.float32(0.0)
+        for t in terms:
+            w32 = np.float32(
+                w32 + idf_fn(term_stats[t][0], self.index.stats.max_doc)
+            )
+        weight_value = float(
+            np.float32(q.boost) * w32 * np.float32(1.2 + 1.0)
+        )
+        cache_arr = F.array(*[F.lit(float(v)) for v in self.cache.tolist()])
+        tf = F.col("tf").cast("double")
+        denom_add = F.element_at(cache_arr, F.col("norm_byte") + 1)
+        return freqs.select(
+            "doc_id",
+            (F.lit(weight_value) * tf / (tf + denom_add))
+            .cast("float")
+            .alias("score"),
+        )
+
+    def _score_multiterm(self, q) -> DataFrame:
+        """Prefix/Wildcard/Fuzzy: expand against terms_stats, then
+        constant-score over the union of matching docs (MultiTermQuery
+        CONSTANT_SCORE rewrite, MultiTermQuery.java)."""
+        ts = self.index.terms_stats
+        if isinstance(q, PrefixQuery):
+            matched = ts.where(F.col("term").startswith(q.prefix))
+        elif isinstance(q, WildcardQuery):
+            import re as _re
+
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in q.pattern
+            ) + "$"
+            matched = ts.where(F.col("term").rlike(rx))
+        elif isinstance(q, FuzzyQuery):
+            matched = ts.where(
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            )
+        else:  # pragma: no cover
+            raise TypeError(q)
+        docs = (
+            self.index.postings.join(
+                F.broadcast(matched.select("term")), on="term", how="left_semi"
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        return docs.select(
+            "doc_id", F.lit(float(q.boost)).cast("float").alias("score")
+        )

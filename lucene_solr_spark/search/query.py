@@ -1,0 +1,118 @@
+"""Query AST — the Lucene Query tree analogue, plus the rewrite step.
+
+References:
+  - BooleanQuery MUST/SHOULD/MUST_NOT + minNrShouldMatch
+    (lucene/core/.../search/BooleanQuery.java:42,170-359)
+  - rewrite-to-fixpoint (IndexSearcher.java:597-604): single-clause
+    Boolean collapse, MultiTermQuery -> disjunction expansion
+  - DisjunctionMaxQuery (DisjunctionMaxQuery.java:1-298)
+  - PhraseQuery (PhraseQuery.java:47-82)
+  - PrefixQuery/WildcardQuery/FuzzyQuery rewrite against the term dict
+    (MultiTermQuery.java, WildcardQuery.java, FuzzyQuery.java)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def __init__(self, terms, slop: int = 0, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: str = "SHOULD"  # MUST | SHOULD | MUST_NOT
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    min_should_match: int = 0
+
+    def __init__(self, clauses, min_should_match: int = 0):
+        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "min_should_match", int(min_should_match))
+
+
+@dataclass(frozen=True)
+class DisMaxQuery(Query):
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def __init__(self, queries, tie_breaker: float = 0.0):
+        object.__setattr__(self, "queries", tuple(queries))
+        object.__setattr__(self, "tie_breaker", float(tie_breaker))
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Rewrites against terms_stats to a constant-score disjunction
+    (MultiTermQuery CONSTANT_SCORE rewrite)."""
+
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # Lucene wildcard syntax: * and ?
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+# ---- convenience constructors ----
+
+def And(*terms: str) -> BooleanQuery:
+    return BooleanQuery([BooleanClause(TermQuery(t), "MUST") for t in terms])
+
+
+def Or(*terms: str, min_should_match: int = 1) -> BooleanQuery:
+    return BooleanQuery(
+        [BooleanClause(TermQuery(t), "SHOULD") for t in terms],
+        min_should_match=min_should_match,
+    )
+
+
+def rewrite(q: Query) -> Query:
+    """Rewrite to fixpoint (IndexSearcher.java:597-604): collapse
+    single-clause pure-MUST/SHOULD booleans; flatten nothing else in v1."""
+    if isinstance(q, BooleanQuery):
+        clauses = tuple(
+            BooleanClause(rewrite(c.query), c.occur) for c in q.clauses
+        )
+        scoring = [c for c in clauses if c.occur != "MUST_NOT"]
+        if len(clauses) == 1 and clauses[0].occur in ("MUST", "SHOULD"):
+            return clauses[0].query
+        return BooleanQuery(clauses, q.min_should_match)
+    return q

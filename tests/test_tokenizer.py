@@ -1,0 +1,60 @@
+"""Golden tokenization fixtures (FIXTURES.md §2) pinning the analyzer:
+StandardTokenizer-approx grammar, LowerCaseFilter, 33-word StopFilter with
+position-increment gaps, dl = surviving token count."""
+
+from lucene_solr_spark.analysis.tokenizer import (
+    ENGLISH_STOP_WORDS,
+    analyze,
+    tokenize_raw,
+)
+
+GOLDEN = [
+    # (text, [(term, position), ...])
+    ("hello world", [("hello", 0), ("world", 1)]),
+    ("Hello WORLD", [("hello", 0), ("world", 1)]),
+    # stopword removal with position gap (FilteringTokenFilter.java:49-57)
+    ("the quick brown fox", [("quick", 1), ("brown", 2), ("fox", 3)]),
+    (
+        "error in the cache layer",
+        [("error", 0), ("cache", 3), ("layer", 4)],
+    ),
+    # punctuation splits
+    ("foo,bar;baz!", [("foo", 0), ("bar", 1), ("baz", 2)]),
+    # numbers and decimal join (UAX#29 MidNum)
+    ("code 404 and 3.14 returned", [("code", 0), ("404", 1), ("3.14", 3), ("returned", 4)]),
+    # apostrophe join (MidLetter) and underscore join (ExtendNumLet)
+    ("don't touch foo_bar", [("don't", 0), ("touch", 1), ("foo_bar", 2)]),
+    # whitespace robustness
+    ("  leading   and   trailing  ", [("leading", 0), ("trailing", 2)]),
+    ("", []),
+    # all-stopword turn -> dl = 0
+    ("the of and to a in is it", []),
+    # trailing period not joined
+    ("end.", [("end", 0)]),
+    ("a.b stays", [("a.b", 0), ("stays", 1)]),
+]
+
+
+def test_stopword_set_is_the_lucene_33():
+    # StopAnalyzer.java:52-57
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"the", "a", "will", "with", "such", "into"} <= ENGLISH_STOP_WORDS
+    assert "you" not in ENGLISH_STOP_WORDS
+
+
+def test_golden_tokens():
+    for text, want in GOLDEN:
+        terms, positions = analyze(text)
+        assert list(zip(terms, positions)) == want, text
+
+
+def test_dl_counts_survivors_only():
+    terms, _ = analyze("the error of the error in cache")
+    assert len(terms) == 3  # error, error, cache
+
+
+def test_max_token_length_dropped():
+    long_tok = "x" * 256
+    assert tokenize_raw(f"short {long_tok} after") == ["short", "after"]
+    ok_tok = "y" * 255
+    assert ok_tok in tokenize_raw(ok_tok)
