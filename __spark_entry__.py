@@ -1,38 +1,434 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over
+the driver-provided parquet tables; ``oracle_sql()`` returns the DuckDB
+twin for each (generated in lucene_solr_spark/oracles.py with mirrored
+IEEE-double arithmetic; floats rounded to 4 decimals on both sides).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+import lucene_solr_spark.oracles as O
+from lucene_solr_spark.datapipe.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash,
+)
+from lucene_solr_spark.datapipe.similarity import knn_cosine_bruteforce
+from lucene_solr_spark.functions.text_analysis import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+from lucene_solr_spark.index.builder import InvertedIndex, build_index
+from lucene_solr_spark.search.executor import Searcher
+from lucene_solr_spark.search.query import (
+    BooleanClause,
+    BooleanQuery,
+    DisMaxQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+
+_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = build_index(spark, _docs(spark, sf_dir), cache=True)
+        _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    return Searcher(_index(spark, sf_dir))  # double precision (gate mode)
+
+
+def _topk_rounded(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bool(must=(), should=(), must_not=(), msm=0) -> BooleanQuery:
+    clauses = (
+        [BooleanClause(TermQuery(t), "MUST") for t in must]
+        + [BooleanClause(TermQuery(t), "SHOULD") for t in should]
+        + [BooleanClause(TermQuery(t), "MUST_NOT") for t in must_not]
+    )
+    return BooleanQuery(clauses, min_should_match=msm)
+
+
+def _matched_docs(spark, sf_dir, term: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    return s._postings_for([term]).select("doc_id").distinct()
+
+
+# ---------------- BM25 family ----------------
+
+def q_bm25_term(spark, sf_dir):
+    return _topk_rounded(_searcher(spark, sf_dir).search(TermQuery("scan"), 10))
+
+
+def q_bm25_absent(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(TermQuery("zzzqq"), 10)
+    )
+
+
+def q_bm25_and(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(_bool(must=["scan", "merge"]), 10)
+    )
+
+
+def q_bm25_and3(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(
+            _bool(must=["scan", "merge", "key"]), 10
+        )
+    )
+
+
+def q_bm25_or(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(_bool(should=["scan", "merge"]), 10)
+    )
+
+
+def q_bm25_or_msm(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(
+            _bool(should=["scan", "merge", "key"], msm=2), 10
+        )
+    )
+
+
+def q_bm25_not(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(
+            _bool(must=["scan"], must_not=["merge"]), 10
+        )
+    )
+
+
+def q_bm25_dismax(spark, sf_dir):
+    q = DisMaxQuery([TermQuery("scan"), TermQuery("merge")], 0.3)
+    return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
+
+
+def q_bm25_phrase(spark, sf_dir):
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(PhraseQuery(["key", "order"]), 10)
+    )
+
+
+def q_bm25_page2(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = _bool(should=["scan", "merge"])
+    page1 = s.search(q, 10).collect()
+    last = page1[-1]
+    return _topk_rounded(
+        s.search_after(q, float(last["score"]), int(last["doc_id"]), 10)
+    )
+
+
+def q_prefix(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return s.score(PrefixQuery("sc")).select("doc_id").distinct()
+
+
+# ---------------- facets / stats / grouping ----------------
+
+def q_facet_lang(spark, sf_dir):
+    matched = _matched_docs(spark, sf_dir, "scan")
+    d = _index(spark, sf_dir).docs
+    return (
+        d.join(matched, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"))
+        .limit(5)
+    )
+
+
+def q_facet_range(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / 100) * 100)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def q_facet_pivot(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "source")
+    )
+
+
+def q_stats_nchars(spark, sf_dir):
+    matched = _matched_docs(spark, sf_dir, "scan")
+    d = _index(spark, sf_dir).docs
+    return d.join(matched, "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_chars").alias("min_v"),
+        F.max("n_chars").alias("max_v"),
+        F.sum("n_chars").alias("sum_v"),
+        F.round(F.avg("n_chars"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("stddev_v"),
+    )
+
+
+def q_group_topk(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    d = _index(spark, sf_dir).docs.select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("lang", "doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def q_terms_enum(spark, sf_dir):
+    ts = _index(spark, sf_dir).terms_stats
+    return (
+        ts.where(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# ---------------- joins ----------------
+
+def q_join_semi(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hits = o.where(F.col("o_totalprice") > 400000.0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(hits.distinct(), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_block_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kids = li.where(F.col("l_quantity") >= 50.0).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(kids.distinct(), "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------- dedup / text analytics ----------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return exact_duplicate_groups(doubled)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(d)
+    return (
+        jaccard_pairs(d, pairs)
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+def q_quality(spark, sf_dir):
+    d = with_quality_score(_docs(spark, sf_dir).select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("alnum_ratio", 4).alias("alnum_ratio"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        "quality",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return with_lang_id(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    d = with_token_counts(_docs(spark, sf_dir).select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("analyzer_tokens").cast("long").alias("analyzer_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return with_fingerprint(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", "fingerprint")
+
+
+def q_knn(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_cosine_bruteforce(emb, [float(x) for x in qv], k=5)
+
+
+# ---------------- events (stream-shaped analytics, batch check) -------
+
+def q_events_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_stats(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------- driver contract ----------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full index build + disjunctive BM25 top-10 with doc
+    join-back, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = build_index(spark, _docs(spark, sf_dir), cache=True)
+    s = Searcher(idx)
+    top = s.search(_bool(should=["scan", "merge", "key"]), 10)
+    return top.join(idx.docs.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", F.round("score", 4).alias("score"), "lang", "text"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_term": q_bm25_term,
+        "bm25_absent": q_bm25_absent,
+        "bm25_and": q_bm25_and,
+        "bm25_and3": q_bm25_and3,
+        "bm25_or": q_bm25_or,
+        "bm25_or_msm": q_bm25_or_msm,
+        "bm25_not": q_bm25_not,
+        "bm25_dismax": q_bm25_dismax,
+        "bm25_phrase": q_bm25_phrase,
+        "bm25_page2": q_bm25_page2,
+        "prefix": q_prefix,
+        "facet_lang": q_facet_lang,
+        "facet_range": q_facet_range,
+        "facet_pivot": q_facet_pivot,
+        "stats_nchars": q_stats_nchars,
+        "group_topk": q_group_topk,
+        "terms_enum": q_terms_enum,
+        "join_semi": q_join_semi,
+        "block_join": q_block_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "jaccard": q_jaccard,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "knn": q_knn,
+        "events_hourly": q_events_hourly,
+        "events_stats": q_events_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_term": O.bm25_term("scan"),
+        "bm25_absent": O.bm25_term("zzzqq"),
+        "bm25_and": O.bm25_bool(must=["scan", "merge"]),
+        "bm25_and3": O.bm25_bool(must=["scan", "merge", "key"]),
+        "bm25_or": O.bm25_bool(must=[], should=["scan", "merge"]),
+        "bm25_or_msm": O.bm25_bool(
+            must=[], should=["scan", "merge", "key"], msm=2
+        ),
+        "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
+        "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
+        "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "bm25_page2": O.bm25_bool(
+            must=[], should=["scan", "merge"], k=10, offset=10
+        ),
+        "prefix": O.prefix_docs("sc"),
+        "facet_lang": O.facet_field("scan", "lang"),
+        "facet_range": O.facet_range_nchars(),
+        "facet_pivot": O.facet_pivot(),
+        "stats_nchars": O.stats_nchars("scan"),
+        "group_topk": O.group_topk_per_field("scan", "lang"),
+        "terms_enum": O.terms_enum("s"),
+        "join_semi": O.join_semi_customers(),
+        "block_join": O.block_join_orders(),
+        "dedup_exact": O.dedup_exact_doubled(),
+        "dedup_minhash": O.minhash_pairs(),
+        "dedup_simhash": O.simhash_sql(),
+        "jaccard": O.jaccard_topk(),
+        "quality": O.text_quality(),
+        "lang_id": O.lang_id(),
+        "token_counts": O.token_counts(),
+        "fingerprint": O.fingerprint(),
+        "knn": O.knn_cosine(),
+        "events_hourly": O.events_hourly(),
+        "events_stats": O.events_type_stats(),
+    }

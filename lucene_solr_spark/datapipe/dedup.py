@@ -1,0 +1,251 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (shuffle-aware, no UDFs):
+
+  - exact: md5(text) hash-groupBy — one shuffle on the hash
+  - minhash LSH: token shingles -> H minhashes -> bands -> bucket
+    self-join. The band bucket join is the classic sub-quadratic
+    near-dup path: candidates only where a band collides.
+  - simhash: 32-bit sign-aggregated token-hash fingerprint
+  - n-gram jaccard: exact verify step over LSH candidates (never the
+    full cross product)
+
+Hashing uses md5-derived 60-bit ints (spark_text.hash60) so the DuckDB
+oracle can reproduce results bit-for-bit; at production scale you'd swap
+xxhash64 in one place.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.spark_text import analyzed_tokens, hash60, token_shingles
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BAND_SIZE = 3  # 12 hashes -> 4 bands of 3
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, min_doc_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}): per-seed min over shingle hashes.
+    Docs with no shingles (fewer than n tokens) are dropped."""
+    shingles = token_shingles(analyzed_tokens(F.col(text_col)), shingle_n)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_buckets(
+    sigs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """(band, bucket, doc_id): bucket = md5 of the band's minhashes."""
+    n_bands = num_hashes // band_size
+    parts = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"mh_{i}").cast("string")
+            for i in range(b * band_size, (b + 1) * band_size)
+        ]
+        parts.append(
+            sigs.select(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+                "doc_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing >= 1 LSH band bucket.
+    The self-join is per (band, bucket) — bounded by bucket sizes, never
+    the full cross product."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    buckets = minhash_band_buckets(sigs, num_hashes, band_size)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs:
+    (doc_a, doc_b, jaccard). Computed via exploded shingle join +
+    distinct-set sizes (no arrays collected to the driver)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                token_shingles(analyzed_tokens(F.col(text_col)), shingle_n)
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id")
+        )
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash fingerprint with tf
+    weighting. bit b set iff sum over tokens of tf * (bit(h,b) ? 1 : -1)
+    > 0."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(analyzed_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h", hash60(F.col("term")))
+    aggs = []
+    for b in range(bits):
+        contrib = F.when(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+            F.col("tf"),
+        ).otherwise(-F.col("tf"))
+        aggs.append(F.sum(contrib).alias(f"s_{b}"))
+    sums = h.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+    Blocking: pairs must share at least one of the 4 byte-blocks
+    (pigeonhole: distance <=3 over 4 blocks guarantees a shared block),
+    keeping the self-join sub-quadratic."""
+    sh = simhash(df, text_col, id_col, bits)
+    n_blocks = bits // block_bits
+    parts = []
+    for blk in range(n_blocks):
+        parts.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(blk).alias("blk"),
+                F.shiftright(F.col("simhash"), blk * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                .alias("blk_val"),
+            )
+        )
+    blocked = parts[0]
+    for p in parts[1:]:
+        blocked = blocked.unionByName(p)
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,123 @@
+"""Embedding similarity search over an array<float> column.
+
+  - brute-force cosine top-k: JVM-side fold (zip_with + aggregate), the
+    exactness baseline. O(N) per query vector but fully parallel and
+    shuffle-free until the final TakeOrderedAndProject.
+  - LSH-bucketed variant (random-hyperplane signs): sub-linear candidate
+    set at scale; the hyperplanes are derived deterministically from
+    md5 hashes of (plane, dim) so runs are reproducible with no RNG
+    state and the same buckets can be recomputed anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product — deterministic summation order
+    (element order), matching the SQL oracle's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_cosine_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors of a literal query vector: (vec_id, cos)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), qv), 4).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def knn_cosine_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batch k-NN: broadcast the (small) query set against the (huge)
+    embedding table, window top-k per query. At 100 TB the embedding side
+    stays partition-parallel; only k rows per query survive per partition
+    before the final merge."""
+    from pyspark.sql import Window
+
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane sign LSH: bucket = sum of sign bits. Plane
+    weights are +-1 derived from md5(plane,dim) parity — deterministic,
+    replayable, and oracle-SQL-computable."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        # w[p][i] = +1 if md5("p|i") lowest bit set else -1
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda x, i: x.cast("double")
+                * F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{p}|"), i.cast("string")
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col), sig.alias("lsh_bucket"))

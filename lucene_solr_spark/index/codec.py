@@ -1,0 +1,154 @@
+"""Posting-block codec — delta + varint compression, numpy-vectorized.
+
+The encoding mirrors Lucene 4.0's postings byte layout in spirit
+(lucene/core/.../codecs/lucene40/Lucene40PostingsWriter.java:193-216:
+delta-varint docID gaps; :230-262 position deltas) with one deliberate
+architectural change: instead of multi-level skip lists every 16 docs
+(Lucene40PostingsWriter.java:66,77; MultiLevelSkipListWriter.java:31-89),
+postings are cut into fixed-size blocks (BLOCK_SIZE=128 docs) carrying
+per-block metadata (first/last doc, max_tf, ub_factor). Fixed blocks give
+both skipping (min/max pruning pushed into Parquet row groups) and
+block-max WAND upper bounds (Ding & Suel, SIGIR'11) — the block-max
+structure Lucene grew later; the reference only has skip lists.
+
+All encode/decode paths are numpy-vectorized (no per-value Python in the
+hot loop beyond the byte-spread, which is O(total_bytes) numpy ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint encode of a uint64 array, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bits/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # positions where each value's bytes start
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    # write byte k of every value that has >= k+1 bytes
+    maxb = int(nbytes.max())
+    rem = v.copy()
+    for k in range(maxb):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        rem = rem >> np.uint64(7)
+    del nbits
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` varints from ``buf`` into uint64, vectorized."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    cont = (raw & 0x80) > 0
+    # value boundaries: a byte starts a new value iff previous byte had no
+    # continuation bit
+    is_start = np.empty(raw.shape, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = ~cont[:-1]
+    value_id = np.cumsum(is_start) - 1
+    # byte position within its value
+    pos_in_value = np.arange(raw.size) - np.flatnonzero(is_start)[value_id]
+    out = np.zeros(count, dtype=np.uint64)
+    np.add.at(
+        out,
+        value_id,
+        (raw & 0x7F).astype(np.uint64) << (7 * pos_in_value.astype(np.uint64)),
+    )
+    return out
+
+
+def encode_term_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    positions: list[np.ndarray] | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Encode one term's postings (sorted by doc_id) into block rows.
+
+    Each block dict: num_docs, first_doc, last_doc, max_tf, docs_bin
+    (varint gaps, first gap relative to first_doc so blocks decode
+    independently), tfs_bin (varint tf-1), norms_bin (raw bytes),
+    pos_bin (varint position deltas, concatenated per doc; None if
+    positions not kept).
+    """
+    n = len(doc_ids)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.uint8)
+    blocks = []
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        d = doc_ids[s:e]
+        t = tfs[s:e]
+        gaps = np.empty(e - s, dtype=np.uint64)
+        gaps[0] = 0
+        gaps[1:] = np.diff(d).astype(np.uint64)
+        blk = {
+            "num_docs": int(e - s),
+            "first_doc": int(d[0]),
+            "last_doc": int(d[-1]),
+            "max_tf": int(t.max()),
+            "docs_bin": varint_encode(gaps),
+            "tfs_bin": varint_encode((t - 1).astype(np.uint64)),
+            "norms_bin": norm_bytes[s:e].tobytes(),
+            "pos_bin": None,
+        }
+        if positions is not None:
+            parts = []
+            for plist in positions[s:e]:
+                p = np.asarray(plist, dtype=np.int64)
+                deltas = np.empty(len(p), dtype=np.uint64)
+                if len(p):
+                    deltas[0] = p[0]
+                    deltas[1:] = np.diff(p).astype(np.uint64)
+                parts.append(varint_encode(deltas))
+            blk["pos_bin"] = b"".join(parts)
+        blocks.append(blk)
+    return blocks
+
+
+def decode_block(
+    first_doc: int,
+    num_docs: int,
+    docs_bin: bytes,
+    tfs_bin: bytes,
+    norms_bin: bytes,
+    pos_bin: bytes | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray] | None]:
+    """Decode one block -> (doc_ids int64, tfs int64, norm_bytes uint8,
+    positions list or None)."""
+    gaps = varint_decode(docs_bin, num_docs).astype(np.int64)
+    doc_ids = first_doc + np.cumsum(gaps)
+    tfs = varint_decode(tfs_bin, num_docs).astype(np.int64) + 1
+    norms = np.frombuffer(norms_bin, dtype=np.uint8)
+    positions = None
+    if pos_bin is not None:
+        total = int(tfs.sum())
+        flat = varint_decode(pos_bin, total).astype(np.int64)
+        # per-doc cumulative position deltas
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        positions = []
+        for s, e in zip(starts, ends):
+            positions.append(np.cumsum(flat[s:e]))
+    return doc_ids, tfs, norms, positions

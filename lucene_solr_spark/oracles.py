@@ -1,0 +1,564 @@
+"""ANSI-SQL (DuckDB) oracle builders mirroring the engine's semantics.
+
+Every gate query in __spark_entry__.py has a SQL twin generated here. The
+SQL reproduces the engine's arithmetic *textually* (same operator order,
+same literals) so IEEE-double results agree to the last ulp; floats are
+rounded to 4 decimals on both sides before comparison.
+
+The norm quantization (SmallFloat.floatToByte315 -> NORM_TABLE decode),
+which plain SQL cannot express bit-level, is inlined as a precomputed
+interval table: dl in [lo, hi] -> quantized dl (33 intervals cover
+dl <= 100000). Generated from the same numpy code the engine uses, so
+the two sides agree by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .analysis.tokenizer import ENGLISH_STOP_WORDS, TOKEN_PATTERN
+from .index.norms import NORM_TABLE, encode_norm
+
+K1 = "1.2"
+B = "0.75"
+DL_MAX = 100_000
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+PATTERN_LIT = "'" + _sq(TOKEN_PATTERN) + "'"
+STOP_LIST = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+def qdl_values() -> str:
+    """(lo, hi, qdl) rows: dl interval -> quantized dl (float64 repr of
+    the float32 NORM_TABLE entry for encode_norm(dl))."""
+    dls = np.arange(1, DL_MAX + 1)
+    bs = encode_norm(dls).astype(int)
+    rows = []
+    start = 0
+    for i in range(1, len(dls) + 1):
+        if i == len(dls) or bs[i] != bs[start]:
+            qdl = float(NORM_TABLE[bs[start]])
+            rows.append(f"({int(dls[start])}, {int(dls[i-1])}, {qdl!r})")
+            start = i
+    return ", ".join(rows)
+
+
+_QDL_VALUES = None
+
+
+def _qdl() -> str:
+    global _QDL_VALUES
+    if _QDL_VALUES is None:
+        _QDL_VALUES = qdl_values()
+    return _QDL_VALUES
+
+
+def tok_ctes(table: str = "documents") -> str:
+    """Shared CTEs: tok (post-stop terms), dls (doc length), coll
+    (maxDoc + avgdl), qdl (quantization intervals)."""
+    return f"""
+tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term
+    FROM {table}
+  ) WHERE length(term) <= 255 AND term NOT IN ({STOP_LIST})
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+coll AS (
+  SELECT (SELECT count(*) FROM {table}) AS max_doc,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dls)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM {table}) AS avgdl
+),
+qdl AS (SELECT * FROM (VALUES {_qdl()}) AS t(lo, hi, q))
+""".strip()
+
+
+def _scored_cte(terms: list[str], table: str = "documents") -> str:
+    """Per-(doc, term) BM25 CTE over the query terms, mirroring
+    Searcher's double path: ln(1+(N-df+0.5)/(df+0.5)) * (1.2+1) * tf
+    / (tf + 1.2*((1-0.75) + 0.75*qdl/avgdl))."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT f.doc_id, f.term,
+         ln(1 + ((SELECT max_doc FROM coll) - d.df + 0.5) / (d.df + 0.5))
+           * ({K1}+1) * f.tf
+           / (f.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM qtf f
+  JOIN dfs d USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+""".strip()
+
+
+def _topk(select_from: str, k: int = 10, offset: int = 0) -> str:
+    off = f" OFFSET {offset}" if offset else ""
+    return (
+        f"SELECT doc_id, round(score, 4) AS score FROM {select_from} "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}{off}"
+    )
+
+
+def bm25_term(term: str, k: int = 10, table: str = "documents") -> str:
+    return (
+        f"WITH {tok_ctes(table)}, {_scored_cte([term], table)} "
+        + _topk("scored", k)
+    )
+
+
+def bm25_bool(
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    msm: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    offset: int = 0,
+) -> str:
+    should = should or []
+    must_not = must_not or []
+    all_terms = list(dict.fromkeys(must + should))
+    parts = [tok_ctes(table), _scored_cte(all_terms, table)]
+    must_list = ", ".join(f"'{_sq(t)}'" for t in must) if must else ""
+    should_list = ", ".join(f"'{_sq(t)}'" for t in should) if should else ""
+    conds = []
+    if must:
+        conds.append(
+            f"count(DISTINCT CASE WHEN term IN ({must_list}) THEN term END)"
+            f" = {len(set(must))}"
+        )
+    eff_msm = msm if must else max(1, msm)
+    if should and eff_msm > 0:
+        conds.append(
+            f"count(DISTINCT CASE WHEN term IN ({should_list}) THEN term "
+            f"END) >= {eff_msm}"
+        )
+    having = " AND ".join(conds) if conds else "TRUE"
+    agg = (
+        "agg AS (SELECT doc_id, sum(score) AS score FROM scored "
+        f"GROUP BY doc_id HAVING {having})"
+    )
+    parts.append(agg)
+    final_src = "agg"
+    if must_not:
+        mn_list = ", ".join(f"'{_sq(t)}'" for t in must_not)
+        parts.append(
+            "excl AS (SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term IN ({mn_list}))"
+        )
+        parts.append(
+            "kept AS (SELECT a.* FROM agg a WHERE a.doc_id NOT IN "
+            "(SELECT doc_id FROM excl))"
+        )
+        final_src = "kept"
+    return "WITH " + ", ".join(parts) + " " + _topk(final_src, k, offset)
+
+
+def bm25_dismax(
+    terms: list[str], tie: float, k: int = 10, table: str = "documents"
+) -> str:
+    return (
+        f"WITH {tok_ctes(table)}, {_scored_cte(terms, table)}, "
+        "agg AS (SELECT doc_id, max(score) + "
+        f"{tie!r} * (sum(score) - max(score)) AS score "
+        "FROM scored GROUP BY doc_id) " + _topk("agg", k)
+    )
+
+
+def bm25_phrase(
+    terms: list[str], k: int = 10, table: str = "documents"
+) -> str:
+    """Exact phrase: adjacency on pre-stop positions; idf = sum of
+    constituent idfs in term order; freq = phrase occurrences."""
+    pos_ctes = f"""
+rawtok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  )
+)""".strip()
+    joins = ["p0"]
+    p_ctes = [
+        f"p0 AS (SELECT doc_id, pos FROM rawtok WHERE term = '{_sq(terms[0])}')"
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        p_ctes.append(
+            f"p{i} AS (SELECT doc_id, pos - {i} AS pos FROM rawtok "
+            f"WHERE term = '{_sq(t)}')"
+        )
+        joins.append(f"p{i}")
+    join_expr = joins[0]
+    for j in joins[1:]:
+        join_expr += f" JOIN {j} USING (doc_id, pos)"
+    idf_terms = " + ".join(
+        "ln(1 + ((SELECT max_doc FROM coll) - "
+        f"(SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5) / "
+        f"((SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5))"
+        for t in terms
+    )
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH {tok_ctes(table)},
+{pos_ctes},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl}) GROUP BY term
+),
+{', '.join(p_ctes)},
+occ AS (SELECT doc_id, count(*) AS tf FROM ({join_expr}) GROUP BY doc_id),
+scored AS (
+  SELECT o.doc_id,
+         ({idf_terms}) * ({K1}+1) * o.tf
+           / (o.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM occ o JOIN dls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
+def prefix_docs(prefix: str, table: str = "documents") -> str:
+    return (
+        f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
+        f"WHERE term LIKE '{_sq(prefix)}%' ORDER BY doc_id"
+    )
+
+
+def facet_field(
+    term: str, field: str, k: int = 5, table: str = "documents"
+) -> str:
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT d.{field} AS {field}, count(*) AS cnt
+FROM {table} d JOIN matched USING (doc_id)
+GROUP BY d.{field} ORDER BY cnt DESC, {field} ASC LIMIT {k}
+""".strip()
+
+
+def facet_range_nchars(width: int = 100, table: str = "documents") -> str:
+    return (
+        f"SELECT (n_chars // {width}) * {width} AS bucket, count(*) AS cnt "
+        f"FROM {table} GROUP BY 1 ORDER BY bucket"
+    )
+
+
+def facet_pivot(table: str = "documents") -> str:
+    return (
+        f"SELECT lang, source, count(*) AS cnt FROM {table} "
+        "GROUP BY lang, source ORDER BY lang, source"
+    )
+
+
+def stats_nchars(term: str, table: str = "documents") -> str:
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT count(*) AS cnt, min(n_chars) AS min_v, max(n_chars) AS max_v,
+       sum(n_chars) AS sum_v, round(avg(n_chars), 4) AS mean_v,
+       round(stddev_samp(n_chars), 4) AS stddev_v
+FROM {table} d JOIN matched USING (doc_id)
+""".strip()
+
+
+def group_topk_per_field(
+    term: str, field: str, per_group: int = 2, table: str = "documents"
+) -> str:
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT {field}, doc_id, round(score, 4) AS score FROM (
+  SELECT d.{field} AS {field}, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.{field} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN {table} d USING (doc_id)
+) WHERE rn <= {per_group} ORDER BY {field}, score DESC, doc_id
+""".strip()
+
+
+def terms_enum(prefix: str, k: int = 20, table: str = "documents") -> str:
+    return f"""
+WITH {tok_ctes(table)}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok
+WHERE term LIKE '{_sq(prefix)}%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def join_semi_customers(min_total: float = 400000.0) -> str:
+    return f"""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > {min_total!r})
+ORDER BY c.c_custkey
+""".strip()
+
+
+def block_join_orders(min_qty: float = 50.0) -> str:
+    return f"""
+SELECT o.o_orderkey, o.o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_quantity >= {min_qty!r})
+ORDER BY o.o_orderkey
+""".strip()
+
+
+def dedup_exact_doubled(table: str = "documents") -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM {table}
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM {table}
+)
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM u GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
+""".strip()
+
+
+def _shingle_ctes(table: str = "documents", n: int = 3) -> str:
+    """Post-stop consecutive token 3-gram shingles (distinct per doc)."""
+    return f"""
+rawtok2 AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  ) WHERE length(term) <= 255
+),
+ftok AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM rawtok2 WHERE term NOT IN ({STOP_LIST})
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM ftok a
+  JOIN ftok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  JOIN ftok c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+)
+""".strip()
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_pairs(
+    num_hashes: int = 12, band_size: int = 3, table: str = "documents"
+) -> str:
+    mh_cols = ", ".join(
+        "min({h}) AS mh_{i}".format(
+            h=_hash60_sql("'s{}|' || shingle".format(i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_parts = []
+    for b in range(n_bands):
+        cols = " || ',' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)"
+            for i in range(b * band_size, (b + 1) * band_size)
+        )
+        band_parts.append(
+            f"SELECT {b} AS band, md5({cols}) AS bucket, doc_id FROM mh"
+        )
+    bands = " UNION ALL ".join(band_parts)
+    return f"""
+WITH {_shingle_ctes(table)},
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+ORDER BY doc_a, doc_b
+""".strip()
+
+
+def simhash_sql(bits: int = 32, table: str = "documents") -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+WITH {tok_ctes(table)},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, {_hash60_sql('term')} AS h FROM tf),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM sums ORDER BY doc_id
+""".strip()
+
+
+def jaccard_topk(
+    k: int = 20,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    table: str = "documents",
+) -> str:
+    mh = minhash_pairs(num_hashes, band_size, table)
+    # reuse the pair query as a subquery (without its ORDER BY)
+    pair_sql = mh.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pairs AS ({pair_sql}),
+{_shingle_ctes(table)},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (za.sz + zb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sz za ON za.doc_id = doc_a
+JOIN sz zb ON zb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT {k}
+""".strip()
+
+
+def text_quality(table: str = "documents") -> str:
+    raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(list_filter({raw}, x -> length(x) <= 255)) AS n_tokens,
+    len(list_filter({raw},
+        x -> length(x) <= 255 AND x IN ({STOP_LIST}))) AS n_stop,
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+    list_sum(list_transform(list_filter({raw}, x -> length(x) <= 255),
+             x -> length(x))) AS tok_len_sum
+  FROM {table}
+),
+ratios AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN CAST(alnum AS DOUBLE) / n_chars
+         ELSE 0.0 END AS alnum_ratio,
+    CASE WHEN n_tokens > 0 THEN tok_len_sum * 1.0 / n_tokens
+         ELSE 0.0 END AS mean_token_len
+  FROM feats
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(stop_ratio, 4) AS stop_ratio,
+  round(alnum_ratio, 4) AS alnum_ratio,
+  round(mean_token_len, 4) AS mean_token_len,
+  round(0.4 * alnum_ratio
+        + 0.3 * least(n_tokens / 100.0, 1.0)
+        + 0.3 * (1.0 - abs(stop_ratio - 0.4)), 4) AS quality
+FROM ratios ORDER BY doc_id
+""".strip()
+
+
+def lang_id(table: str = "documents") -> str:
+    from .functions.text_analysis import LANG_MARKERS
+
+    raw = f"list_filter(regexp_extract_all(lower(text), {PATTERN_LIT}), x -> length(x) <= 255)"
+    counts = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        ml = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter({raw}, x -> x IN ({ml}))) AS c_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND c_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH c AS (SELECT doc_id, {', '.join(counts)} FROM {table})
+SELECT doc_id, {case} AS lang_pred FROM c ORDER BY doc_id
+""".strip()
+
+
+def token_counts(table: str = "documents") -> str:
+    raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
+    return f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'),
+      x -> length(x) > 0)) AS ws_tokens,
+  len(list_filter({raw},
+      x -> length(x) <= 255 AND x NOT IN ({STOP_LIST}))) AS analyzer_tokens
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
+def fingerprint(table: str = "documents") -> str:
+    raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
+    toks = f"list_filter({raw}, x -> length(x) <= 255 AND x NOT IN ({STOP_LIST}))"
+    return f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fingerprint
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
+def knn_cosine(query_vec_id: int = 0, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = {query_vec_id}
+),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS d,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv
+  FROM e JOIN q USING (i) GROUP BY vec_id
+),
+nq AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS n FROM q)
+SELECT vec_id,
+       round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) AS cos
+FROM dots
+ORDER BY round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) DESC,
+         vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def events_hourly() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+def events_type_stats() -> str:
+    return """
+SELECT event_type, count(*) AS cnt,
+       round(avg(value), 4) AS mean_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()

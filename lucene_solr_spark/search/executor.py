@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..index.builder import InvertedIndex
+from ..index.norms import NORM_TABLE
 from .bm25 import avg_field_length, norm_cache, term_weight
 from .query import (
     BooleanClause,
@@ -67,6 +68,18 @@ def _collect_terms(q: Query) -> set[str]:
 
 
 class Searcher:
+    """Two precision modes:
+
+    - ``exact_float32=True``: bit-replicates BM25Similarity's float32
+      order of operations incl. the float32 norm cache — the
+      rank-identity-vs-Lucene path (vectorized Arrow UDF).
+    - ``exact_float32=False`` (default): IEEE-double scoring over the
+      same quantized norms, expressed textually identically to the ANSI
+      SQL oracle (``ln(1+(N-df+0.5)/(df+0.5)) * (1.2+1) * tf /
+      (tf + 1.2*((1-0.75) + 0.75*qdl/avgdl))``) so the two systems'
+      doubles agree to the last ulp — whole-stage-codegen'd, no UDF.
+    """
+
     def __init__(self, index: InvertedIndex, exact_float32: bool = False):
         self.index = index
         self.exact = exact_float32
@@ -74,6 +87,15 @@ class Searcher:
             index.stats.sum_total_term_freq, index.stats.max_doc
         )
         self.cache = norm_cache(self.avgdl32)  # float32[256]
+        # double-precision mirror (oracle-SQL-identical order of ops)
+        self.avgdl64 = (
+            float(index.stats.sum_total_term_freq)
+            / float(index.stats.max_doc)
+            if index.stats.max_doc
+            else 1.0
+        )
+        qdl64 = NORM_TABLE.astype(np.float64)
+        self.cache64 = 1.2 * ((1 - 0.75) + 0.75 * qdl64 / self.avgdl64)
 
     # ---------- public API ----------
 
@@ -112,14 +134,32 @@ class Searcher:
         st = term_stats.get(term)
         if st is None:
             return 0.0
-        w = term_weight(
-            st[0], self.index.stats.max_doc, self.avgdl32, boost=boost
-        )
-        return float(w.weight_value)
+        if self.exact:
+            w = term_weight(
+                st[0], self.index.stats.max_doc, self.avgdl32, boost=boost
+            )
+            return float(w.weight_value)
+        return boost * self._idf64(st[0]) * (1.2 + 1)
 
-    def _postings_for(self, terms: list[str]) -> DataFrame:
-        # Catalyst pushes the IN filter to the scan; with segment storage
-        # (segments.py) this also prunes term-hash buckets.
+    def _idf64(self, df: int) -> float:
+        n = self.index.stats.max_doc
+        import math
+
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    @property
+    def _score_type(self) -> str:
+        return "float" if self.exact else "double"
+
+    def _postings_for(
+        self, terms: list[str], want_positions: bool = False
+    ) -> DataFrame:
+        # Segment store: bucket partition pruning + term row-group pruning
+        # before block decode. Flat store: Catalyst pushes IN to the scan.
+        if hasattr(self.index, "postings_for_terms"):
+            return self.index.postings_for_terms(
+                list(terms), want_positions=want_positions
+            )
         return self.index.postings.where(F.col("term").isin(list(terms)))
 
     def _apply_score_col(
@@ -144,16 +184,15 @@ class Searcher:
             return df.withColumn(
                 "score", bm25_f32(F.col("term"), F.col("tf"), F.col("norm_byte"))
             )
-        # native path: whole-stage-codegen'd double math, float32 constants
-        cache_arr = F.array(*[F.lit(float(v)) for v in self.cache.tolist()])
+        # double path: whole-stage-codegen'd, oracle-SQL-identical math
+        cache_arr = F.array(*[F.lit(float(v)) for v in self.cache64.tolist()])
         wexpr = F.create_map(
             *[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))]
         )
         tf = F.col("tf").cast("double")
         denom_add = F.element_at(cache_arr, F.col("norm_byte") + 1)
         return df.withColumn(
-            "score",
-            (wexpr[F.col("term")] * tf / (tf + denom_add)).cast("float"),
+            "score", wexpr[F.col("term")] * tf / (tf + denom_add)
         )
 
     def _score(self, q: Query, term_stats: dict) -> DataFrame:
@@ -164,7 +203,7 @@ class Searcher:
         if isinstance(q, MatchAllQuery):
             return self.index.docs.select(
                 F.col("doc_id").cast("long").alias("doc_id"),
-                F.lit(1.0).cast("float").alias("score"),
+                F.lit(1.0).cast(self._score_type).alias("score"),
             )
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, term_stats)
@@ -194,7 +233,9 @@ class Searcher:
 
     def _empty_scored(self) -> DataFrame:
         return self.index.spark.createDataFrame(
-            [], "term string, doc_id long, tf int, norm_byte int, score float"
+            [],
+            f"term string, doc_id long, tf int, norm_byte int, "
+            f"score {self._score_type}",
         )
 
     def _score_boolean(self, q: BooleanQuery, term_stats: dict) -> DataFrame:
@@ -228,7 +269,7 @@ class Searcher:
             )
         if not parts:
             return self.index.spark.createDataFrame(
-                [], "doc_id long, score float"
+                [], f"doc_id long, score {self._score_type}"
             )
         unioned = parts[0]
         for p in parts[1:]:
@@ -243,7 +284,7 @@ class Searcher:
                 )
 
         grouped = unioned.groupBy("doc_id").agg(
-            F.sum("score").cast("float").alias("score"),
+            F.sum("score").cast(self._score_type).alias("score"),
             F.sum("is_must").alias("n_must"),
             F.sum(1 - F.col("is_must")).alias("n_should"),
         )
@@ -274,10 +315,7 @@ class Searcher:
                     best = (df_, sub.term)
         if best is None or best[0] > BROADCAST_DOCSET_MAX_DF:
             return None
-        return (
-            self.index.postings.where(F.col("term") == best[1])
-            .select("doc_id")
-        )
+        return self._postings_for([best[1]]).select("doc_id")
 
     def _score_dismax(self, q: DisMaxQuery, term_stats: dict) -> DataFrame:
         parts = [
@@ -293,7 +331,7 @@ class Searcher:
                 F.max("score")
                 + F.lit(tie) * (F.sum("score") - F.max("score"))
             )
-            .cast("float")
+            .cast(self._score_type)
             .alias("score")
         )
 
@@ -306,13 +344,13 @@ class Searcher:
         terms = list(q.terms)
         if any(t not in term_stats for t in terms):
             return self.index.spark.createDataFrame(
-                [], "doc_id long, score float"
+                [], f"doc_id long, score {self._score_type}"
             )
         n = len(terms)
         parts = []
         for i, t in enumerate(terms):
             p = (
-                self.index.postings.where(F.col("term") == t)
+                self._postings_for([t], want_positions=True)
                 .select(
                     "doc_id",
                     "norm_byte",
@@ -340,24 +378,33 @@ class Searcher:
         freqs = occ.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("tf"), F.first("norm_byte").alias("norm_byte")
         )
-        # summed idf weight, float32 accumulation like idfExplain
-        from .bm25 import idf as idf_fn
+        # summed idf weight: float32 accumulation like idfExplain in
+        # exact mode; plain double sum (term order) in double mode
+        if self.exact:
+            from .bm25 import idf as idf_fn
 
-        w32 = np.float32(0.0)
-        for t in terms:
-            w32 = np.float32(
-                w32 + idf_fn(term_stats[t][0], self.index.stats.max_doc)
+            w32 = np.float32(0.0)
+            for t in terms:
+                w32 = np.float32(
+                    w32 + idf_fn(term_stats[t][0], self.index.stats.max_doc)
+                )
+            weight_value = float(
+                np.float32(q.boost) * w32 * np.float32(1.2 + 1.0)
             )
-        weight_value = float(
-            np.float32(q.boost) * w32 * np.float32(1.2 + 1.0)
-        )
-        cache_arr = F.array(*[F.lit(float(v)) for v in self.cache.tolist()])
+            cache_vals = self.cache.tolist()
+        else:
+            w = 0.0
+            for t in terms:
+                w = w + self._idf64(term_stats[t][0])
+            weight_value = q.boost * w * (1.2 + 1)
+            cache_vals = self.cache64.tolist()
+        cache_arr = F.array(*[F.lit(float(v)) for v in cache_vals])
         tf = F.col("tf").cast("double")
         denom_add = F.element_at(cache_arr, F.col("norm_byte") + 1)
         return freqs.select(
             "doc_id",
             (F.lit(weight_value) * tf / (tf + denom_add))
-            .cast("float")
+            .cast(self._score_type)
             .alias("score"),
         )
 
@@ -382,13 +429,21 @@ class Searcher:
             )
         else:  # pragma: no cover
             raise TypeError(q)
-        docs = (
-            self.index.postings.join(
+        if hasattr(self.index, "postings_for_terms"):
+            # expansion term list is the per-query term dict seek — small
+            # (Lucene's BooleanQuery caps scoring rewrites at 1024 clauses)
+            terms = [r["term"] for r in matched.select("term").collect()]
+            if not terms:
+                return self.index.spark.createDataFrame(
+                    [], f"doc_id long, score {self._score_type}"
+                )
+            src = self.index.postings_for_terms(terms)
+        else:
+            src = self.index.postings.join(
                 F.broadcast(matched.select("term")), on="term", how="left_semi"
             )
-            .select("doc_id")
-            .distinct()
-        )
+        docs = src.select("doc_id").distinct()
         return docs.select(
-            "doc_id", F.lit(float(q.boost)).cast("float").alias("score")
+            "doc_id",
+            F.lit(float(q.boost)).cast(self._score_type).alias("score"),
         )

@@ -1,0 +1,139 @@
+"""Segment store: codec round-trip through Spark, manifest commit,
+kill-and-resume lineage, and rank-identity of the segment-backed searcher
+vs both the flat index and the numpy oracle."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.index.codec import (
+    decode_block,
+    encode_term_blocks,
+    varint_decode,
+    varint_encode,
+)
+from lucene_solr_spark.index.segments import (
+    SegmentIndex,
+    read_manifest,
+    write_segments,
+)
+from lucene_solr_spark.search.executor import Searcher
+from lucene_solr_spark.search.query import And, Or, PhraseQuery, TermQuery
+from tests.conftest import assert_topk_equal
+
+
+def test_varint_roundtrip_property():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(0, 2000))
+        vals = rng.integers(0, 2**62, size=n).astype(np.uint64)
+        assert (varint_decode(varint_encode(vals), n) == vals).all()
+
+
+def test_block_roundtrip_with_positions():
+    rng = np.random.default_rng(3)
+    docs = np.sort(rng.choice(10**9, size=300, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=300).astype(np.int64)
+    norms = rng.integers(0, 256, size=300).astype(np.uint8)
+    poss = [
+        np.sort(rng.choice(4096, size=int(t), replace=False)).astype(np.int64)
+        for t in tfs
+    ]
+    blocks = encode_term_blocks(docs, tfs, norms, poss)
+    d_all, t_all, p_all = [], [], []
+    for b in blocks:
+        d, t, nb, p = decode_block(
+            b["first_doc"], b["num_docs"], b["docs_bin"], b["tfs_bin"],
+            b["norms_bin"], b["pos_bin"],
+        )
+        assert int(d[-1]) == b["last_doc"]
+        assert int(t.max()) == b["max_tf"]
+        d_all.append(d)
+        t_all.append(t)
+        p_all.extend(p)
+    assert (np.concatenate(d_all) == docs).all()
+    assert (np.concatenate(t_all) == tfs).all()
+    for got, want in zip(p_all, poss):
+        assert (got == want).all()
+
+
+@pytest.fixture(scope="module")
+def seg_index(tiny_index, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("segidx"))
+    return write_segments(tiny_index, d, n_buckets=8), d
+
+
+def test_segment_manifest(seg_index):
+    seg, d = seg_index
+    m = read_manifest(d)
+    assert m["generation"] == 1
+    assert m["n_buckets"] == 8
+    assert len(m["buckets"]) == 8
+    assert m["max_doc"] == seg.stats.max_doc
+    assert os.path.isdir(f"{d}/postings/bucket=0")
+
+
+def test_segment_rank_identity(seg_index, tiny_oracle):
+    seg, _ = seg_index
+    s = Searcher(seg, exact_float32=True)
+    cases = [
+        (TermQuery("error"), tiny_oracle.query_term("error")),
+        (And("error", "timeout"), tiny_oracle.query_and(["error", "timeout"])),
+        (Or("error", "timeout", "deploy"),
+         tiny_oracle.query_or(["error", "timeout", "deploy"])),
+        (PhraseQuery(["error", "timeout"]),
+         tiny_oracle.query_phrase(["error", "timeout"])),
+    ]
+    for q, want_scores in cases:
+        got = s.search(q, 10).collect()
+        want = tiny_oracle.top_k(want_scores, 10)
+        assert_topk_equal(got, want)
+
+
+def test_kill_and_resume_equals_uninterrupted(
+    spark, tiny_index, tiny_oracle, tmp_path
+):
+    """Build interrupted after 3 of 8 buckets -> resume -> result equals
+    an uninterrupted build (FIXTURES.md §6 resumability property)."""
+    d = str(tmp_path / "resumable")
+    full = write_segments(tiny_index, d, n_buckets=8)
+    full_blocks = full.blocks.count()
+
+    d2 = str(tmp_path / "interrupted")
+    # simulate the kill: write a manifest claiming only buckets 0-2 done,
+    # leave a partial (uncommitted) dir for bucket 3
+    seg = write_segments(tiny_index, d2, n_buckets=8)
+    m = read_manifest(d2)
+    for b in range(3, 8):
+        del m["buckets"][str(b)]
+    import shutil
+
+    with open(f"{d2}/segments_1.json", "w") as f:
+        json.dump(m, f)
+    os.remove(f"{d2}/segments_2.json") if os.path.exists(
+        f"{d2}/segments_2.json"
+    ) else None
+    # bucket 4..7 data removed entirely; bucket 3 left partial (stale)
+    for b in range(4, 8):
+        shutil.rmtree(f"{d2}/postings/bucket={b}")
+
+    resumed = write_segments(tiny_index, d2, n_buckets=8)
+    assert resumed.blocks.count() == full_blocks
+    m2 = read_manifest(d2)
+    assert len(m2["buckets"]) == 8
+    s = Searcher(resumed, exact_float32=True)
+    got = s.search(Or("error", "timeout"), 10).collect()
+    want = tiny_oracle.top_k(tiny_oracle.query_or(["error", "timeout"]), 10)
+    assert_topk_equal(got, want)
+
+
+def test_compression_is_effective(seg_index):
+    seg, _ = seg_index
+    row = seg.blocks.selectExpr(
+        "sum(num_docs) as n",
+        "sum(length(docs_bin) + length(tfs_bin) + length(norms_bin)) as b",
+    ).collect()[0]
+    bytes_per_posting = row["b"] / row["n"]
+    assert bytes_per_posting < 6.0, bytes_per_posting
