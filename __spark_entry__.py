@@ -29,14 +29,20 @@ from lucene_solr_spark.functions.text_analysis import (
 )
 from lucene_solr_spark.index.builder import InvertedIndex, build_index
 from lucene_solr_spark.search.executor import Searcher
+from lucene_solr_spark.search.highlight import highlight
+from lucene_solr_spark.search.morelikethis import more_like_this
 from lucene_solr_spark.search.query import (
     BooleanClause,
     BooleanQuery,
     DisMaxQuery,
+    FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
 )
+from lucene_solr_spark.search.spellcheck import suggest as spell_suggest
 
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 
@@ -147,6 +153,42 @@ def q_bm25_page2(spark, sf_dir):
 def q_prefix(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return s.score(PrefixQuery("sc")).select("doc_id").distinct()
+
+
+def q_wildcard(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return s.score(WildcardQuery("s?an")).select("doc_id").distinct()
+
+
+def q_fuzzy(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return s.score(FuzzyQuery("scann", 1)).select("doc_id").distinct()
+
+
+def q_term_range(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return s.score(TermRangeQuery("sl", "so")).select("doc_id").distinct()
+
+
+def q_numeric_range(spark, sf_dir):
+    # NumericRangeQuery -> native Catalyst predicate (SURVEY.md §1.4)
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars").between(200, 400))
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_spellcheck(spark, sf_dir):
+    return spell_suggest(_index(spark, sf_dir).terms_stats, "qery", 2, 5)
+
+
+def q_mlt(spark, sf_dir):
+    return _topk_rounded(more_like_this(_searcher(spark, sf_dir), 0, 10))
+
+
+def q_highlight(spark, sf_dir):
+    return highlight(_docs(spark, sf_dir), "scan")
 
 
 # ---------------- facets / stats / grouping ----------------
@@ -373,6 +415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_page2": q_bm25_page2,
         "prefix": q_prefix,
+        "wildcard": q_wildcard,
+        "fuzzy": q_fuzzy,
+        "term_range": q_term_range,
+        "numeric_range": q_numeric_range,
+        "spellcheck": q_spellcheck,
+        "mlt": q_mlt,
+        "highlight": q_highlight,
         "facet_lang": q_facet_lang,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -412,6 +461,13 @@ def oracle_sql() -> dict[str, str]:
             must=[], should=["scan", "merge"], k=10, offset=10
         ),
         "prefix": O.prefix_docs("sc"),
+        "wildcard": O.wildcard_docs("s?an"),
+        "fuzzy": O.fuzzy_docs("scann", 1),
+        "term_range": O.term_range_docs("sl", "so"),
+        "numeric_range": O.numeric_range(200, 400),
+        "spellcheck": O.spellcheck("qery", 2, 5),
+        "mlt": O.more_like_this(0, 10),
+        "highlight": O.highlight_snippets("scan"),
         "facet_lang": O.facet_field("scan", "lang"),
         "facet_range": O.facet_range_nchars(),
         "facet_pivot": O.facet_pivot(),

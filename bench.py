@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query suite from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Also times the two index builds (documents corpus + the north-rule
+transcript corpus generated distributed via mapInPandas) and reports
+indexed turns/sec as an extra key. Scaling-efficiency evidence
+(local[8] vs local[32]) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries whose timing we report individually. Ordered: BM25 retrieval
+# first (the engine core), then analytics/datapipe.
+HEADLINE = [
+    "bm25_term",
+    "bm25_and",
+    "bm25_and3",
+    "bm25_or",
+    "bm25_or_msm",
+    "bm25_not",
+    "bm25_dismax",
+    "bm25_phrase",
+    "prefix",
+    "facet_lang",
+    "stats_nchars",
+    "group_topk",
+    "terms_enum",
+    "join_semi",
+    "block_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "jaccard",
+    "quality",
+    "lang_id",
+    "token_counts",
+    "fingerprint",
+    "knn",
+    "events_hourly",
+    "events_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    bench_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = sf_name
+
+    from lucene_solr_spark.session import get_spark
+
+    spark = get_spark("lucene-solr-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+
+    # -- index build over the driver documents corpus (feeds the queries) --
+    t0 = time.perf_counter()
+    E._index(spark, sf_dir)
+    timings["index_build_docs"] = round(time.perf_counter() - t0, 3)
+
+    # -- north-rule corpus: distributed generation, then timed build ------
+    from lucene_solr_spark.corpus import transcripts_distributed
+    from lucene_solr_spark.index.builder import build_index
+
+    tdf = transcripts_distributed(
+        spark, bench_turns, partitions=max(int(cpus), 8)
+    ).cache()
+    n_turns = tdf.count()  # materialize: generation excluded from build time
+    t0 = time.perf_counter()
+    build_index(spark, tdf, order_cols=["conv_id", "turn_idx"])
+    dt = time.perf_counter() - t0
+    timings["index_transcripts"] = round(dt, 3)
+    turns_per_sec = round(n_turns / dt, 1)
+    tdf.unpersist()
+
+    # -- headline queries -------------------------------------------------
+    qmap = E.queries()
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_turns": n_turns,
+                "indexed_turns_per_sec": turns_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,7 @@ def build_vocabulary(seed: int = 42) -> tuple[list[str], np.ndarray]:
 
 
 def generate_transcripts(
-    n_turns: int, seed: int = 42
+    n_turns: int, seed: int = 42, conv_prefix: str = "conv"
 ) -> pd.DataFrame:
     """Deterministic transcript table with exactly ``n_turns`` rows."""
     vocab, probs = build_vocabulary(seed)
@@ -78,7 +78,7 @@ def generate_transcripts(
     while global_turn < n_turns:
         conv_len = int(rng.integers(4, 33))
         conv_len = min(conv_len, n_turns - global_turn)
-        cid = f"conv{conv_i:08d}"
+        cid = f"{conv_prefix}{conv_i:08d}"
         # one rare per-conv unique id token, appears in a random turn
         uniq_turn = int(rng.integers(0, conv_len))
         for t in range(conv_len):
@@ -115,3 +115,55 @@ def transcripts_spark(spark, n_turns: int, seed: int = 42, partitions: int = 8):
     pdf = generate_transcripts(n_turns, seed)
     df = spark.createDataFrame(pdf)
     return df.repartition(partitions, "conv_id")
+
+
+def transcripts_distributed(
+    spark, n_turns: int, seed: int = 42, partitions: int = 32
+):
+    """Distributed deterministic corpus: each Spark partition generates a
+    disjoint slice of conversations via mapInPandas (Arrow-batched; no
+    driver-side materialization). Deterministic for a fixed
+    (n_turns, seed, partitions) regardless of cluster size/task order:
+    partition i derives its own seed and conv-id prefix.
+
+    This is the 10^12-turn scale path — generation cost is O(n/partitions)
+    per task and the result is already hash-spread across the cluster.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("role", StringType(), False),
+            StructField("text", StringType(), False),
+            StructField("tool", StringType(), False),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+    per = n_turns // partitions
+    rem = n_turns % partitions
+    plan = spark.createDataFrame(
+        [(i, per + (1 if i < rem else 0)) for i in range(partitions)],
+        "part int, n long",
+    ).repartition(partitions, "part")
+
+    def gen(batches):
+        for pdf in batches:
+            for part, n in zip(pdf["part"], pdf["n"]):
+                if int(n) <= 0:
+                    continue
+                out = generate_transcripts(
+                    int(n),
+                    seed=seed + 1000003 * int(part),
+                    conv_prefix=f"p{int(part):04d}c",
+                )
+                yield out
+
+    return plan.mapInPandas(gen, schema)

@@ -562,3 +562,145 @@ SELECT event_type, count(*) AS cnt,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """.strip()
+
+
+# ---------------- multiterm / suggest / MLT / highlight ----------------
+
+def wildcard_docs(pattern: str, table: str = "documents") -> str:
+    """Constant-score doc set of terms matching a Lucene wildcard
+    (WildcardQuery.java: * = any run, ? = one char)."""
+    import re as _re
+
+    rx = "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in pattern
+    ) + "$"
+    return (
+        f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
+        f"WHERE regexp_matches(term, '{_sq(rx)}') ORDER BY doc_id"
+    )
+
+
+def fuzzy_docs(
+    word: str, max_edits: int = 2, table: str = "documents"
+) -> str:
+    """Constant-score doc set of terms within edit distance
+    (FuzzyQuery.java CONSTANT_SCORE rewrite)."""
+    return (
+        f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
+        f"WHERE levenshtein(term, '{_sq(word)}') <= {max_edits} "
+        f"ORDER BY doc_id"
+    )
+
+
+def term_range_docs(
+    lower: str, upper: str, table: str = "documents"
+) -> str:
+    """Lexicographic term range, inclusive (TermRangeQuery.java)."""
+    return (
+        f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
+        f"WHERE term >= '{_sq(lower)}' AND term <= '{_sq(upper)}' "
+        f"ORDER BY doc_id"
+    )
+
+
+def numeric_range(
+    lo: int, hi: int, table: str = "documents"
+) -> str:
+    """Numeric range = native column predicate (NumericRangeQuery is
+    unnecessary in Spark, SURVEY.md §1.4)."""
+    return (
+        f"SELECT doc_id, n_chars FROM {table} "
+        f"WHERE n_chars BETWEEN {lo} AND {hi} ORDER BY doc_id"
+    )
+
+
+def spellcheck(
+    word: str, max_edits: int = 2, k: int = 5, table: str = "documents"
+) -> str:
+    """DirectSpellChecker order: (edit distance asc, df desc, term asc),
+    candidates share the first character (minPrefix=1)."""
+    return f"""
+WITH {tok_ctes(table)},
+tdict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT term, df, levenshtein(term, '{_sq(word)}') AS dist
+FROM tdict
+WHERE term <> '{_sq(word)}' AND term LIKE '{_sq(word[:1])}%'
+  AND levenshtein(term, '{_sq(word)}') <= {max_edits}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def more_like_this(
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    table: str = "documents",
+) -> str:
+    """MoreLikeThis.java: select top tf*idf terms of the source doc
+    (idf = ln(N/(df+1))+1), then BM25 SHOULD query excluding the source."""
+    return f"""
+WITH {tok_ctes(table)},
+tdict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+srcterms AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = {doc_id} GROUP BY term
+),
+sel AS (
+  SELECT s.term FROM srcterms s JOIN tdict d USING (term)
+  WHERE s.tf >= {min_term_freq} AND d.df >= {min_doc_freq}
+  ORDER BY s.tf * (ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
+                      / (d.df + 1.0)) + 1.0) DESC, s.term ASC
+  LIMIT {max_query_terms}
+),
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT f.doc_id, f.term,
+         ln(1 + ((SELECT max_doc FROM coll) - d.df + 0.5) / (d.df + 0.5))
+           * ({K1}+1) * f.tf
+           / (f.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM qtf f
+  JOIN dfs d USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+summed AS (
+  SELECT doc_id, sum(score) AS score FROM scored
+  WHERE doc_id <> {doc_id} GROUP BY doc_id
+)
+{_topk('summed', k)}
+""".strip()
+
+
+def highlight_snippets(
+    term: str, fragment_size: int = 100, table: str = "documents"
+) -> str:
+    """Highlighter.java fragment semantics as mirrored Catalyst/DuckDB
+    string expressions: window around the first substring occurrence,
+    whole-word matches wrapped in <b>..</b>."""
+    import re as _re
+
+    rx = f"(?i)\\b{_re.escape(term)}\\b"
+    half = fragment_size // 2
+    return f"""
+SELECT doc_id,
+       regexp_replace(
+         substr(text,
+                CAST(greatest(1, strpos(lower(text), lower('{_sq(term)}'))
+                                 - {half}) AS BIGINT),
+                {fragment_size}),
+         '{_sq(rx)}', '<b>{_sq(term)}</b>', 'g') AS snippet
+FROM {table}
+WHERE regexp_matches(text, '{_sq(rx)}')
+ORDER BY doc_id
+""".strip()

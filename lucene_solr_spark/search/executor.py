@@ -41,6 +41,7 @@ from .query import (
     PrefixQuery,
     Query,
     TermQuery,
+    TermRangeQuery,
     WildcardQuery,
     rewrite,
 )
@@ -207,7 +208,9 @@ class Searcher:
             )
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, term_stats)
-        if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
+        if isinstance(
+            q, (PrefixQuery, WildcardQuery, FuzzyQuery, TermRangeQuery)
+        ):
             return self._score_multiterm(q)
         if isinstance(q, DisMaxQuery):
             return self._score_dismax(q, term_stats)
@@ -427,6 +430,22 @@ class Searcher:
             matched = ts.where(
                 F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
             )
+        elif isinstance(q, TermRangeQuery):
+            # lexicographic bounds (TermRangeQuery.java:~60); Parquet
+            # min/max row-group stats prune the terms scan for free
+            matched = ts
+            if q.lower is not None:
+                matched = matched.where(
+                    F.col("term") >= q.lower
+                    if q.include_lower
+                    else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                matched = matched.where(
+                    F.col("term") <= q.upper
+                    if q.include_upper
+                    else F.col("term") < q.upper
+                )
         else:  # pragma: no cover
             raise TypeError(q)
         if hasattr(self.index, "postings_for_terms"):

@@ -91,6 +91,20 @@ class FuzzyQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """Lexicographic term range (TermRangeQuery.java), inclusive bounds
+    optional; rewrites to a constant-score doc set like the other
+    MultiTermQueries. Numeric ranges need no query type at all — Spark
+    evaluates column predicates natively (SURVEY.md §1.4)."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
 # ---- convenience constructors ----
 
 def And(*terms: str) -> BooleanQuery:
