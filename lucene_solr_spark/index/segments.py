@@ -138,6 +138,7 @@ def write_segments(
     n_buckets: int = 16,
     keep_positions: bool = True,
     resume: bool = True,
+    split_range: int = SPLIT_RANGE,
 ) -> "SegmentIndex":
     """Persist ``index`` as a segment store. With ``resume=True``, buckets
     already recorded in the manifest are skipped (kill-and-resume)."""
@@ -164,6 +165,7 @@ def write_segments(
             "generation": 0,
             "n_buckets": n_buckets,
             "block_size": BLOCK_SIZE,
+            "split_range": split_range,
             "keep_positions": keep_positions,
             "max_doc": index.stats.max_doc,
             "sum_total_term_freq": index.stats.sum_total_term_freq,
@@ -173,6 +175,7 @@ def write_segments(
     else:
         n_buckets = manifest["n_buckets"]
         keep_positions = manifest["keep_positions"]
+        split_range = manifest.get("split_range", SPLIT_RANGE)
 
     todo = [b for b in range(n_buckets) if b not in done and str(b) not in done]
     if todo:
@@ -192,7 +195,7 @@ def write_segments(
         if len(todo) < n_buckets:
             flat = flat.where(F.col("bucket").isin(todo))
         flat = flat.withColumn(
-            "split", (F.col("doc_id") / F.lit(SPLIT_RANGE)).cast("long")
+            "split", (F.col("doc_id") / F.lit(split_range)).cast("long")
         )
         packed = flat.groupBy("bucket", "term", "split").applyInPandas(
             _pack_groups(cache, n_buckets, keep_positions), SEGMENT_SCHEMA
@@ -318,6 +321,7 @@ class SegmentIndex:
             sum_total_term_freq=manifest["sum_total_term_freq"],
         )
         self.n_buckets = manifest["n_buckets"]
+        self.split_range = int(manifest.get("split_range", SPLIT_RANGE))
         self._bucket_cache: dict[tuple, list[int]] = {}
 
     @classmethod

