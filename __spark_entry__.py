@@ -45,6 +45,8 @@ from lucene_solr_spark.search.query import (
 from lucene_solr_spark.search.spellcheck import suggest as spell_suggest
 
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
+_SEG_CACHE: dict[str, object] = {}
+_STREAM_CACHE: dict[str, object] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,6 +63,52 @@ def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
 
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(_index(spark, sf_dir))  # double precision (gate mode)
+
+
+def _seg_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Searcher over the persisted block-encoded segment store (built once
+    per sf_dir into a temp dir; exercises codec + manifest + pruning)."""
+    seg = _SEG_CACHE.get(sf_dir)
+    if seg is None:
+        import tempfile
+
+        from lucene_solr_spark.index.segments import write_segments
+
+        d = tempfile.mkdtemp(prefix="lss_gate_seg_")
+        seg = write_segments(
+            _index(spark, sf_dir), d, n_buckets=8, split_range=128
+        )
+        _SEG_CACHE[sf_dir] = seg
+    return Searcher(seg)
+
+
+def _stream_reader(spark: SparkSession, sf_dir: str):
+    """Index built incrementally in three foreachBatch-style deltas —
+    must equal the batch build (NRT analogue, SURVEY.md §2.10)."""
+    r = _STREAM_CACHE.get(sf_dir)
+    if r is None:
+        import tempfile
+
+        from lucene_solr_spark.streaming.incremental import (
+            IncrementalIndexWriter,
+        )
+
+        d = tempfile.mkdtemp(prefix="lss_gate_stream_")
+        w = IncrementalIndexWriter(spark, d, order_cols=("doc_id",))
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        w.process_batch(docs.where(F.col("doc_id") < n // 3), 0)
+        w.process_batch(
+            docs.where(
+                (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+            ),
+            1,
+        )
+        w.process_batch(docs.where(F.col("doc_id") >= 2 * n // 3), 2)
+        w.compact()
+        r = w.reader()
+        _STREAM_CACHE[sf_dir] = r
+    return r
 
 
 def _topk_rounded(df: DataFrame) -> DataFrame:
@@ -140,6 +188,15 @@ def q_bm25_phrase(spark, sf_dir):
     )
 
 
+def q_bm25_phrase_sloppy(spark, sf_dir):
+    """Sloppy phrase (SloppyPhraseScorer walk) — not SQL-expressible, so
+    no oracle_sql twin; correctness pinned by tests/test_sloppy.py
+    (hand goldens + independent-oracle rank identity)."""
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(PhraseQuery(["key", "order"], 2), 10)
+    )
+
+
 def q_bm25_page2(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     q = _bool(should=["scan", "merge"])
@@ -148,6 +205,29 @@ def q_bm25_page2(spark, sf_dir):
     return _topk_rounded(
         s.search_after(q, float(last["score"]), int(last["doc_id"]), 10)
     )
+
+
+def q_bm25_seg(spark, sf_dir):
+    """Same OR query through the compressed segment store: proves the
+    delta-varint block codec round-trips rank-identically."""
+    return _topk_rounded(
+        _seg_searcher(spark, sf_dir).search(_bool(should=["scan", "merge"]), 10)
+    )
+
+
+def q_bm25_wand(spark, sf_dir):
+    """Block-max WAND pruned top-k — must equal the exhaustive OR oracle."""
+    from lucene_solr_spark.search.wand import wand_or_search
+
+    return _topk_rounded(
+        wand_or_search(_seg_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
+
+
+def q_bm25_stream(spark, sf_dir):
+    """Incremental (3-delta + compaction) index: equals the batch oracle."""
+    s = Searcher(_stream_reader(spark, sf_dir))
+    return _topk_rounded(s.search(TermQuery("scan"), 10))
 
 
 def q_prefix(spark, sf_dir):
@@ -189,6 +269,49 @@ def q_mlt(spark, sf_dir):
 
 def q_highlight(spark, sf_dir):
     return highlight(_docs(spark, sf_dir), "scan")
+
+
+def q_select_parsed(spark, sf_dir):
+    """Query-string entry (QParser): '+scan +merge' == programmatic AND."""
+    from lucene_solr_spark.search.qparser import parse_lucene
+
+    s = _searcher(spark, sf_dir)
+    return _topk_rounded(s.search(parse_lucene("+scan +merge"), 10))
+
+
+def q_select_fq(spark, sf_dir):
+    """Solr select: q + non-scoring filter query (fq) + top-10."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan merge",
+        fq=["lang = 'en'"],
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
+def q_func_boost(spark, sf_dir):
+    """Function query (ValueSource, SURVEY.md §2.6): BM25 score composed
+    with recip(n_chars,1,1000,1000) = 1000/(1000+n_chars) — the classic
+    Solr boost-by-recency/length pattern, pure Catalyst expressions
+    (lucene/queries/.../function/valuesource/ReciprocalFloatFunction.java)."""
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    d = _index(spark, sf_dir).docs.select("doc_id", "n_chars")
+    return (
+        scored.join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") * (F.lit(1000.0) / (F.lit(1000.0) + F.col("n_chars"))),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 # ---------------- facets / stats / grouping ----------------
@@ -413,7 +536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not": q_bm25_not,
         "bm25_dismax": q_bm25_dismax,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_phrase_sloppy": q_bm25_phrase_sloppy,
         "bm25_page2": q_bm25_page2,
+        "bm25_seg": q_bm25_seg,
+        "bm25_wand": q_bm25_wand,
+        "bm25_stream": q_bm25_stream,
+        "select_parsed": q_select_parsed,
+        "select_fq": q_select_fq,
+        "func_boost": q_func_boost,
         "prefix": q_prefix,
         "wildcard": q_wildcard,
         "fuzzy": q_fuzzy,
@@ -460,6 +590,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2": O.bm25_bool(
             must=[], should=["scan", "merge"], k=10, offset=10
         ),
+        "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
+        "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
+        "bm25_stream": O.bm25_term("scan"),
+        "select_parsed": O.bm25_bool(must=["scan", "merge"]),
+        "select_fq": O.bm25_bool(
+            must=[], should=["scan", "merge"], fq="d.lang = 'en'"
+        ),
+        "func_boost": O.func_boost("scan"),
         "prefix": O.prefix_docs("sc"),
         "wildcard": O.wildcard_docs("s?an"),
         "fuzzy": O.fuzzy_docs("scann", 1),

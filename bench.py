@@ -92,6 +92,14 @@ def main() -> None:
     dt = time.perf_counter() - t0
     timings["index_transcripts"] = round(dt, 3)
     turns_per_sec = round(n_turns / dt, 1)
+
+    # DOCS_AND_FREQS mode (no positions) — the lean scoring-only build
+    t0 = time.perf_counter()
+    build_index(
+        spark, tdf, order_cols=["conv_id", "turn_idx"], positions=False
+    )
+    dt_np = time.perf_counter() - t0
+    timings["index_transcripts_nopos"] = round(dt_np, 3)
     tdf.unpersist()
 
     # -- headline queries -------------------------------------------------

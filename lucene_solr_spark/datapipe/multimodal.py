@@ -95,3 +95,76 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame sampling plumbing for video rows: emits one row per sampled
+    timestamp. The real frame decode (ffmpeg) is stubbed with a
+    deterministic byte-slice of the payload; schema, fan-out shape, and
+    partition-parallelism are the real contract. One input row explodes
+    to duration_ms/every_ms output rows — at scale, repartition after
+    this to rebalance."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video" or dur is None or pd.isna(dur):
+                    continue
+                b = bytes(payload) if payload is not None else b""
+                n_frames = max(int(dur) // every_ms, 1)
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    # stub "frame": deterministic 16-byte slice
+                    start = (ts % max(len(b), 1)) if b else 0
+                    frame = b[start : start + 16] or b"\x00"
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(ts)
+                    rows["frame_payload"].append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "ts_ms": pd.Series(rows["ts_ms"], dtype="int32"),
+                    "frame_payload": pd.Series(
+                        rows["frame_payload"], dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: computes target dims JVM-side (no UDF at all —
+    pure Catalyst arithmetic); the pixel work would live in the decode
+    stub. Shows the pattern: keep everything except the pixel kernel in
+    built-in expressions."""
+    import pyspark.sql.functions as F
+
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        F.lit(max_side) / F.greatest("width", "height"),
+    ).otherwise(F.lit(1.0))
+    return media.where(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_w"),
+        F.round(F.col("height") * scale).cast("int").alias("target_h"),
+    )

@@ -100,8 +100,16 @@ def _invert_partitions(
 ) -> Iterator[pd.DataFrame]:
     """DWPT analogue: local inversion per Arrow batch; vectorized norm
     encode (SmallFloat.floatToByte315) on the batch."""
+    yield from _invert_partitions_opts(batches, True)
+
+
+def _invert_partitions_opts(
+    batches: Iterator[pd.DataFrame], with_positions: bool
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        flat = invert_batch(pdf["doc_id"], pdf["text"])
+        flat = invert_batch(
+            pdf["doc_id"], pdf["text"], with_positions=with_positions
+        )
         if len(flat) == 0:
             yield pd.DataFrame(
                 {
@@ -125,8 +133,15 @@ def build_index(
     doc_id_col: str = "doc_id",
     order_cols: list[str] | None = None,
     cache: bool = False,
+    positions: bool = True,
 ) -> InvertedIndex:
     """Build the inverted index over ``docs``.
+
+    ``positions=False`` is the DOCS_AND_FREQS IndexOptions mode
+    (lucene/core/.../index/FieldInfo.java IndexOptions enum): phrase
+    queries need positions; pure BM25 term/Boolean scoring does not, and
+    skipping them roughly halves the Arrow traffic out of the tokenize
+    stage.
 
     If ``doc_id_col`` is absent, dense int64 docIDs are assigned by the
     scalable 2-pass row numbering over ``order_cols`` (default
@@ -143,7 +158,10 @@ def build_index(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
-    postings = src.mapInPandas(_invert_partitions, POSTINGS_FLAT_SCHEMA)
+    postings = src.mapInPandas(
+        lambda it: _invert_partitions_opts(it, positions),
+        POSTINGS_FLAT_SCHEMA,
+    )
 
     # terms_stats: partial+final hash agg — Lucene's TermContext df/ttf
     # accumulation across segments (TermContext.java:81-119) as a Spark agg.

@@ -114,15 +114,30 @@ def encode_term_blocks(
             "pos_bin": None,
         }
         if positions is not None:
-            parts = []
-            for plist in positions[s:e]:
-                p = np.asarray(plist, dtype=np.int64)
-                deltas = np.empty(len(p), dtype=np.uint64)
-                if len(p):
-                    deltas[0] = p[0]
-                    deltas[1:] = np.diff(p).astype(np.uint64)
-                parts.append(varint_encode(deltas))
-            blk["pos_bin"] = b"".join(parts)
+            # Concatenating per-value varint streams == varint of the
+            # concatenated values, so the whole block's position deltas
+            # are encoded in ONE vectorized call (a per-doc python loop
+            # here costs ~10µs × total postings — the build bottleneck).
+            lists = positions[s:e]
+            lens = np.fromiter(
+                (len(p) for p in lists), dtype=np.int64, count=e - s
+            )
+            if lens.sum() == 0:
+                blk["pos_bin"] = b""
+            else:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in lists]
+                )
+                deltas = np.empty(len(flat), dtype=np.int64)
+                deltas[1:] = np.diff(flat)
+                deltas[0] = flat[0]
+                doc_starts = np.zeros(len(lens), dtype=np.int64)
+                doc_starts[1:] = np.cumsum(lens)[:-1]
+                nonempty = lens > 0
+                deltas[doc_starts[nonempty]] = flat[doc_starts[nonempty]]
+                blk["pos_bin"] = varint_encode(
+                    deltas.astype(np.uint64)
+                )
         blocks.append(blk)
     return blocks
 
@@ -152,3 +167,124 @@ def decode_block(
         for s, e in zip(starts, ends):
             positions.append(np.cumsum(flat[s:e]))
     return doc_ids, tfs, norms, positions
+
+
+def varint_value_starts(buf: bytes) -> np.ndarray:
+    """Byte offset of each varint value start in ``buf`` (vectorized).
+    Enables zero-decode slicing of a concatenated varint stream."""
+    if not buf:
+        return np.zeros(0, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_start = np.empty(raw.shape, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = (raw[:-1] & 0x80) == 0
+    return np.flatnonzero(is_start).astype(np.int64)
+
+
+def encode_run(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    flat_positions: np.ndarray | None,
+) -> dict:
+    """Encode ONE partial posting run (sorted by doc_id) as a single
+    block-shaped row of arbitrary length — the map-side DWPT flush unit
+    (lucene/core/.../index/DocumentsWriterPerThread.java:44: per-thread
+    private segments; ours are per-partition partial runs merged by the
+    term-hash shuffle). Format identical to a block, so the reducer can
+    decode partials and re-block with plain array ops.
+
+    ``flat_positions``: all docs' positions concatenated (pre-stop
+    positions); per-doc boundaries are the tf cumsum.
+    """
+    n = len(doc_ids)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    pos_bin = None
+    if flat_positions is not None:
+        deltas = np.empty(len(flat_positions), dtype=np.int64)
+        if len(flat_positions):
+            deltas[1:] = np.diff(flat_positions)
+            deltas[0] = flat_positions[0]
+            doc_starts = np.zeros(n, dtype=np.int64)
+            doc_starts[1:] = np.cumsum(tfs)[:-1]
+            nonempty = tfs > 0
+            deltas[doc_starts[nonempty]] = flat_positions[
+                doc_starts[nonempty]
+            ]
+        pos_bin = varint_encode(deltas.astype(np.uint64))
+    return {
+        "num_docs": int(n),
+        "first_doc": int(doc_ids[0]),
+        "last_doc": int(doc_ids[-1]),
+        "max_tf": int(tfs.max()),
+        "docs_bin": varint_encode(gaps),
+        "tfs_bin": varint_encode((tfs - 1).astype(np.uint64)),
+        "norms_bin": norms.astype(np.uint8).tobytes(),
+        "pos_bin": pos_bin,
+    }
+
+
+def reblock_runs(
+    partials: list[dict],
+    keep_positions: bool,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Merge decoded-compatible partial runs (doc-disjoint, ordered by
+    first_doc) of one (term, split) group into final fixed-size blocks —
+    the SegmentMerger.mergeTerms analogue (lucene/core/.../index/
+    SegmentMerger.java:91-115), fully vectorized: docs/tfs/norms are
+    decoded per partial and re-encoded per block; the position stream is
+    NEVER decoded — final block pos_bin is a byte-slice of the
+    concatenated partial streams (varint streams concatenate).
+    """
+    doc_parts, tf_parts, norm_parts, pos_bufs = [], [], [], []
+    for p in partials:
+        gaps = varint_decode(p["docs_bin"], p["num_docs"]).astype(np.int64)
+        doc_parts.append(p["first_doc"] + np.cumsum(gaps))
+        tf_parts.append(
+            varint_decode(p["tfs_bin"], p["num_docs"]).astype(np.int64) + 1
+        )
+        norm_parts.append(np.frombuffer(p["norms_bin"], dtype=np.uint8))
+        if keep_positions:
+            pos_bufs.append(p["pos_bin"] or b"")
+    doc_ids = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    norms = np.concatenate(norm_parts)
+    pos_buf = b"".join(pos_bufs) if keep_positions else None
+    if keep_positions:
+        starts = varint_value_starts(pos_buf)
+        tf_cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=tf_cum[1:])
+        byte_ends = np.append(starts, len(pos_buf))
+    blocks = []
+    for s in range(0, len(doc_ids), block_size):
+        e = min(s + block_size, len(doc_ids))
+        d = doc_ids[s:e]
+        t = tfs[s:e]
+        gaps = np.empty(e - s, dtype=np.uint64)
+        gaps[0] = 0
+        gaps[1:] = np.diff(d).astype(np.uint64)
+        nb_slice = norms[s:e].astype(np.int64)
+        from .norms import NORM_TABLE
+
+        blk = {
+            "num_docs": int(e - s),
+            "first_doc": int(d[0]),
+            "last_doc": int(d[-1]),
+            "max_tf": int(t.max()),
+            "min_nb": int(nb_slice[np.argmin(NORM_TABLE[nb_slice])]),
+            "sum_tf": int(t.sum()),
+            "docs_bin": varint_encode(gaps),
+            "tfs_bin": varint_encode((t - 1).astype(np.uint64)),
+            "norms_bin": norms[s:e].tobytes(),
+            "pos_bin": None,
+        }
+        if keep_positions:
+            a, b = int(tf_cum[s]), int(tf_cum[e])
+            blk["pos_bin"] = pos_buf[
+                int(byte_ends[a]) : int(byte_ends[b])
+            ]
+        blocks.append(blk)
+    return blocks

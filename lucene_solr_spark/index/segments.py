@@ -21,9 +21,13 @@ Scale design:
   - per-bucket lineage in the manifest enables kill-and-resume: finished
     buckets are skipped on restart (UpdateLog-replay analogue,
     solr/core/.../update/UpdateLog.java:56-108).
-  - per-block ``ub_factor`` = max(tf/(tf+cache[norm])) over the block is
-    the block-max WAND bound (valid for the avgdl recorded in the
-    manifest; recomputed on compaction).
+  - per-block (``max_tf``, ``min_nb``) = max term frequency + the norm
+    byte of the smallest quantized doc length in the block. The WAND
+    bound max_tf/(max_tf + cache[min_nb]) is derived at QUERY time from
+    the live collection stats (the modern-Lucene BMW shape: impacts in
+    the index, bound under the current similarity) — so the write path
+    needs no global avgdl pass and incremental appends never invalidate
+    stored bounds.
 """
 
 from __future__ import annotations
@@ -48,7 +52,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..search.bm25 import avg_field_length, norm_cache
+from ..search.bm25 import avg_field_length
+from .norms import NORM_TABLE
 from .builder import CollectionStats, InvertedIndex
 from .codec import BLOCK_SIZE, decode_block, encode_term_blocks
 
@@ -62,7 +67,8 @@ SEGMENT_SCHEMA = StructType(
         StructField("first_doc", LongType(), False),
         StructField("last_doc", LongType(), False),
         StructField("max_tf", IntegerType(), False),
-        StructField("ub_factor", DoubleType(), False),
+        StructField("min_nb", IntegerType(), False),
+        StructField("sum_tf", LongType(), False),
         StructField("docs_bin", BinaryType(), False),
         StructField("tfs_bin", BinaryType(), False),
         StructField("norms_bin", BinaryType(), False),
@@ -85,51 +91,327 @@ def _bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _pack_groups(
-    cache: np.ndarray, n_buckets: int, keep_positions: bool
-):
-    """applyInPandas packer: one group = (term, doc-range split)."""
+def _pack_run(
+    term: str,
+    bucket: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    positions: list | None,
+    rows: list,
+) -> None:
+    """Pack one (term, split) posting run (sorted by doc_id) into block
+    rows, appended to ``rows``."""
+    blocks = encode_term_blocks(doc_ids, tfs, norms, positions)
+    s = 0
+    for blk in blocks:
+        e = s + blk["num_docs"]
+        nbs = norms[s:e].astype(np.int64)
+        # norm byte of the smallest quantized dl: minimizes the BM25
+        # denominator addend under ANY avgdl (NORM_TABLE is the decoded
+        # quantized dl; the cache is monotone in it)
+        min_nb = int(nbs[np.argmin(NORM_TABLE[nbs])])
+        rows.append(
+            (
+                bucket,
+                term,
+                blk["num_docs"],
+                blk["first_doc"],
+                blk["last_doc"],
+                blk["max_tf"],
+                min_nb,
+                int(tfs[s:e].sum()),
+                blk["docs_bin"],
+                blk["tfs_bin"],
+                blk["norms_bin"],
+                blk["pos_bin"],
+            )
+        )
+        s = e
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
+
+def _pack_frame(pdf: pd.DataFrame, keep_positions: bool, rows: list) -> None:
+    """Pack every (term, split) run of a sorted frame. Run boundaries are
+    found once with numpy (the frame is sorted by term, split, doc_id) —
+    no pandas groupby: its per-group sub-frame materialization costs
+    ~100µs × one group per RARE term, which dominates at Zipfian
+    vocabularies (most terms have df < block size)."""
+    terms_arr = pdf["term"].to_numpy()
+    splits_arr = pdf["split"].to_numpy()
+    n = len(pdf)
+    change = np.flatnonzero(
+        (terms_arr[1:] != terms_arr[:-1]) | (splits_arr[1:] != splits_arr[:-1])
+    ) + 1
+    bounds = np.concatenate(([0], change, [n]))
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    norms = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
+    buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+    pos_arr = pdf["positions"].to_numpy() if keep_positions else None
+    for i in range(len(bounds) - 1):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        positions = (
+            [np.asarray(p, dtype=np.int64) for p in pos_arr[s:e]]
+            if pos_arr is not None
+            else None
+        )
+        _pack_run(
+            terms_arr[s],
+            int(buckets[s]),
+            doc_ids[s:e],
+            tfs[s:e],
+            norms[s:e],
+            positions,
+            rows,
+        )
+
+
+_PACKED_COLS = [
+    "bucket", "term", "num_docs", "first_doc", "last_doc", "max_tf",
+    "min_nb", "sum_tf", "docs_bin", "tfs_bin", "norms_bin", "pos_bin",
+]
+
+
+def _rows_frame(rows: list) -> pd.DataFrame:
+    out = pd.DataFrame(rows, columns=_PACKED_COLS)
+    out["bucket"] = out["bucket"].astype("int32")
+    out["num_docs"] = out["num_docs"].astype("int32")
+    out["max_tf"] = out["max_tf"].astype("int32")
+    out["min_nb"] = out["min_nb"].astype("int32")
+    out["sum_tf"] = out["sum_tf"].astype("int64")
+    return out
+
+
+def _pack_stream(keep_positions: bool):
+    """mapInPandas packer over a partition hash-partitioned by
+    (term, split) and sorted by (term, split, doc_id).
+
+    Replaces a per-group applyInPandas (one Spark group per (term, split)
+    — ruinous overhead at 10^4-10^8 tiny groups) with a streaming run
+    packer: thousands of groups per Arrow batch, one Python call each.
+    Groups can span Arrow batch boundaries, so the trailing incomplete
+    (term, split) run is carried into the next batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            # trailing run of the last (term, split) may continue in the
+            # next batch — hold it back
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["split"].iloc[-1]
+            tail_mask = (
+                (pdf["term"].to_numpy() == last_t)
+                & (pdf["split"].to_numpy() == last_s)
+            )
+            # count the contiguous trailing True run
+            flipped = tail_mask[::-1]
+            n_tail = int(np.argmin(flipped)) if not flipped.all() else n
+            head = pdf.iloc[: n - n_tail]
+            carry = pdf.iloc[n - n_tail :]
+            if len(head):
+                rows: list = []
+                _pack_frame(head, keep_positions, rows)
+                yield _rows_frame(rows)
+        if carry is not None and len(carry):
+            rows = []
+            _pack_frame(carry, keep_positions, rows)
+            yield _rows_frame(rows)
+
+    return run
+
+
+FLUSH_POSTINGS = 2_000_000  # map-side flush threshold (16MB-RAM analogue)
+
+
+def _invert_flush_partitions(split_range: int, keep_positions: bool):
+    """Map-side DWPT: tokenize docs and FLUSH per-partition partial
+    posting runs (one binary row per (term, split) seen in the flush)
+    instead of per-(doc,term) rows. The shuffle then moves ~30x fewer
+    rows, all binary — no per-posting Python objects cross Arrow.
+
+    Mirrors the reference's flush-by-RAM
+    (lucene/core/.../index/FlushByRamOrCountsPolicy.java; 16MB default
+    IndexWriterConfig.java:84-90): accumulate FLUSH_POSTINGS postings,
+    then sort by (term, doc) and emit runs, like
+    FreqProxTermsWriter.flush (:41-104) iterating terms in sorted order.
+    """
+    from ..analysis.tokenizer import invert_batch
+    from .norms import encode_norm
+    from .codec import encode_run
+
+    def flush(frames: list) -> pd.DataFrame:
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         norms = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
-        positions = (
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            if keep_positions
-            else None
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
+        splits = doc_ids // split_range
+        order = np.lexsort((doc_ids, splits, codes))
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        norms = norms[order]
+        codes = codes[order]
+        splits = splits[order]
+        pos_arr = (
+            pdf["positions"].to_numpy()[order] if keep_positions else None
         )
-        blocks = encode_term_blocks(doc_ids, tfs, norms, positions)
+        n = len(doc_ids)
+        change = np.flatnonzero(
+            (codes[1:] != codes[:-1]) | (splits[1:] != splits[:-1])
+        ) + 1
+        bounds = np.concatenate(([0], change, [n]))
         rows = []
-        # int64 hash of term consistent with Spark xxhash64 is not needed
-        # here: bucket was computed as a column before the groupBy.
-        bucket = int(pdf["bucket"].iloc[0])
-        for blk in blocks:
-            s = np.where(doc_ids >= blk["first_doc"])[0][0]
-            e = s + blk["num_docs"]
-            tf_b = tfs[s:e].astype(np.float64)
-            denom = cache[norms[s:e].astype(np.int64)].astype(np.float64)
-            ub = float(np.max(tf_b / (tf_b + denom)))
+        for i in range(len(bounds) - 1):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            flat_pos = None
+            if keep_positions:
+                flat_pos = (
+                    np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in pos_arr[s:e]]
+                    )
+                    if e > s
+                    else np.zeros(0, dtype=np.int64)
+                )
+            run = encode_run(doc_ids[s:e], tfs[s:e], norms[s:e], flat_pos)
             rows.append(
-                {
-                    "bucket": bucket,
-                    "term": term,
-                    "num_docs": blk["num_docs"],
-                    "first_doc": blk["first_doc"],
-                    "last_doc": blk["last_doc"],
-                    "max_tf": blk["max_tf"],
-                    "ub_factor": ub,
-                    "docs_bin": blk["docs_bin"],
-                    "tfs_bin": blk["tfs_bin"],
-                    "norms_bin": blk["norms_bin"],
-                    "pos_bin": blk["pos_bin"],
-                }
+                (
+                    -1,  # bucket assigned by a Catalyst column afterwards
+                    uniques[codes[s]],
+                    run["num_docs"],
+                    run["first_doc"],
+                    run["last_doc"],
+                    run["max_tf"],
+                    int(norms[s:e].min()),  # placeholder; final min_nb set on merge
+                    int(tfs[s:e].sum()),
+                    run["docs_bin"],
+                    run["tfs_bin"],
+                    run["norms_bin"],
+                    run["pos_bin"],
+                )
             )
-        return pd.DataFrame(rows)
+        return _rows_frame(rows)
 
-    return pack
+    def run_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accum: list = []
+        n_accum = 0
+        for pdf in batches:
+            flat = invert_batch(
+                pdf["doc_id"], pdf["text"], with_positions=keep_positions
+            )
+            if len(flat):
+                flat["norm_byte"] = encode_norm(
+                    flat["dl"].to_numpy()
+                ).astype("int32")
+                accum.append(flat)
+                n_accum += len(flat)
+            if n_accum >= FLUSH_POSTINGS:
+                yield flush(accum)
+                accum, n_accum = [], 0
+        if accum:
+            yield flush(accum)
+
+    return run_udf
+
+
+def _merge_partials_stream(split_range: int, keep_positions: bool):
+    """Reducer: rows hash-partitioned by (term, split) and sorted by
+    (term, first_doc) — each (term, split) group's partial runs are
+    contiguous and doc-ordered. Decode partials + re-block, vectorized
+    (SegmentMerger.mergeTerms analogue; positions are byte-sliced, never
+    decoded — codec.reblock_runs)."""
+    from .codec import reblock_runs
+
+    def pack_frame(pdf: pd.DataFrame, rows: list) -> None:
+        terms_arr = pdf["term"].to_numpy()
+        splits_arr = (
+            pdf["first_doc"].to_numpy(dtype=np.int64) // split_range
+        )
+        n = len(pdf)
+        change = np.flatnonzero(
+            (terms_arr[1:] != terms_arr[:-1])
+            | (splits_arr[1:] != splits_arr[:-1])
+        ) + 1
+        bounds = np.concatenate(([0], change, [n]))
+        cols = {
+            c: pdf[c].to_numpy()
+            for c in (
+                "bucket", "num_docs", "first_doc", "docs_bin",
+                "tfs_bin", "norms_bin", "pos_bin",
+            )
+        }
+        for i in range(len(bounds) - 1):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            partials = [
+                {
+                    "num_docs": int(cols["num_docs"][j]),
+                    "first_doc": int(cols["first_doc"][j]),
+                    "docs_bin": cols["docs_bin"][j],
+                    "tfs_bin": cols["tfs_bin"][j],
+                    "norms_bin": cols["norms_bin"][j],
+                    "pos_bin": cols["pos_bin"][j],
+                }
+                for j in range(s, e)
+            ]
+            for blk in reblock_runs(partials, keep_positions):
+                rows.append(
+                    (
+                        int(cols["bucket"][s]),
+                        terms_arr[s],
+                        blk["num_docs"],
+                        blk["first_doc"],
+                        blk["last_doc"],
+                        blk["max_tf"],
+                        blk["min_nb"],
+                        blk["sum_tf"],
+                        blk["docs_bin"],
+                        blk["tfs_bin"],
+                        blk["norms_bin"],
+                        blk["pos_bin"],
+                    )
+                )
+
+    def run_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_s = int(pdf["first_doc"].iloc[-1]) // split_range
+            tail_mask = (
+                (pdf["term"].to_numpy() == last_t)
+                & (
+                    pdf["first_doc"].to_numpy(dtype=np.int64) // split_range
+                    == last_s
+                )
+            )
+            flipped = tail_mask[::-1]
+            n_tail = int(np.argmin(flipped)) if not flipped.all() else n
+            head = pdf.iloc[: n - n_tail]
+            carry = pdf.iloc[n - n_tail :]
+            if len(head):
+                rows: list = []
+                pack_frame(head, rows)
+                yield _rows_frame(rows)
+        if carry is not None and len(carry):
+            rows = []
+            pack_frame(carry, rows)
+            yield _rows_frame(rows)
+
+    return run_udf
 
 
 def write_segments(
@@ -149,7 +431,6 @@ def write_segments(
     avgdl = avg_field_length(
         index.stats.sum_total_term_freq, index.stats.max_doc
     )
-    cache = norm_cache(avgdl)
 
     if manifest is None:
         # doc store + stats written once up front (cheap vs postings)
@@ -197,30 +478,210 @@ def write_segments(
         flat = flat.withColumn(
             "split", (F.col("doc_id") / F.lit(split_range)).cast("long")
         )
-        packed = flat.groupBy("bucket", "term", "split").applyInPandas(
-            _pack_groups(cache, n_buckets, keep_positions), SEGMENT_SCHEMA
+        # ONE full-width shuffle keyed by (term, split): the doc-range
+        # split both salts skewed high-df terms across reducers AND keeps
+        # every reducer's task count = spark.sql.shuffle.partitions (the
+        # old per-bucket repartition capped parallelism at n_buckets).
+        shuffled = flat.repartition("term", "split").sortWithinPartitions(
+            "term", "split", "doc_id"
+        )
+        packed = shuffled.mapInPandas(
+            _pack_stream(keep_positions), SEGMENT_SCHEMA
+        )
+        # per-bucket block counts observed DURING the write job — no
+        # second read-back pass over the store
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        packed = packed.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == b, 1).otherwise(0)
+                ).alias(f"b{b}")
+                for b in todo
+            ],
         )
         (
-            packed.repartition(max(len(todo), 1), "bucket")
-            .sortWithinPartitions("term", "first_doc")
-            .write.mode("append")
+            packed.write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{index_dir}/postings")
         )
-        counts = (
-            spark.read.parquet(f"{index_dir}/postings")
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("blocks"))
-            .collect()
-        )
-        blocks_by_bucket = {int(r["bucket"]): int(r["blocks"]) for r in counts}
+        observed = obs.get
         for b in todo:
             manifest["buckets"][str(b)] = {
-                "blocks": blocks_by_bucket.get(b, 0),
+                "blocks": int(observed.get(f"b{b}") or 0),
                 "committed_at_gen": manifest["generation"] + 1,
             }
+        _t = _mark("pack_write", _t)
     manifest["generation"] += 1
+    manifest["build_phase_sec"] = phases  # north-rule metrics: per-phase
     commit_manifest(index_dir, manifest)
+    if os.environ.get("LSS_BUILD_TIMINGS"):
+        print("BUILD_PHASES", json.dumps(phases))
+    return SegmentIndex.open(spark, index_dir)
+
+
+def build_segment_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 16,
+    keep_positions: bool = True,
+    split_range: int | None = None,
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+) -> "SegmentIndex":
+    """End-to-end segment build with a SINGLE tokenize pass.
+
+    Contrast with build_index + write_segments (3 inversion passes:
+    stats agg, terms_stats write, pack): here the numbered doc store is
+    materialized first, the pack pass is the only inversion, and both
+    terms_stats and the collection stats are derived afterwards from
+    block METADATA only (df = Σ num_docs, ttf = Σ sum_tf per term —
+    parquet column pruning never touches the binary block columns).
+    This is the Lucene shape too: stats live in the segment files, not
+    in a separate corpus pass (SegmentInfos / TermContext accumulation).
+
+    Resume-safe at bucket granularity like write_segments: stats are
+    recomputed from the on-disk blocks, so they cover buckets committed
+    by a previous crashed run."""
+    import time as _time
+
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> float:
+        phases[name] = round(_time.perf_counter() - t0, 3)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
+    os.makedirs(index_dir, exist_ok=True)
+    manifest = read_manifest(index_dir)
+    if manifest is None:
+        if "doc_id" not in docs.columns:
+            from .docids import assign_doc_ids
+
+            docs = assign_doc_ids(
+                docs, order_cols or ["conv_id", "turn_idx"]
+            )
+        _t = _mark("plan_docids", _t)
+        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        _t = _mark("docs_write", _t)
+        manifest = {
+            "generation": 0,
+            "n_buckets": n_buckets,
+            "block_size": BLOCK_SIZE,
+            "split_range": split_range,
+            "keep_positions": keep_positions,
+            "max_doc": 0,  # filled from the doc store below
+            "sum_total_term_freq": 0,  # filled from block metadata below
+            "avgdl": 0.0,
+            "buckets": {},
+        }
+    else:
+        n_buckets = manifest["n_buckets"]
+        keep_positions = manifest["keep_positions"]
+        split_range = manifest.get("split_range", SPLIT_RANGE)
+    stored = spark.read.parquet(f"{index_dir}/docs")
+    n_docs = stored.count()  # parquet footer count — metadata-only
+
+    if split_range is None:
+        # Doc-range salt for the pack shuffle. With map-side flush the
+        # shuffle rows are binary partial RUNS (not per-posting rows), so
+        # a Zipf-head term's whole group is a cheap vectorized merge —
+        # the salt only has to bound group size in memory, hence the
+        # coarse default (2^20 docs ≈ one group few MB even at tf-heavy
+        # fields). Salt granularity is therefore independent of
+        # parallelism, and rare-term blocks never fragment.
+        split_range = SPLIT_RANGE
+        manifest["split_range"] = split_range
+
+    done: set[str] = set(manifest["buckets"])
+    todo = [b for b in range(n_buckets) if str(b) not in done]
+    if todo:
+        import shutil
+
+        for b in todo:
+            part_dir = f"{index_dir}/postings/bucket={b}"
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+        src_df = stored.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        # map-side DWPT flush: per-partition partial posting runs (binary,
+        # one row per (term, split) per flush) -> ~30x fewer, object-free
+        # shuffle rows vs per-(doc,term) postings
+        partials = src_df.mapInPandas(
+            _invert_flush_partitions(split_range, keep_positions),
+            SEGMENT_SCHEMA,
+        ).withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
+        if len(todo) < n_buckets:
+            partials = partials.where(F.col("bucket").isin(todo))
+        split_expr = (
+            F.col("first_doc") / F.lit(split_range)
+        ).cast("long")
+        shuffled = partials.repartition(
+            split_expr, F.col("term")
+        ).sortWithinPartitions("term", "first_doc")
+        packed = shuffled.mapInPandas(
+            _merge_partials_stream(split_range, keep_positions),
+            SEGMENT_SCHEMA,
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        packed = packed.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == b, 1).otherwise(0)
+                ).alias(f"b{b}")
+                for b in todo
+            ],
+        )
+        (
+            packed.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+        observed = obs.get
+        for b in todo:
+            manifest["buckets"][str(b)] = {
+                "blocks": int(observed.get(f"b{b}") or 0),
+                "committed_at_gen": manifest["generation"] + 1,
+            }
+        _t = _mark("pack_write", _t)
+
+    # stats + terms_stats from block metadata (covers resumed buckets)
+    blocks_meta = spark.read.parquet(f"{index_dir}/postings").select(
+        "bucket", "term", "num_docs", "sum_tf"
+    )
+    (
+        blocks_meta.groupBy("term", "bucket")
+        .agg(
+            F.sum("num_docs").alias("df"),
+            F.sum("sum_tf").alias("ttf"),
+        )
+        .select("term", "df", "ttf", "bucket")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/terms_stats")
+    )
+    _t = _mark("terms_stats", _t)
+    ts = spark.read.parquet(f"{index_dir}/terms_stats")
+    sum_ttf = int(ts.agg(F.sum("ttf")).collect()[0][0] or 0)
+    max_doc = n_docs
+    _t = _mark("stats", _t)
+    manifest["max_doc"] = int(max_doc)
+    manifest["sum_total_term_freq"] = sum_ttf
+    manifest["avgdl"] = float(
+        avg_field_length(sum_ttf, max_doc)
+    )
+    manifest["generation"] += 1
+    manifest["build_phase_sec"] = phases  # north-rule metrics: per-phase
+    commit_manifest(index_dir, manifest)
+    if os.environ.get("LSS_BUILD_TIMINGS"):
+        print("BUILD_PHASES", json.dumps(phases))
     return SegmentIndex.open(spark, index_dir)
 
 

@@ -147,6 +147,87 @@ class OracleIndex:
                 )
         return out
 
+    def _sloppy_walk(self, pls: list[list[int]], slop: int) -> float:
+        """Greedy min-advancing walk — direct transcription of
+        SloppyPhraseScorer.phraseFreq (SloppyPhraseScorer.java:75-105,
+        no-repeats path), implemented with linear min-scans (not a heap)
+        so it is structurally independent of search/sloppy.py."""
+        n = len(pls)
+        cur = [pls[i][0] for i in range(n)]
+        ptr = [0] * n
+        end = max(cur)
+        inq = set(range(n))
+
+        def popmin() -> int:
+            best = min(inq, key=lambda i: (cur[i], i))
+            inq.remove(best)
+            return best
+
+        pp = popmin()
+        match_length = end - cur[pp]
+        nxt = min(cur[i] for i in inq)
+        freq = np.float32(0.0)
+        while True:
+            ptr[pp] += 1
+            if ptr[pp] >= len(pls[pp]):
+                break
+            cur[pp] = pls[pp][ptr[pp]]
+            if cur[pp] > end:
+                end = cur[pp]
+            if cur[pp] > nxt:
+                if match_length <= slop:
+                    freq = np.float32(
+                        freq + np.float32(1.0) / np.float32(match_length + 1)
+                    )
+                inq.add(pp)
+                pp = popmin()
+                nxt = min(cur[i] for i in inq)
+                match_length = end - cur[pp]
+            else:
+                ml2 = end - cur[pp]
+                if ml2 < match_length:
+                    match_length = ml2
+        if match_length <= slop:
+            freq = np.float32(
+                freq + np.float32(1.0) / np.float32(match_length + 1)
+            )
+        return float(freq)
+
+    def query_phrase_sloppy(
+        self, terms: list[str], slop: int
+    ) -> dict[int, np.float32]:
+        """Sloppy phrase: freq = Σ 1/(distance+1) over locally-minimal
+        windows (BM25Similarity.java:70-73 sloppyFreq); same weight as
+        the exact phrase."""
+        plists = [self.postings.get(t) for t in terms]
+        if any(p is None for p in plists):
+            return {}
+        idx = [{d: pos for d, _tf, pos in p} for p in plists]
+        common = set(idx[0])
+        for m in idx[1:]:
+            common &= set(m)
+        from .search.bm25 import idf as idf_fn, norm_cache
+        import numpy as _np
+
+        w = _np.float32(0.0)
+        for t in terms:
+            w = _np.float32(w + idf_fn(self.df(t), self.max_doc))
+        weight_value = _np.float32(w * _np.float32(1.2 + 1.0))
+        cache = norm_cache(self.avgdl)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            pls = [
+                sorted(p - i for p in idx[i][d]) for i in range(len(terms))
+            ]
+            freq = self._sloppy_walk(pls, slop)
+            if freq > 0.0:
+                nb = self.norm_byte[d]
+                f32 = _np.float32(freq)
+                out[d] = _np.float32(
+                    weight_value * f32 / (f32 + cache[nb & 0xFF])
+                )
+        return out
+
     def top_k(self, scores: dict[int, np.float32], k: int = 10
               ) -> list[tuple[int, float]]:
         """Tie-break: score desc, doc_id asc (HitQueue.java:76-81)."""

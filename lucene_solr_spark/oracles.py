@@ -126,6 +126,7 @@ def bm25_bool(
     k: int = 10,
     table: str = "documents",
     offset: int = 0,
+    fq: str | None = None,
 ) -> str:
     should = should or []
     must_not = must_not or []
@@ -163,6 +164,13 @@ def bm25_bool(
             "(SELECT doc_id FROM excl))"
         )
         final_src = "kept"
+    if fq:
+        # Solr fq: non-scoring filter over stored-field columns
+        parts.append(
+            f"fqd AS (SELECT s.* FROM {final_src} s JOIN {table} d "
+            f"USING (doc_id) WHERE {fq})"
+        )
+        final_src = "fqd"
     return "WITH " + ", ".join(parts) + " " + _topk(final_src, k, offset)
 
 
@@ -703,4 +711,19 @@ SELECT doc_id,
 FROM {table}
 WHERE regexp_matches(text, '{_sq(rx)}')
 ORDER BY doc_id
+""".strip()
+
+
+def func_boost(term: str, k: int = 10, table: str = "documents") -> str:
+    """BM25 * recip(n_chars,1,1000,1000) function query
+    (ReciprocalFloatFunction semantics) — same arithmetic text as the
+    Spark side."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+boosted AS (
+  SELECT s.doc_id,
+         s.score * (1000.0 / (1000.0 + d.n_chars)) AS score
+  FROM scored s JOIN {table} d USING (doc_id)
+)
+{_topk('boosted', k)}
 """.strip()

@@ -341,14 +341,18 @@ class Searcher:
     def _score_phrase(self, q: PhraseQuery, term_stats: dict) -> DataFrame:
         """Exact phrase (slop=0): adjacency via adjusted positions.
         (pos_i - i) equal across all clause indices -> one occurrence
-        (ExactPhraseScorer.java:201-242). Sloppy phrases are out of scope
-        v1. Scoring: idf = float32 sum of constituent idfs
-        (BM25Similarity.idfExplain:185-196), freq = phrase occurrences."""
+        (ExactPhraseScorer.java:201-242). Sloppy (slop>0): greedy
+        min-advancing walk with freq += 1/(distance+1) per locally-minimal
+        window (SloppyPhraseScorer.java:75-105; see search/sloppy.py).
+        Scoring: idf = float32 sum of constituent idfs
+        (BM25Similarity.idfExplain:185-196), freq = phrase frequency."""
         terms = list(q.terms)
         if any(t not in term_stats for t in terms):
             return self.index.spark.createDataFrame(
                 [], f"doc_id long, score {self._score_type}"
             )
+        if q.slop > 0:
+            return self._score_phrase_sloppy(q, term_stats)
         n = len(terms)
         parts = []
         for i, t in enumerate(terms):
@@ -381,8 +385,54 @@ class Searcher:
         freqs = occ.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("tf"), F.first("norm_byte").alias("norm_byte")
         )
+        return self._score_phrase_freqs(freqs, terms, q.boost, term_stats)
+
+    def _score_phrase_sloppy(
+        self, q: PhraseQuery, term_stats: dict
+    ) -> DataFrame:
+        """SloppyPhraseScorer path: per-doc greedy walk over the clause
+        position lists (sloppy.py), freq is the float32 slop-factor sum."""
+        from .sloppy import sloppy_freq_partitions
+
+        terms = list(q.terms)
+        if len(set(terms)) != len(terms):
+            raise NotImplementedError(
+                "repeated-term sloppy phrases (SloppyPhraseScorer "
+                "hasRpts path) are out of scope v1"
+            )
+        n = len(terms)
+        parts = []
+        for i, t in enumerate(terms):
+            parts.append(
+                self._postings_for([t], want_positions=True).select(
+                    "doc_id",
+                    "norm_byte",
+                    F.lit(i).alias("clause"),
+                    "positions",
+                )
+            )
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        rows = unioned.repartition("doc_id").sortWithinPartitions(
+            "doc_id", "clause"
+        )
+        freqs = rows.mapInPandas(
+            sloppy_freq_partitions(n, q.slop),
+            "doc_id long, tf double, norm_byte int",
+        )
+        return self._score_phrase_freqs(freqs, terms, q.boost, term_stats)
+
+    def _score_phrase_freqs(
+        self,
+        freqs: DataFrame,
+        terms: list[str],
+        boost: float,
+        term_stats: dict,
+    ) -> DataFrame:
         # summed idf weight: float32 accumulation like idfExplain in
         # exact mode; plain double sum (term order) in double mode
+        q_boost = boost
         if self.exact:
             from .bm25 import idf as idf_fn
 
@@ -392,14 +442,14 @@ class Searcher:
                     w32 + idf_fn(term_stats[t][0], self.index.stats.max_doc)
                 )
             weight_value = float(
-                np.float32(q.boost) * w32 * np.float32(1.2 + 1.0)
+                np.float32(q_boost) * w32 * np.float32(1.2 + 1.0)
             )
             cache_vals = self.cache.tolist()
         else:
             w = 0.0
             for t in terms:
                 w = w + self._idf64(term_stats[t][0])
-            weight_value = q.boost * w * (1.2 + 1)
+            weight_value = q_boost * w * (1.2 + 1)
             cache_vals = self.cache64.tolist()
         cache_arr = F.array(*[F.lit(float(v)) for v in cache_vals])
         tf = F.col("tf").cast("double")

@@ -1,0 +1,102 @@
+"""Solr-style select handler — entry point C (SURVEY.md §3.3) as a
+library call: the QueryComponent pipeline (q + fq + sort + paging) and
+FacetComponent over one request.
+
+References:
+  - request routing + component pipeline: solr/core/.../handler/component/
+    SearchHandler.java:47-135 (QueryComponent then FacetComponent, ...)
+  - q/fq split: QueryComponent.java:86-136 — fq filters are non-scoring
+    DocSets intersected with the scored result
+    (S/search/SolrIndexSearcher.java getProcessedFilter)
+  - sort/paging: start+rows window after merged top-k
+    (QueryComponent.java:747-800)
+  - facets on the filtered DocSet: S/request/SimpleFacets.java:205-423
+
+Spark shape: fq predicates are plain Catalyst filters on the doc store —
+pushed into the Parquet scan (the filterCache analogue is simply AQE/
+scan-level caching); scoring joins back to the filtered doc set with a
+broadcast when small.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .executor import Searcher
+from .qparser import parse_lucene
+
+
+def select(
+    searcher: Searcher,
+    q: str,
+    fq: list[str] | None = None,
+    sort: str | None = None,
+    start: int = 0,
+    rows: int = 10,
+    fl: list[str] | None = None,
+    facet_field: list[str] | None = None,
+    facet_limit: int = 5,
+) -> dict[str, DataFrame]:
+    """Run one request; returns {"response": DataFrame, "facets": {field:
+    DataFrame}} (facet counts are over the full filtered match set, not
+    just the returned page — SimpleFacets semantics).
+
+    ``fq`` entries are SQL boolean expressions over doc-store columns
+    (e.g. "lang = 'en'", "n_chars between 100 and 500") — the Solr
+    filter-query role, evaluated as pushed-down scans, never scored.
+    ``sort`` is "score desc" (default) or a SQL order spec over doc
+    columns like "n_chars desc".
+    """
+    query = parse_lucene(q)
+    scored = searcher.score(query)
+
+    docs = searcher.index.docs
+    if fq:
+        for expr in fq:
+            docs = docs.where(F.expr(expr))
+        filtered_ids = docs.select("doc_id")
+        scored = scored.join(filtered_ids, "doc_id", "left_semi")
+
+    if sort is None or sort.strip().lower() in ("score desc", "score"):
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    else:
+        joined = scored.join(docs, "doc_id")
+        ordered = joined.orderBy(
+            *_sort_cols(sort), F.asc("doc_id")
+        ).select("doc_id", "score")
+    page = ordered.limit(start + rows)
+    if start:
+        # searchAfter-style window: driver-side offset on the merged
+        # top-(start+rows) — identical to Solr's shard merge + offset
+        rows_all = page.collect()[start : start + rows]
+        page = searcher.index.spark.createDataFrame(
+            rows_all, page.schema
+        )
+    if fl:
+        page = page.join(docs.select("doc_id", *fl), "doc_id").select(
+            "doc_id", "score", *fl
+        )
+
+    facets: dict[str, DataFrame] = {}
+    if facet_field:
+        match_ids = scored.select("doc_id")
+        for field in facet_field:
+            facets[field] = (
+                docs.join(match_ids, "doc_id")
+                .groupBy(field)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc(field))
+                .limit(facet_limit)
+            )
+    return {"response": page, "facets": facets}
+
+
+def _sort_cols(sort: str):
+    out = []
+    for part in sort.split(","):
+        bits = part.strip().split()
+        col = bits[0]
+        desc = len(bits) > 1 and bits[1].lower() == "desc"
+        out.append(F.desc(col) if desc else F.asc(col))
+    return out

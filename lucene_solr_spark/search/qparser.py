@@ -1,0 +1,191 @@
+"""Query-string parsers — the Solr QParserPlugin surface (SURVEY.md §2.11).
+
+References:
+  - classic lucene syntax: solr/core/src/java/org/apache/solr/search/
+    LuceneQParserPlugin.java -> lucene/queryparser/.../classic/
+    QueryParser.jj grammar (subset: clauses with +/- and AND/OR/NOT,
+    grouping, phrases, prefix/wildcard/fuzzy/range terms, ^boost)
+  - dismax: solr/core/src/java/org/apache/solr/search/DisMaxQParser.java:
+    user query words become a DisjunctionMaxQuery per word over the qf
+    fields, combined into a BooleanQuery with mm (minimum-should-match)
+  - analysis parity: query terms run through the same analyzer chain as
+    indexing (Analyzer bound per-field at query time,
+    solr/example/solr/collection1/conf/schema.xml:421-433)
+
+The parser produces our Query AST (search/query.py); execution is the
+ordinary Searcher path. Pure Python — no Spark dependency — so it is unit
+tested without a session.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis.tokenizer import analyze
+from .query import (
+    BooleanClause,
+    BooleanQuery,
+    DisMaxQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+_TOKEN_RX = re.compile(
+    r"""
+    \s*(?:
+      (?P<lparen>\() |
+      (?P<rparen>\)) |
+      (?P<range>\[\s*(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\s*\]) |
+      (?P<phrase>"(?P<phbody>[^"]*)"(?:~(?P<phslop>\d+))?) |
+      (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+      (?P<plus>\+) | (?P<minus>-) |
+      (?P<star>\*:\*) |
+      (?P<word>[^\s()+\-"^]+)
+    )(?:\^(?P<boost>[0-9.]+))?
+    """,
+    re.VERBOSE,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _word_query(word: str, boost: float) -> Query | None:
+    """One bare word -> Term/Prefix/Wildcard/Fuzzy query, analyzed."""
+    m = re.fullmatch(r"(?P<body>[^~]+)~(?P<edits>\d*)", word)
+    if m:
+        terms, _ = analyze(m.group("body"))
+        if not terms:
+            return None
+        edits = int(m.group("edits") or 2)
+        return FuzzyQuery(terms[0], edits, boost)
+    if "*" in word or "?" in word:
+        low = word.lower()
+        if re.fullmatch(r"[^*?]+\*", low):
+            return PrefixQuery(low[:-1], boost)
+        return WildcardQuery(low, boost)
+    terms, _ = analyze(word)
+    if not terms:
+        return None  # pure stopword -> dropped clause, like Lucene
+    if len(terms) == 1:
+        return TermQuery(terms[0], boost)
+    # a word that analyzes to several tokens (e.g. "3.x-beta") -> phrase
+    return PhraseQuery(terms, 0, boost)
+
+
+def parse_lucene(q: str) -> Query:
+    """Parse the classic-syntax subset into a Query AST."""
+    toks = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RX.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip():
+                raise QueryParseError(f"cannot parse at: {q[pos:]!r}")
+            break
+        toks.append(m)
+        pos = m.end()
+
+    def build(i: int, depth: int) -> tuple[Query, int]:
+        clauses: list[BooleanClause] = []
+        pending_occur: str | None = None
+        pending_op: str | None = None
+
+        def push(sub: Query | None):
+            nonlocal pending_occur, pending_op
+            if sub is not None:
+                occur = pending_occur or (
+                    "MUST" if pending_op == "AND" else "SHOULD"
+                )
+                if pending_op == "AND" and clauses and clauses[-1].occur == "SHOULD":
+                    clauses[-1] = BooleanClause(clauses[-1].query, "MUST")
+                clauses.append(BooleanClause(sub, occur))
+            pending_occur = None
+            pending_op = None
+
+        while i < len(toks):
+            m = toks[i]
+            boost = float(m.group("boost")) if m.group("boost") else 1.0
+            if m.group("lparen"):
+                sub, i = build(i + 1, depth + 1)
+                if boost != 1.0:
+                    sub = _boosted(sub, boost)
+                push(sub)
+                continue
+            if m.group("rparen"):
+                if depth == 0:
+                    raise QueryParseError("unbalanced )")
+                return _finish(clauses), i + 1
+            if m.group("range"):
+                push(
+                    TermRangeQuery(
+                        m.group("rlo").lower(), m.group("rhi").lower(), True, True, boost
+                    )
+                )
+            elif m.group("phrase"):
+                terms, _ = analyze(m.group("phbody"))
+                slop = int(m.group("phslop") or 0)
+                if terms:
+                    push(PhraseQuery(terms, slop, boost))
+                else:
+                    push(None)
+            elif m.group("and"):
+                pending_op = "AND"
+            elif m.group("or"):
+                pending_op = "OR"
+            elif m.group("not"):
+                pending_occur = "MUST_NOT"
+            elif m.group("plus"):
+                pending_occur = "MUST"
+            elif m.group("minus"):
+                pending_occur = "MUST_NOT"
+            elif m.group("star"):
+                push(MatchAllQuery())
+            elif m.group("word"):
+                push(_word_query(m.group("word"), boost))
+            i += 1
+        if depth != 0:
+            raise QueryParseError("unbalanced (")
+        return _finish(clauses), i
+
+    query, _ = build(0, 0)
+    return query
+
+
+def _boosted(q: Query, boost: float) -> Query:
+    if isinstance(q, TermQuery):
+        return TermQuery(q.term, q.boost * boost)
+    return q  # boost on groups: out of scope v1
+
+
+def _finish(clauses: list[BooleanClause]) -> Query:
+    if not clauses:
+        return BooleanQuery([])
+    if len(clauses) == 1 and clauses[0].occur in ("MUST", "SHOULD"):
+        return clauses[0].query
+    return BooleanQuery(clauses)
+
+
+def parse_dismax(
+    user_query: str, tie: float = 0.0, mm: int = 0
+) -> Query:
+    """DisMaxQParser.java: each whitespace-separated word becomes a
+    DisMax over the query fields (we have one indexed field, so the
+    per-word DisMax degenerates to its single TermQuery, exactly as Solr
+    with qf=text), all combined as SHOULD with minimum-should-match."""
+    words = user_query.split()
+    per_word: list[Query] = []
+    for w in words:
+        terms, _ = analyze(w)
+        if terms:
+            per_word.append(DisMaxQuery([TermQuery(terms[0])], tie))
+    return BooleanQuery(
+        [BooleanClause(q, "SHOULD") for q in per_word], min_should_match=mm
+    )

@@ -2,8 +2,11 @@
 
 Reference semantics: Lucene 4.0 has multi-level skip lists only
 (lucene/core/.../codecs/lucene40/Lucene40SkipListWriter.java:53-93); the
-block-max upper bounds we persist per block (`ub_factor`, segments.py)
-follow Block-Max WAND (Ding & Suel, SIGIR'11) as SURVEY.md §4.2 notes.
+per-block impacts we persist (`max_tf`, `min_nb`, segments.py) follow
+Block-Max WAND (Ding & Suel, SIGIR'11) as SURVEY.md §4.2 notes, with the
+bound max_tf/(max_tf + cache[min_nb]) derived at query time from live
+collection stats (monotone in tf, anti-monotone in the norm addend, so it
+upper-bounds every (tf, norm) pair in the block).
 The result must be IDENTICAL to the unpruned OR path — pruning is
 score-safe, never approximate.
 
@@ -60,12 +63,17 @@ def wand_or_search(
     meta = index.blocks.where(
         F.col("bucket").isin(index.buckets_of(present))
         & F.col("term").isin(present)
-    ).select(
+    )
+    cache64 = searcher.cache64
+    cache_arr = F.array(*[F.lit(float(v)) for v in cache64.tolist()])
+    tfq = F.col("max_tf").cast("double")
+    meta = meta.select(
         "term",
         (F.col("first_doc") / F.lit(index.split_range))
         .cast("long")
         .alias("split"),
-        "ub_factor",
+        (tfq / (tfq + F.element_at(cache_arr, F.col("min_nb") + 1)))
+        .alias("ub_factor"),
     )
     wmap = F.create_map(
         *[x for t in present for x in (F.lit(t), F.lit(weights[t]))]
@@ -111,9 +119,9 @@ def wand_or_search(
     )
 
     # -- 3. prune + score survivors --------------------------------------
-    # ub_factor was computed against the float32 norm cache while the
-    # double scoring path uses the float64 cache — inflate the bound by a
-    # relative epsilon so a ~1e-7 rounding gap can never prune a true hit
+    # the bound uses the float64 cache; in exact-float32 mode per-term
+    # scores round to float32 and could exceed the real-valued bound by a
+    # half-ulp — keep a tiny relative inflation so pruning stays safe
     survivors = [
         int(r["split"])
         for r in splits_desc

