@@ -478,6 +478,15 @@ def q_knn(spark, sf_dir):
     return knn_cosine_bruteforce(emb, [float(x) for x in qv], k=5)
 
 
+def q_knn_lsh(spark, sf_dir):
+    """ANN scale path: LSH-bucket candidates + exact rerank."""
+    from lucene_solr_spark.datapipe.similarity import knn_cosine_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_cosine_lsh(emb, [float(x) for x in qv], k=5)
+
+
 # ---------------- events (stream-shaped analytics, batch check) -------
 
 def q_events_hourly(spark, sf_dir):
@@ -569,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "knn": q_knn,
+        "knn_lsh": q_knn_lsh,
         "events_hourly": q_events_hourly,
         "events_stats": q_events_stats,
     }
@@ -623,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": O.token_counts(),
         "fingerprint": O.fingerprint(),
         "knn": O.knn_cosine(),
+        "knn_lsh": O.knn_cosine_lsh(),
         "events_hourly": O.events_hourly(),
         "events_stats": O.events_type_stats(),
     }

@@ -79,28 +79,34 @@ def main() -> None:
     E._index(spark, sf_dir)
     timings["index_build_docs"] = round(time.perf_counter() - t0, 3)
 
-    # -- north-rule corpus: distributed generation, then timed build ------
+    # -- north-rule corpus: distributed generation, then the timed
+    # single-pass segment build (same path as tools/index_job.py) -------
+    import shutil
+    import tempfile
+
     from lucene_solr_spark.corpus import transcripts_distributed
-    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.segments import build_segment_store
 
-    tdf = transcripts_distributed(
-        spark, bench_turns, partitions=max(int(cpus), 8)
-    ).cache()
-    n_turns = tdf.count()  # materialize: generation excluded from build time
-    t0 = time.perf_counter()
-    build_index(spark, tdf, order_cols=["conv_id", "turn_idx"])
-    dt = time.perf_counter() - t0
-    timings["index_transcripts"] = round(dt, 3)
-    turns_per_sec = round(n_turns / dt, 1)
-
-    # DOCS_AND_FREQS mode (no positions) — the lean scoring-only build
-    t0 = time.perf_counter()
-    build_index(
-        spark, tdf, order_cols=["conv_id", "turn_idx"], positions=False
-    )
-    dt_np = time.perf_counter() - t0
-    timings["index_transcripts_nopos"] = round(dt_np, 3)
-    tdf.unpersist()
+    gen_dir = tempfile.mkdtemp(prefix="lss_bench_")
+    try:
+        transcripts_distributed(
+            spark, bench_turns, partitions=max(int(cpus), 8)
+        ).write.mode("overwrite").parquet(f"{gen_dir}/transcripts")
+        tdf = spark.read.parquet(f"{gen_dir}/transcripts")
+        n_turns = tdf.count()
+        t0 = time.perf_counter()
+        build_segment_store(
+            spark,
+            tdf,
+            f"{gen_dir}/index",
+            n_buckets=16,
+            order_cols=["conv_id", "turn_idx"],
+        )
+        dt = time.perf_counter() - t0
+        timings["index_transcripts"] = round(dt, 3)
+        turns_per_sec = round(n_turns / dt, 1)
+    finally:
+        shutil.rmtree(gen_dir, ignore_errors=True)
 
     # -- headline queries -------------------------------------------------
     qmap = E.queries()

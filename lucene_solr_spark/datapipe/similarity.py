@@ -90,29 +90,21 @@ def hyperplane_lsh_buckets(
     replayable, and oracle-SQL-computable."""
     sig = F.lit(0)
     for p in range(n_planes):
-        # w[p][i] = +1 if md5("p|i") lowest bit set else -1
+        # w[p][i] = +1 if md5("p|i") hex digit 15 is odd else -1 —
+        # the same predicate is expressible verbatim in ANSI SQL/DuckDB
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
                 lambda x, i: x.cast("double")
                 * F.when(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{p}|"), i.cast("string")
-                                )
-                            ),
-                            1,
-                            15,
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"{p}|"), i.cast("string"))
                         ),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .bitwiseAND(F.lit(1))
-                    == 1,
+                        15,
+                        1,
+                    ).isin(list("13579bdf")),
                     F.lit(1.0),
                 ).otherwise(F.lit(-1.0)),
             ),
@@ -121,3 +113,49 @@ def hyperplane_lsh_buckets(
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return embeddings.select(F.col(id_col), sig.alias("lsh_bucket"))
+
+
+def _plane_weight(p: int, i: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()
+    return 1.0 if h[14] in "13579bdf" else -1.0
+
+
+def lsh_bucket_of(vec: list[float], n_planes: int = 8) -> int:
+    """Driver-side bucket of a literal query vector (same planes)."""
+    sig = 0
+    for p in range(n_planes):
+        proj = sum(
+            float(x) * _plane_weight(p, i) for i, x in enumerate(vec)
+        )
+        if proj > 0:
+            sig += 1 << p
+    return sig
+
+
+def knn_cosine_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidate generation + exact cosine
+    rerank — the sub-linear scale path. At 10^9+ vectors the bucket join
+    prunes the scan to ~N/2^planes candidates; the rerank is the exact
+    brute-force kernel over candidates only. Recall is tunable by
+    n_planes (and multi-probe, out of scope v1)."""
+    qb = lsh_bucket_of(query_vec, n_planes)
+    buckets = hyperplane_lsh_buckets(
+        embeddings, n_planes, id_col=id_col, vec_col=vec_col
+    )
+    cand = embeddings.join(
+        buckets.where(F.col("lsh_bucket") == qb).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return knn_cosine_bruteforce(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )

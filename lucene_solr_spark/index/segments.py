@@ -513,12 +513,8 @@ def write_segments(
                 "blocks": int(observed.get(f"b{b}") or 0),
                 "committed_at_gen": manifest["generation"] + 1,
             }
-        _t = _mark("pack_write", _t)
     manifest["generation"] += 1
-    manifest["build_phase_sec"] = phases  # north-rule metrics: per-phase
     commit_manifest(index_dir, manifest)
-    if os.environ.get("LSS_BUILD_TIMINGS"):
-        print("BUILD_PHASES", json.dumps(phases))
     return SegmentIndex.open(spark, index_dir)
 
 

@@ -727,3 +727,49 @@ boosted AS (
 )
 {_topk('boosted', k)}
 """.strip()
+
+
+def knn_cosine_lsh(
+    query_vec_id: int = 0, k: int = 5, n_planes: int = 8
+) -> str:
+    """LSH candidate generation + exact rerank, mirroring
+    datapipe.similarity: plane weight = +1 iff md5('p|i') hex digit 15
+    is odd; bucket = Σ 2^p over planes with positive projection."""
+    digits = "('1','3','5','7','9','b','d','f')"
+    sig_terms = " + ".join(
+        f"(CASE WHEN sum(CAST(v AS DOUBLE) * "
+        f"(CASE WHEN substring(md5({p} || '|' || CAST(i - 1 AS VARCHAR)), 15, 1) "
+        f"IN {digits} THEN 1.0 ELSE -1.0 END)) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, {sig_terms} AS bucket FROM e GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM sig WHERE vec_id = {query_vec_id}),
+cand AS (SELECT vec_id FROM sig WHERE bucket = (SELECT bucket FROM qb)),
+q AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = {query_vec_id}
+),
+dots AS (
+  SELECT e.vec_id,
+         sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS d,
+         sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS nv
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+),
+nq AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS n FROM q)
+SELECT vec_id,
+       round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) AS cos
+FROM dots
+ORDER BY round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) DESC,
+         vec_id ASC
+LIMIT {k}
+""".strip()
