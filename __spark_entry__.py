@@ -314,6 +314,38 @@ def q_func_boost(spark, sf_dir):
     )
 
 
+def q_span_first(spark, sf_dir):
+    """SpanFirstQuery analogue (lucene/core/.../search/spans/
+    SpanFirstQuery.java): docs where the term occurs within the first n
+    positions (pre-stop position counter), constant-score doc set."""
+    s = _searcher(spark, sf_dir)
+    p = s._postings_for(["scan"], want_positions=True)
+    return (
+        p.select("doc_id", F.explode("positions").alias("pos"))
+        .where(F.col("pos") < 5)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def q_stats_by_lang(spark, sf_dir):
+    """StatsComponent with a facet (S/handler/component/StatsComponent
+    per-facet stats): n_chars stats per lang over docs matching 'scan'."""
+    matched = _matched_docs(spark, sf_dir, "scan")
+    d = _index(spark, sf_dir).docs
+    return (
+        d.join(matched, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_chars").alias("min_v"),
+            F.max("n_chars").alias("max_v"),
+            F.round(F.avg("n_chars"), 4).alias("mean_v"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------- facets / stats / grouping ----------------
 
 def q_facet_lang(spark, sf_dir):
@@ -558,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy": q_fuzzy,
         "term_range": q_term_range,
         "numeric_range": q_numeric_range,
+        "span_first": q_span_first,
+        "stats_by_lang": q_stats_by_lang,
         "spellcheck": q_spellcheck,
         "mlt": q_mlt,
         "highlight": q_highlight,
@@ -613,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy": O.fuzzy_docs("scann", 1),
         "term_range": O.term_range_docs("sl", "so"),
         "numeric_range": O.numeric_range(200, 400),
+        "span_first": O.span_first_docs("scan", 5),
+        "stats_by_lang": O.stats_by_facet("scan", "lang"),
         "spellcheck": O.spellcheck("qery", 2, 5),
         "mlt": O.more_like_this(0, 10),
         "highlight": O.highlight_snippets("scan"),

@@ -784,3 +784,39 @@ ORDER BY round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) DESC,
          vec_id ASC
 LIMIT {k}
 """.strip()
+
+
+def span_first_docs(
+    term: str, n: int, table: str = "documents"
+) -> str:
+    """SpanFirstQuery analogue: term occurs within the first n pre-stop
+    positions (positions are 1-based in rawtok; engine positions are
+    0-based -> pos < n maps to pos <= n here)."""
+    return f"""
+WITH rawtok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+  FROM {table}
+)
+SELECT DISTINCT doc_id FROM rawtok
+WHERE term = '{_sq(term)}' AND pos <= {n}
+ORDER BY doc_id
+""".strip()
+
+
+def stats_by_facet(
+    term: str, facet: str, table: str = "documents"
+) -> str:
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT d.{facet},
+       count(*) AS cnt,
+       min(d.n_chars) AS min_v,
+       max(d.n_chars) AS max_v,
+       round(avg(d.n_chars), 4) AS mean_v
+FROM {table} d JOIN matched USING (doc_id)
+GROUP BY d.{facet} ORDER BY d.{facet}
+""".strip()
