@@ -86,7 +86,10 @@ def analyze(text: str) -> tuple[list[str], list[int]]:
 
 
 def invert_batch(
-    doc_ids: pd.Series, texts: pd.Series, with_positions: bool = True
+    doc_ids: pd.Series,
+    texts: pd.Series,
+    with_positions: bool = True,
+    analyzer=None,
 ) -> pd.DataFrame:
     """Per-partition in-memory inversion — the DocumentsWriterPerThread
     analogue (lucene/core/.../index/DocumentsWriterPerThread.java:44,229):
@@ -103,8 +106,9 @@ def invert_batch(
     out_tf: list[int] = []
     out_pos: list[list[int]] = []
     out_dl: list[int] = []
+    analyzer = analyzer or analyze
     for doc_id, text in zip(doc_ids, texts):
-        terms, positions = analyze(text if isinstance(text, str) else "")
+        terms, positions = analyzer(text if isinstance(text, str) else "")
         if not terms:
             continue
         dl = len(terms)
@@ -135,3 +139,39 @@ def invert_batch(
             "dl": pd.Series(out_dl, dtype="int32"),
         }
     )
+
+
+def make_analyzer(
+    stem: bool = False, fold: bool = False, stop: bool = True
+):
+    """Configurable chain factory — the Analyzer extension slot
+    (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
+    binding, solr/example/solr/collection1/conf/schema.xml:421-433).
+
+    Returns a function with the same signature as :func:`analyze`:
+    text -> (terms, positions). Order mirrors the reference chains:
+    tokenize -> [fold] -> lowercase (inside tokenize) -> [stop] ->
+    [stem]; stop removal leaves position gaps regardless of later
+    filters (FilteringTokenFilter.java:49-57), and the stemmer/folder
+    are arity-preserving so positions are untouched.
+    """
+    fold_fn = stem_fn = None
+    if fold:
+        from .folding import fold_to_ascii as fold_fn
+    if stem:
+        from .porter import porter_stem as stem_fn
+
+    def run(text: str) -> tuple[list[str], list[int]]:
+        raw = tokenize_raw(
+            fold_fn(text) if fold_fn else text
+        )
+        terms: list[str] = []
+        positions: list[int] = []
+        for pos, tok in enumerate(raw):
+            if stop and tok in ENGLISH_STOP_WORDS:
+                continue
+            terms.append(stem_fn(tok) if stem_fn else tok)
+            positions.append(pos)
+        return terms, positions
+
+    return run

@@ -104,11 +104,16 @@ def _invert_partitions(
 
 
 def _invert_partitions_opts(
-    batches: Iterator[pd.DataFrame], with_positions: bool
+    batches: Iterator[pd.DataFrame],
+    with_positions: bool,
+    analyzer=None,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         flat = invert_batch(
-            pdf["doc_id"], pdf["text"], with_positions=with_positions
+            pdf["doc_id"],
+            pdf["text"],
+            with_positions=with_positions,
+            analyzer=analyzer,
         )
         if len(flat) == 0:
             yield pd.DataFrame(
@@ -134,6 +139,7 @@ def build_index(
     order_cols: list[str] | None = None,
     cache: bool = False,
     positions: bool = True,
+    analyzer=None,
 ) -> InvertedIndex:
     """Build the inverted index over ``docs``.
 
@@ -143,6 +149,8 @@ def build_index(
     skipping them roughly halves the Arrow traffic out of the tokenize
     stage.
 
+    ``analyzer``: optional replacement for the pinned chain (e.g.
+    ``make_analyzer(stem=True)``) — the custom-Analyzer extension slot.
     If ``doc_id_col`` is absent, dense int64 docIDs are assigned by the
     scalable 2-pass row numbering over ``order_cols`` (default
     (conv_id, turn_idx) — the pinned stable ordering, mirroring Lucene's
@@ -159,7 +167,7 @@ def build_index(
         F.col(text_col).cast("string").alias("text"),
     )
     postings = src.mapInPandas(
-        lambda it: _invert_partitions_opts(it, positions),
+        lambda it: _invert_partitions_opts(it, positions, analyzer),
         POSTINGS_FLAT_SCHEMA,
     )
 

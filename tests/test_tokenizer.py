@@ -58,3 +58,51 @@ def test_max_token_length_dropped():
     assert tokenize_raw(f"short {long_tok} after") == ["short", "after"]
     ok_tok = "y" * 255
     assert ok_tok in tokenize_raw(ok_tok)
+
+
+def test_make_analyzer_chain_variants():
+    from lucene_solr_spark.analysis.tokenizer import analyze, make_analyzer
+
+    text = "The running Café servers are failing quickly"
+    # default chain == analyze
+    assert make_analyzer()(text) == analyze(text)
+    # stemming preserves positions, stems surviving tokens
+    # (the ASCII-pinned grammar truncates unfolded 'café' to 'caf')
+    terms, pos = make_analyzer(stem=True)(text)
+    assert terms == ["run", "caf", "server", "fail", "quickli"]
+    _, pos_plain = analyze(text)
+    assert pos == pos_plain
+    # folding normalizes before tokenization
+    terms_f, _ = make_analyzer(fold=True)(text)
+    assert "cafe" in terms_f
+    # no stop filter keeps everything (dl semantics change accordingly)
+    terms_ns, pos_ns = make_analyzer(stop=False)(text)
+    assert "the" in terms_ns and pos_ns == list(range(len(terms_ns)))
+
+
+def test_index_with_stemming_analyzer(spark, tiny_pdf):
+    """End-to-end custom-Analyzer slot: an index built with the stemming
+    chain matches stem queries across inflections."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.query import TermQuery
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "servers failing quickly",
+                "the server failed",
+                "nothing relevant here",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    idx = build_index(spark, sdf, analyzer=make_analyzer(stem=True))
+    s = Searcher(idx)
+    hits = {r["doc_id"] for r in s.search(TermQuery("fail"), 10).collect()}
+    assert hits == {0, 1}
+    assert idx.term_stats(["server"])["server"][0] == 2  # df across inflections
