@@ -164,7 +164,9 @@ commit, stats jobs) are amortized at larger corpora.
 
 Regenerate: `python tools/bench_scaling.py [n_turns]`.
 """
-        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        # BENCH.md is curated by hand (multi-sweep history); this file
+        # carries the latest raw sweep only
+        with open(os.path.join(REPO, "BENCH_last_sweep.md"), "w") as f:
             f.write(md)
     finally:
         shutil.rmtree(work, ignore_errors=True)
