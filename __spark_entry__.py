@@ -245,6 +245,14 @@ def q_fuzzy(spark, sf_dir):
     return s.score(FuzzyQuery("scann", 1)).select("doc_id").distinct()
 
 
+def q_prefix_broad(spark, sf_dir):
+    """Single-letter prefix over the SEGMENT store: exercises the
+    bounded multi-term rewrite (1024-clause cap with broadcast-semi-join
+    fallback — the dictionary is never collected to the driver)."""
+    s = _seg_searcher(spark, sf_dir)
+    return s.score(PrefixQuery("s")).select("doc_id").distinct()
+
+
 def q_term_range(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return s.score(TermRangeQuery("sl", "so")).select("doc_id").distinct()
@@ -264,7 +272,9 @@ def q_spellcheck(spark, sf_dir):
 
 
 def q_mlt(spark, sf_dir):
-    return _topk_rounded(more_like_this(_searcher(spark, sf_dir), 0, 10))
+    # runs against the SEGMENT store: proves doc-major term extraction
+    # (stored-text re-analysis) — never a full postings decode
+    return _topk_rounded(more_like_this(_seg_searcher(spark, sf_dir), 0, 10))
 
 
 def q_highlight(spark, sf_dir):
@@ -383,15 +393,33 @@ def q_facet_pivot(spark, sf_dir):
 
 
 def q_stats_nchars(spark, sf_dir):
+    """StatsComponent over matched docs. sum pinned to int64 on both
+    sides (DuckDB sum(int)=HUGEINT otherwise) and stddev computed from
+    exact integer sum/sum-of-squares in a FIXED op order so the double
+    result is partition-order-independent and bit-equal to the oracle."""
     matched = _matched_docs(spark, sf_dir, "scan")
     d = _index(spark, sf_dir).docs
-    return d.join(matched, "doc_id").agg(
+    agg = d.join(matched, "doc_id").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("n_chars").alias("min_v"),
         F.max("n_chars").alias("max_v"),
-        F.sum("n_chars").alias("sum_v"),
-        F.round(F.avg("n_chars"), 4).alias("mean_v"),
-        F.round(F.stddev_samp("n_chars"), 4).alias("stddev_v"),
+        F.sum("n_chars").cast("long").alias("sum_v"),
+        F.sum(F.col("n_chars").cast("long") * F.col("n_chars").cast("long"))
+        .cast("long")
+        .alias("ss"),
+    )
+    cntd = F.col("cnt").cast("double")
+    sumd = F.col("sum_v").cast("double")
+    ssd = F.col("ss").cast("double")
+    return agg.select(
+        "cnt",
+        "min_v",
+        "max_v",
+        "sum_v",
+        F.round(sumd / cntd, 4).alias("mean_v"),
+        F.round(
+            F.sqrt((ssd - sumd * sumd / cntd) / (cntd - F.lit(1.0))), 4
+        ).alias("stddev_v"),
     )
 
 
@@ -586,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_fq": q_select_fq,
         "func_boost": q_func_boost,
         "prefix": q_prefix,
+        "prefix_broad": q_prefix_broad,
         "wildcard": q_wildcard,
         "fuzzy": q_fuzzy,
         "term_range": q_term_range,
@@ -643,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "func_boost": O.func_boost("scan"),
         "prefix": O.prefix_docs("sc"),
+        "prefix_broad": O.prefix_docs("s"),
         "wildcard": O.wildcard_docs("s?an"),
         "fuzzy": O.fuzzy_docs("scann", 1),
         "term_range": O.term_range_docs("sl", "so"),

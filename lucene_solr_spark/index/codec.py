@@ -258,6 +258,31 @@ def reblock_runs(
         tf_cum = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=tf_cum[1:])
         byte_ends = np.append(starts, len(pos_buf))
+    # Partial runs arrive ordered by first_doc, but Spark scans source
+    # files by size (not doc order), so flushes can emit (term, split)
+    # runs with INTERLEAVING doc ranges — concatenation then breaks the
+    # doc-sorted invariant (negative gaps wrap through uint64). Detect
+    # and repair with a stable argsort. Each doc's position sub-stream
+    # begins with an absolute position (encode_run), so per-doc byte
+    # spans are relocatable: permute the spans, never decode them.
+    if len(doc_ids) > 1 and not np.all(np.diff(doc_ids) > 0):
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs_sorted = tfs[order]
+        norms = norms[order]
+        if keep_positions:
+            span_lo = byte_ends[tf_cum[:-1]][order]
+            span_hi = byte_ends[tf_cum[1:]][order]
+            pos_buf = b"".join(
+                pos_buf[int(a) : int(b)] for a, b in zip(span_lo, span_hi)
+            )
+            tfs = tfs_sorted
+            starts = varint_value_starts(pos_buf)
+            tf_cum = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=tf_cum[1:])
+            byte_ends = np.append(starts, len(pos_buf))
+        else:
+            tfs = tfs_sorted
     blocks = []
     for s in range(0, len(doc_ids), block_size):
         e = min(s + block_size, len(doc_ids))

@@ -817,6 +817,29 @@ class SegmentIndex:
             DECODED_SCHEMA,
         )
 
+    def postings_for_matched(
+        self, matched: DataFrame, want_positions: bool = False
+    ) -> DataFrame:
+        """Pruned decode for an UNBOUNDED matched-term frame (broad
+        multi-term expansions): broadcast-semi-join the term set against
+        the block scan instead of collecting the dictionary to the
+        driver (MultiTermQuery rewrite beyond the 1024-clause cap,
+        BooleanQuery.java:42). Bucket is recomputed on the matched side
+        so the join key (bucket, term) aligns with the partition column
+        — parquet row-group stats on term still prune the scan."""
+        m = matched.select("term").withColumn(
+            "bucket", _bucket_col(F.col("term"), self.n_buckets)
+        )
+        pruned = self.blocks.join(
+            F.broadcast(m), on=["bucket", "term"], how="left_semi"
+        )
+        return pruned.mapInPandas(
+            _decode_partitions(
+                want_positions and self.manifest["keep_positions"]
+            ),
+            DECODED_SCHEMA,
+        )
+
     def buckets_of(self, terms: list[str]) -> list[int]:
         """Bucket ids for terms — one tiny local job (must match
         _bucket_col: Spark xxhash64, default seed 42)."""

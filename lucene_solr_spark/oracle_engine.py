@@ -153,6 +153,8 @@ class OracleIndex:
         no-repeats path), implemented with linear min-scans (not a heap)
         so it is structurally independent of search/sloppy.py."""
         n = len(pls)
+        if n == 1:
+            return float(len(pls[0]))  # 1-clause guard, matches sloppy.py
         cur = [pls[i][0] for i in range(n)]
         ptr = [0] * n
         end = max(cur)

@@ -274,13 +274,26 @@ def facet_pivot(table: str = "documents") -> str:
 
 
 def stats_nchars(term: str, table: str = "documents") -> str:
+    # sum pinned to BIGINT (DuckDB sum(int)=HUGEINT otherwise); stddev
+    # from exact integer sum / sum-of-squares in the SAME double op order
+    # as the Spark side -> bit-identical, partition-order-independent.
     return f"""
 WITH {tok_ctes(table)},
-matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
-SELECT count(*) AS cnt, min(n_chars) AS min_v, max(n_chars) AS max_v,
-       sum(n_chars) AS sum_v, round(avg(n_chars), 4) AS mean_v,
-       round(stddev_samp(n_chars), 4) AS stddev_v
-FROM {table} d JOIN matched USING (doc_id)
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}'),
+a AS (
+  SELECT count(*) AS cnt, min(n_chars) AS min_v, max(n_chars) AS max_v,
+         CAST(sum(n_chars) AS BIGINT) AS sum_v,
+         CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+              AS BIGINT) AS ss
+  FROM {table} d JOIN matched USING (doc_id)
+)
+SELECT cnt, min_v, max_v, sum_v,
+       round(CAST(sum_v AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS mean_v,
+       round(sqrt((CAST(ss AS DOUBLE)
+                   - CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE)
+                     / CAST(cnt AS DOUBLE))
+                  / (CAST(cnt AS DOUBLE) - 1.0)), 4) AS stddev_v
+FROM a
 """.strip()
 
 
@@ -705,18 +718,21 @@ def highlight_snippets(
     term: str, fragment_size: int = 100, table: str = "documents"
 ) -> str:
     """Highlighter.java fragment semantics as mirrored Catalyst/DuckDB
-    string expressions: window around the first substring occurrence,
-    whole-word matches wrapped in <b>..</b>."""
+    string expressions: window anchored at the first WHOLE-WORD
+    occurrence (1 + length of the non-greedy prefix before it), matches
+    wrapped in <b>..</b>."""
     import re as _re
 
     rx = f"(?i)\\b{_re.escape(term)}\\b"
+    rx_prefix = f"(?is)^(.*?)\\b{_re.escape(term)}\\b"
     half = fragment_size // 2
     return f"""
 SELECT doc_id,
        regexp_replace(
          substr(text,
-                CAST(greatest(1, strpos(lower(text), lower('{_sq(term)}'))
-                                 - {half}) AS BIGINT),
+                CAST(greatest(1,
+                     length(regexp_extract(text, '{_sq(rx_prefix)}', 1))
+                     + 1 - {half}) AS BIGINT),
                 {fragment_size}),
          '{_sq(rx)}', '<b>{_sq(term)}</b>', 'g') AS snippet
 FROM {table}

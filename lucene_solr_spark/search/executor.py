@@ -49,6 +49,11 @@ from .query import (
 # df threshold under which the rarest MUST term's doc set is broadcast
 BROADCAST_DOCSET_MAX_DF = 100_000
 
+# MultiTermQuery rewrite cap (BooleanQuery.java:42 maxClauseCount):
+# expansions above this switch to a broadcast-semi-join constant-score
+# path that never collects the matched term set to the driver
+MULTITERM_REWRITE_CAP = 1024
+
 
 def _collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
@@ -499,14 +504,28 @@ class Searcher:
         else:  # pragma: no cover
             raise TypeError(q)
         if hasattr(self.index, "postings_for_terms"):
-            # expansion term list is the per-query term dict seek — small
-            # (Lucene's BooleanQuery caps scoring rewrites at 1024 clauses)
-            terms = [r["term"] for r in matched.select("term").collect()]
-            if not terms:
+            # Bounded rewrite: collect at most CAP+1 expansion terms
+            # (BooleanQuery.java:42 maxClauseCount=1024). Small
+            # expansions get bucket-partition pruning; broader ones
+            # (e.g. single-letter prefixes over a 10^8-term dictionary)
+            # never collect the dictionary — they fall back to a
+            # broadcast semi-join of the matched-term frame against the
+            # block scan (constant-score rewrite, driver-safe).
+            sample = (
+                matched.select("term")
+                .limit(MULTITERM_REWRITE_CAP + 1)
+                .collect()
+            )
+            if not sample:
                 return self.index.spark.createDataFrame(
                     [], f"doc_id long, score {self._score_type}"
                 )
-            src = self.index.postings_for_terms(terms)
+            if len(sample) <= MULTITERM_REWRITE_CAP:
+                src = self.index.postings_for_terms(
+                    [r["term"] for r in sample]
+                )
+            else:
+                src = self.index.postings_for_matched(matched)
         else:
             src = self.index.postings.join(
                 F.broadcast(matched.select("term")), on="term", how="left_semi"

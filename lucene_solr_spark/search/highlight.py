@@ -32,21 +32,21 @@ def highlight(
 ) -> DataFrame:
     """(doc_id, snippet) for docs containing ``term`` as a whole word.
 
-    The fragment starts at the first match (clamped so it never starts
-    mid-way past the text) and spans ``fragment_size`` chars; matches are
-    wrapped in <b>..</b> case-insensitively on word boundaries.
+    The fragment is anchored at the first WHOLE-WORD match (not the
+    first substring hit — 'scanner' must not anchor a 'scan' snippet),
+    clamped to text start, spanning ``fragment_size`` chars; matches are
+    wrapped in <b>..</b> case-insensitively on word boundaries. Anchor =
+    1 + length of the non-greedy prefix before the first whole-word
+    match, the same expression the DuckDB oracle evaluates. The term is
+    regex-escaped and passed through the column API (never interpolated
+    into F.expr), so quotes/metachars in queries are safe.
     """
     rx_find = f"(?i)\\b{re.escape(term)}\\b"
-    # position of first whole-word match, 1-based; 0 = no match
-    pos = F.coalesce(
-        F.expr(
-            f"locate(lower('{term}'), lower({text_col}))"
-        ),
-        F.lit(0),
+    rx_prefix = f"(?is)^(.*?)\\b{re.escape(term)}\\b"
+    matched = docs.where(F.col(text_col).rlike(rx_find)).withColumn(
+        "_pos",
+        F.length(F.regexp_extract(F.col(text_col), rx_prefix, 1)) + F.lit(1),
     )
-    matched = docs.where(
-        F.col(text_col).rlike(rx_find)
-    ).withColumn("_pos", pos)
     start = F.greatest(F.lit(1), F.col("_pos") - F.lit(fragment_size // 2))
     frag = F.substring(F.col(text_col), start, fragment_size)
     wrapped = F.regexp_replace(frag, rx_find, f"<b>{term}</b>")

@@ -8,14 +8,19 @@ BooleanQuery. idf here is MoreLikeThis's classic-similarity form
 ``ln(numDocs/(docFreq+1)) + 1`` (MoreLikeThis.java createQueue), distinct
 from the BM25 idf used to score the final query.
 
-Scale shape: term selection is one pruned postings lookup for a single
-doc (bucket + term pruning in the segment store) joined to broadcast df
-stats; the follow-on query is the ordinary BM25 Boolean path.
+Scale shape: term selection is DOC-MAJOR — re-analyze the ONE stored
+text row (exactly MoreLikeThis.retrieveTerms(int docNum), which
+re-analyzes the stored field when term vectors are absent) and look its
+terms up in terms_stats. The inverted postings store is never touched
+for source-term extraction: on a segment store, a doc_id filter over the
+term-major postings view would block-decode the whole corpus for one
+document. The follow-on query is the ordinary BM25 Boolean path.
 """
 
 from __future__ import annotations
 
 import math
+from collections import Counter
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -34,27 +39,34 @@ def interesting_terms(
     max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
     min_term_freq: int = DEFAULT_MIN_TERM_FREQ,
     min_doc_freq: int = DEFAULT_MIN_DOC_FREQ,
+    text_col: str = "text",
 ) -> list[str]:
     """Top MLT terms of ``doc_id``, ordered by (tf*idf desc, term asc)."""
+    from ..analysis.tokenizer import analyze
+
     idx = searcher.index
     n = idx.stats.max_doc
-    doc_terms = (
-        idx.postings.where(F.col("doc_id") == doc_id)
-        .select("term", "tf")
-        .where(F.col("tf") >= min_term_freq)
+    row = (
+        idx.docs.where(F.col("doc_id") == doc_id)
+        .select(text_col)
+        .collect()
     )
-    scored = (
-        doc_terms.join(idx.terms_stats.select("term", "df"), "term")
-        .where(F.col("df") >= min_doc_freq)
-        .withColumn(
-            "mlt_score",
-            F.col("tf")
-            * (F.log(F.lit(float(n)) / (F.col("df") + 1.0)) + F.lit(1.0)),
-        )
-        .orderBy(F.desc("mlt_score"), F.asc("term"))
-        .limit(max_query_terms)
-    )
-    return [r["term"] for r in scored.collect()]
+    if not row:
+        return []
+    terms_seq, _ = analyze(row[0][text_col])
+    tf_counts = Counter(terms_seq)
+    cand = [t for t, c in tf_counts.items() if c >= min_term_freq]
+    if not cand:
+        return []
+    stats = idx.term_stats(sorted(cand))  # pruned terms_stats lookup
+    scored = []
+    for t in cand:
+        df = stats.get(t, (0, 0))[0]
+        if df >= min_doc_freq:
+            mlt = tf_counts[t] * (math.log(float(n) / (df + 1.0)) + 1.0)
+            scored.append((-mlt, t))
+    scored.sort()
+    return [t for _, t in scored[:max_query_terms]]
 
 
 def more_like_this(

@@ -46,11 +46,14 @@ _TOKEN_RX = re.compile(
       (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
       (?P<plus>\+) | (?P<minus>-) |
       (?P<star>\*:\*) |
-      (?P<word>[^\s()+\-"^]+)
+      (?P<word>[^\s()+\-"^]+(?:-[^\s()+\-"^]+)*)
     )(?:\^(?P<boost>[0-9.]+))?
     """,
     re.VERBOSE,
 )
+# '-' is an operator only at a clause boundary (start/whitespace/'(');
+# mid-word hyphens stay in the token — classic QueryParser.jj behavior,
+# so 'well-known' analyzes to a phrase instead of 'well AND NOT known'.
 
 
 class QueryParseError(ValueError):

@@ -120,12 +120,15 @@ def Or(*terms: str, min_should_match: int = 1) -> BooleanQuery:
 
 def rewrite(q: Query) -> Query:
     """Rewrite to fixpoint (IndexSearcher.java:597-604): collapse
-    single-clause pure-MUST/SHOULD booleans; flatten nothing else in v1."""
+    single-clause pure-MUST/SHOULD booleans; 1-term PhraseQuery ->
+    TermQuery (PhraseQuery.rewrite, PhraseQuery.java:270-276 — also
+    what makes stopword-stripped phrases like '"the scan"~2' legal)."""
+    if isinstance(q, PhraseQuery) and len(q.terms) == 1:
+        return TermQuery(q.terms[0], q.boost)
     if isinstance(q, BooleanQuery):
         clauses = tuple(
             BooleanClause(rewrite(c.query), c.occur) for c in q.clauses
         )
-        scoring = [c for c in clauses if c.occur != "MUST_NOT"]
         if len(clauses) == 1 and clauses[0].occur in ("MUST", "SHOULD"):
             return clauses[0].query
         return BooleanQuery(clauses, q.min_should_match)

@@ -32,6 +32,11 @@ def sloppy_freq(plists: list[np.ndarray], slop: int) -> float:
     (0.0 if no window within slop).
     """
     n = len(plists)
+    if n == 1:
+        # degenerate 1-clause phrase: every position is a zero-width
+        # match, slop factor 1/(0+1) — freq == tf. (Lucene rewrites this
+        # to TermQuery before scoring; kept as a guard for direct calls.)
+        return float(len(plists[0]))
     ptrs = [0] * n
     end = None
     heap = []

@@ -50,13 +50,21 @@ def wand_or_search(
     if not isinstance(index, SegmentIndex):
         raise TypeError("wand_or_search needs a SegmentIndex")
     term_stats = index.term_stats(sorted(set(terms)))
-    present = [t for t in terms if t in term_stats]
+    # duplicate input terms: searcher.search(Or(*terms)) scores each
+    # duplicate SHOULD clause and sums, so fold multiplicity into the
+    # weight (k identical clauses contribute k * clause_score)
+    mult: dict[str, int] = {}
+    for t in terms:
+        if t in term_stats:
+            mult[t] = mult.get(t, 0) + 1
+    present = list(mult)
     if not present:
         return index.spark.createDataFrame(
             [], f"doc_id long, score {searcher._score_type}"
         )
     weights = {
-        t: searcher._term_weight_value(t, term_stats, 1.0) for t in present
+        t: mult[t] * searcher._term_weight_value(t, term_stats, 1.0)
+        for t in present
     }
 
     # -- 1. metadata-only bound per split --------------------------------

@@ -116,3 +116,23 @@ def test_dismax():
     assert q.min_should_match == 1
     assert all(isinstance(c.query, DisMaxQuery) for c in q.clauses)
     assert q.clauses[0].query == DisMaxQuery([TermQuery("error")], 0.3)
+
+
+def test_midword_hyphen_is_not_negation():
+    # classic QueryParser: '-' is an operator only at a clause start;
+    # 'well-known' analyzes to a phrase, not 'well AND NOT known'
+    q = parse_lucene("well-known")
+    assert q == PhraseQuery(["well", "known"])
+
+
+def test_leading_hyphen_still_negates():
+    q = parse_lucene("scan -merge")
+    assert [c.occur for c in q.clauses] == ["SHOULD", "MUST_NOT"]
+
+
+def test_single_term_sloppy_phrase_rewrites_to_term():
+    from lucene_solr_spark.search.query import rewrite
+
+    # stopword-stripped '"the scan"~2' must not crash the sloppy walk
+    q = rewrite(parse_lucene('"the scan"~2'))
+    assert q == TermQuery("scan")

@@ -59,6 +59,79 @@ def test_block_roundtrip_with_positions():
         assert (got == want).all()
 
 
+def test_reblock_interleaved_runs():
+    """Partial runs whose doc ranges INTERLEAVE (Spark packs scan files
+    by size, not doc order) must still produce doc-sorted blocks with
+    positions attached to the right docs."""
+    from lucene_solr_spark.index.codec import encode_run, reblock_runs
+
+    rng = np.random.default_rng(11)
+    all_docs = np.sort(rng.choice(10**6, size=700, replace=False)).astype(
+        np.int64
+    )
+    tfs = rng.integers(1, 6, size=700).astype(np.int64)
+    norms = rng.integers(0, 256, size=700).astype(np.uint8)
+    poss = [
+        np.sort(rng.choice(4096, size=int(t), replace=False)).astype(np.int64)
+        for t in tfs
+    ]
+    # deal docs round-robin into 3 runs -> fully interleaved ranges
+    partials = []
+    for r in range(3):
+        sel = np.arange(r, 700, 3)
+        flat = np.concatenate([poss[i] for i in sel])
+        partials.append(
+            encode_run(all_docs[sel], tfs[sel], norms[sel], flat)
+        )
+    # order by first_doc as the reducer does — still interleaved
+    partials.sort(key=lambda p: p["first_doc"])
+    blocks = reblock_runs(partials, keep_positions=True, block_size=128)
+    d_all, t_all, n_all, p_all = [], [], [], []
+    for b in blocks:
+        d, t, nb, p = decode_block(
+            b["first_doc"], b["num_docs"], b["docs_bin"], b["tfs_bin"],
+            b["norms_bin"], b["pos_bin"],
+        )
+        assert (np.diff(d) > 0).all()
+        assert int(d[0]) == b["first_doc"] and int(d[-1]) == b["last_doc"]
+        d_all.append(d)
+        t_all.append(t)
+        n_all.append(nb)
+        p_all.extend(p)
+    assert (np.concatenate(d_all) == all_docs).all()
+    assert (np.concatenate(t_all) == tfs).all()
+    assert (np.concatenate(n_all) == norms).all()
+    for got, want in zip(p_all, poss):
+        assert (got == want).all()
+
+
+def test_reblock_interleaved_runs_no_positions():
+    from lucene_solr_spark.index.codec import encode_run, reblock_runs
+
+    rng = np.random.default_rng(12)
+    all_docs = np.sort(rng.choice(10**6, size=300, replace=False)).astype(
+        np.int64
+    )
+    tfs = rng.integers(1, 6, size=300).astype(np.int64)
+    norms = rng.integers(0, 256, size=300).astype(np.uint8)
+    partials = []
+    for r in range(2):
+        sel = np.arange(r, 300, 2)
+        partials.append(encode_run(all_docs[sel], tfs[sel], norms[sel], None))
+    partials.sort(key=lambda p: p["first_doc"])
+    blocks = reblock_runs(partials, keep_positions=False, block_size=128)
+    d_all, t_all = [], []
+    for b in blocks:
+        d, t, nb, _ = decode_block(
+            b["first_doc"], b["num_docs"], b["docs_bin"], b["tfs_bin"],
+            b["norms_bin"], None,
+        )
+        d_all.append(d)
+        t_all.append(t)
+    assert (np.concatenate(d_all) == all_docs).all()
+    assert (np.concatenate(t_all) == tfs).all()
+
+
 @pytest.fixture(scope="module")
 def seg_index(tiny_index, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("segidx"))
@@ -171,6 +244,42 @@ def test_wand_rank_identical_to_unpruned(seg_index_splits, small_oracle):
             assert abs(g["score"] - w["score"]) <= 1e-9 * max(
                 1.0, abs(w["score"])
             )
+
+
+def test_multiterm_over_cap_broadcast_fallback(
+    seg_index_splits, monkeypatch
+):
+    """Expansions beyond the 1024-clause cap must use the broadcast
+    semi-join path (no driver dictionary collect) and return the same
+    doc set. Cap forced to 2 so the tiny corpus exercises it."""
+    import lucene_solr_spark.search.executor as ex
+    from lucene_solr_spark.search.query import PrefixQuery
+
+    s = Searcher(seg_index_splits)
+    want = sorted(
+        r["doc_id"]
+        for r in s.score(PrefixQuery("e")).select("doc_id").distinct().collect()
+    )
+    monkeypatch.setattr(ex, "MULTITERM_REWRITE_CAP", 2)
+    got = sorted(
+        r["doc_id"]
+        for r in s.score(PrefixQuery("e")).select("doc_id").distinct().collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_wand_duplicate_terms_match_or(seg_index_splits):
+    """Duplicate SHOULD clauses score twice in Or(...); WAND must fold
+    the multiplicity into the weight, not collapse duplicates."""
+    from lucene_solr_spark.search.wand import wand_or_search
+
+    s = Searcher(seg_index_splits)
+    terms = ["error", "error", "timeout"]
+    want = s.search(Or(*terms), 10).collect()
+    got = wand_or_search(s, terms, 10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) <= 1e-9 * max(1.0, abs(w["score"]))
 
 
 def test_wand_prunes_splits(seg_index_splits):
