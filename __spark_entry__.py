@@ -189,9 +189,10 @@ def q_bm25_phrase(spark, sf_dir):
 
 
 def q_bm25_phrase_sloppy(spark, sf_dir):
-    """Sloppy phrase (SloppyPhraseScorer walk) — not SQL-expressible, so
-    no oracle_sql twin; correctness pinned by tests/test_sloppy.py
-    (hand goldens + independent-oracle rank identity)."""
+    """Sloppy phrase (SloppyPhraseScorer walk). Oracle: exact SQL form
+    of the 2-clause walk (cross-clause adjacent pairs in merged adjusted
+    position order; see oracles.bm25_phrase_sloppy), float32-accumulated
+    freq via list_reduce. Also pinned by tests/test_sloppy.py."""
     return _topk_rounded(
         _searcher(spark, sf_dir).search(PhraseQuery(["key", "order"], 2), 10)
     )
@@ -660,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "bm25_phrase_sloppy": O.bm25_phrase_sloppy(["key", "order"], 2),
         "bm25_page2": O.bm25_bool(
             must=[], should=["scan", "merge"], k=10, offset=10
         ),

@@ -240,6 +240,98 @@ scored AS (
 """.strip()
 
 
+def bm25_phrase_sloppy(
+    terms: list[str], slop: int, k: int = 10, table: str = "documents"
+) -> str:
+    """Sloppy 2-term phrase — exact SQL form of the SloppyPhraseScorer
+    greedy walk (SloppyPhraseScorer.java:75-105, no-repeats path).
+
+    Chain form proven equivalent to the walk for 2 distinct clauses
+    (property-tested over 2000 random position lists,
+    tests/test_sloppy.py::test_closed_form_equals_walk_2clause): with
+    adjusted positions (raw - clause_offset), emits form a chain —
+    c0 = max of the two heads (tie -> clause 1, PhraseQueue order),
+    c_{{k+1}} = first element of the OPPOSITE list > c_k; each c_k emits
+    match length c_k - (last element of the other list <= c_k).
+    phraseFreq = float32-ordered sum of 1/(dist+1) over emits with
+    dist <= slop, reproduced bit-exactly via list_reduce with REAL
+    casts (chain order = ascending c). The chain is a recursive CTE
+    over per-doc position lists. Scoring mirrors bm25_phrase."""
+    if len(terms) != 2:
+        raise NotImplementedError("SQL sloppy oracle covers 2 clauses")
+    t0, t1 = terms
+    pos_ctes = f"""
+rawtok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  )
+)""".strip()
+    idf_terms = " + ".join(
+        "ln(1 + ((SELECT max_doc FROM coll) - "
+        f"(SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5) / "
+        f"((SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5))"
+        for t in terms
+    )
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH RECURSIVE {tok_ctes(table)},
+{pos_ctes},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl}) GROUP BY term
+),
+merged AS (
+  SELECT doc_id, pos AS p, 0 AS cl FROM rawtok WHERE term = '{_sq(t0)}'
+  UNION ALL
+  SELECT doc_id, pos - 1 AS p, 1 AS cl FROM rawtok WHERE term = '{_sq(t1)}'
+),
+lists AS (
+  SELECT doc_id,
+         list(p ORDER BY p) FILTER (WHERE cl = 0) AS la,
+         list(p ORDER BY p) FILTER (WHERE cl = 1) AS lb
+  FROM merged GROUP BY doc_id
+  HAVING count(DISTINCT cl) = 2
+),
+chain(doc_id, la, lb, c, ccl, dist) AS (
+  SELECT doc_id, la, lb,
+         CASE WHEN la[1] > lb[1] THEN la[1] ELSE lb[1] END,
+         CASE WHEN la[1] > lb[1] THEN 0 ELSE 1 END,
+         CASE WHEN la[1] > lb[1]
+              THEN la[1] - list_filter(lb, x -> x <= la[1])[-1]
+              ELSE lb[1] - list_filter(la, x -> x <= lb[1])[-1] END
+  FROM lists
+  UNION ALL
+  SELECT doc_id, la, lb, nc, 1 - ccl,
+         nc - list_filter(CASE WHEN ccl = 0 THEN la ELSE lb END,
+                          x -> x <= nc)[-1]
+  FROM (
+    SELECT *, list_filter(CASE WHEN ccl = 0 THEN lb ELSE la END,
+                          x -> x > c)[1] AS nc
+    FROM chain
+  ) WHERE nc IS NOT NULL
+),
+freqs AS (
+  SELECT doc_id,
+         list_reduce(
+           list(CAST(1.0 AS REAL) / CAST(dist + 1 AS REAL) ORDER BY c),
+           (x, y) -> CAST(x + y AS REAL)) AS tf
+  FROM chain WHERE dist <= {slop} GROUP BY doc_id
+),
+scored AS (
+  SELECT o.doc_id,
+         ({idf_terms}) * ({K1}+1) * o.tf
+           / (o.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM freqs o JOIN dls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 def prefix_docs(prefix: str, table: str = "documents") -> str:
     return (
         f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "

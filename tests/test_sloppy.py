@@ -71,3 +71,47 @@ def test_sloppy_rank_identity(tiny_searcher, tiny_oracle, terms, slop):
 def test_repeated_terms_rejected(tiny_searcher):
     with pytest.raises(NotImplementedError):
         tiny_searcher.search(PhraseQuery(["error", "error"], 2), 10)
+
+
+def test_closed_form_equals_walk_2clause():
+    """The SQL oracle's chain form must equal the greedy walk for 2
+    distinct clauses — the proof backing oracles.bm25_phrase_sloppy:
+    c0 = max of the two heads (tie -> clause 1), c_{k+1} = first element
+    of the opposite list > c_k; each c_k emits dist = c_k - (last
+    element of the other list <= c_k); freq = float32-ordered sum of
+    1/(dist+1) over dists <= slop."""
+    import numpy as np
+
+    from lucene_solr_spark.search.sloppy import sloppy_freq
+
+    def chain_freq(la, lb, slop):
+        if la[0] > lb[0]:
+            c, ccl = la[0], 0
+        else:
+            c, ccl = lb[0], 1
+        dists = []
+        while True:
+            other = lb if ccl == 0 else la
+            dists.append(c - [x for x in other if x <= c][-1])
+            nxt = [x for x in (lb if ccl == 0 else la) if x > c]
+            if not nxt:
+                break
+            c, ccl = nxt[0], 1 - ccl
+        acc = np.float32(0.0)
+        for d in dists:
+            if d <= slop:
+                acc = np.float32(acc + np.float32(1.0) / np.float32(d + 1))
+        return float(acc)
+
+    rng = np.random.default_rng(99)
+    for trial in range(2000):
+        na, nb = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        a = sorted(rng.choice(40, size=na, replace=False).tolist())
+        b = sorted(rng.choice(40, size=nb, replace=False).tolist())
+        slop = int(rng.integers(0, 7))
+        want = sloppy_freq(
+            [np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)],
+            slop,
+        )
+        got = chain_freq(a, b, slop)
+        assert got == want, (trial, a, b, slop, got, want)
