@@ -254,6 +254,23 @@ def q_prefix_broad(spark, sf_dir):
     return s.score(PrefixQuery("s")).select("doc_id").distinct()
 
 
+def q_regexp(spark, sf_dir):
+    """RegexpQuery: whole-term automaton match (RegexpQuery.java)."""
+    from lucene_solr_spark.search.query import RegexpQuery
+
+    s = _searcher(spark, sf_dir)
+    return s.score(RegexpQuery("sc.n|mer.e")).select("doc_id").distinct()
+
+
+def q_select_edismax(spark, sf_dir):
+    """edismax syntax: boosted term + fielded clause over a non-text
+    column ('scan^2 lang:en'), SHOULD-summed."""
+    from lucene_solr_spark.search.qparser import parse_edismax
+
+    s = _searcher(spark, sf_dir)
+    return _topk_rounded(s.search(parse_edismax("scan^2 lang:en"), 10))
+
+
 def q_term_range(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return s.score(TermRangeQuery("sl", "so")).select("doc_id").distinct()
@@ -280,6 +297,16 @@ def q_mlt(spark, sf_dir):
 
 def q_highlight(spark, sf_dir):
     return highlight(_docs(spark, sf_dir), "scan")
+
+
+def q_tfidf_or(spark, sf_dir):
+    """Second similarity through the scoring slot: ClassicSimilarity
+    (TFIDFSimilarity/DefaultSimilarity) OR query with coord+queryNorm."""
+    from lucene_solr_spark.search.similarities import tfidf_search
+
+    return _topk_rounded(
+        tfidf_search(_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
 
 
 def q_select_parsed(spark, sf_dir):
@@ -337,6 +364,35 @@ def q_span_first(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
+
+
+def q_span_near(spark, sf_dir):
+    """SpanNearQuery ordered (NearSpansOrdered over term spans):
+    'scan' then 'merge' within slop 4."""
+    from lucene_solr_spark.search.spans import span_near
+
+    return span_near(
+        _searcher(spark, sf_dir), ["scan", "merge"], 4, in_order=True
+    )
+
+
+def q_span_near_unord(spark, sf_dir):
+    """SpanNearQuery unordered (NearSpansUnordered): 'scan' and 'merge'
+    in either order within slop 3."""
+    from lucene_solr_spark.search.spans import span_near
+
+    return span_near(
+        _searcher(spark, sf_dir), ["scan", "merge"], 3, in_order=False
+    )
+
+
+def q_span_not(spark, sf_dir):
+    """SpanNotQuery: 'scan' spans not overlapping 'merge' spans (term
+    spans overlap iff same position — degenerate but exercises the
+    anti-join shape)."""
+    from lucene_solr_spark.search.spans import span_not
+
+    return span_not(_searcher(spark, sf_dir), "scan", "merge")
 
 
 def q_stats_by_lang(spark, sf_dir):
@@ -611,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_seg": q_bm25_seg,
         "bm25_wand": q_bm25_wand,
         "bm25_stream": q_bm25_stream,
+        "tfidf_or": q_tfidf_or,
         "select_parsed": q_select_parsed,
         "select_fq": q_select_fq,
         "func_boost": q_func_boost,
@@ -618,9 +675,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_broad": q_prefix_broad,
         "wildcard": q_wildcard,
         "fuzzy": q_fuzzy,
+        "regexp": q_regexp,
+        "select_edismax": q_select_edismax,
         "term_range": q_term_range,
         "numeric_range": q_numeric_range,
         "span_first": q_span_first,
+        "span_near": q_span_near,
+        "span_near_unord": q_span_near_unord,
+        "span_not": q_span_not,
         "stats_by_lang": q_stats_by_lang,
         "spellcheck": q_spellcheck,
         "mlt": q_mlt,
@@ -668,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_stream": O.bm25_term("scan"),
+        "tfidf_or": O.tfidf_or(["scan", "merge"]),
         "select_parsed": O.bm25_bool(must=["scan", "merge"]),
         "select_fq": O.bm25_bool(
             must=[], should=["scan", "merge"], fq="d.lang = 'en'"
@@ -677,9 +740,16 @@ def oracle_sql() -> dict[str, str]:
         "prefix_broad": O.prefix_docs("s"),
         "wildcard": O.wildcard_docs("s?an"),
         "fuzzy": O.fuzzy_docs("scann", 1),
+        "regexp": O.regexp_docs("sc.n|mer.e"),
+        "select_edismax": O.select_edismax_boost_fielded(
+            "scan", 2.0, "lang", "en"
+        ),
         "term_range": O.term_range_docs("sl", "so"),
         "numeric_range": O.numeric_range(200, 400),
         "span_first": O.span_first_docs("scan", 5),
+        "span_near": O.span_near_docs(["scan", "merge"], 4, True),
+        "span_near_unord": O.span_near_docs(["scan", "merge"], 3, False),
+        "span_not": O.span_not_docs("scan", "merge"),
         "stats_by_lang": O.stats_by_facet("scan", "lang"),
         "spellcheck": O.spellcheck("qery", 2, 5),
         "mlt": O.more_like_this(0, 10),

@@ -914,6 +914,173 @@ ORDER BY doc_id
 """.strip()
 
 
+def regexp_docs(pattern: str, table: str = "documents") -> str:
+    """RegexpQuery (RegexpQuery.java): whole-term regex match over the
+    dictionary, constant-score doc set."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT DISTINCT doc_id FROM tok
+WHERE regexp_full_match(term, '{_sq(pattern)}')
+ORDER BY doc_id
+""".strip()
+
+
+def select_edismax_boost_fielded(
+    term: str,
+    boost: float,
+    field: str,
+    fval: str,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """edismax '{term}^{boost} {field}:{fval}' — SHOULD sum of a
+    boosted BM25 term clause and a constant-score fielded clause.
+    Weight mirrors Searcher._term_weight_value: (boost*idf)*(1.2+1)."""
+    return f"""
+WITH {tok_ctes(table)},
+qtf AS (
+  SELECT doc_id, count(*) AS tf FROM tok
+  WHERE term = '{_sq(term)}' GROUP BY doc_id
+),
+dfs AS (SELECT count(*) AS df FROM qtf),
+parts AS (
+  SELECT f.doc_id,
+         ({boost!r} * ln(1 + ((SELECT max_doc FROM coll)
+                              - (SELECT df FROM dfs) + 0.5)
+                         / ((SELECT df FROM dfs) + 0.5)))
+           * ({K1}+1) * f.tf
+           / (f.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM qtf f
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+  UNION ALL
+  SELECT doc_id, 1.0 AS score FROM {table}
+  WHERE CAST({field} AS VARCHAR) = '{_sq(fval)}'
+),
+summed AS (SELECT doc_id, sum(score) AS score FROM parts GROUP BY doc_id)
+{_topk('summed', k)}
+""".strip()
+
+
+def tfidf_or(terms: list[str], k: int = 10, table: str = "documents") -> str:
+    """ClassicSimilarity (DefaultSimilarity.java:31-79) OR query —
+    mirrors similarities.tfidf_search textually: partial =
+    sqrt(tf) * idf^2 * 1/sqrt(qdl); score = (queryNorm * coord) * sum.
+    2-term gates rely on IEEE addition commutativity (sum order-safe)."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    qn_terms = " + ".join(
+        f"((SELECT idf FROM idfs WHERE term = '{_sq(t)}') * "
+        f"(SELECT idf FROM idfs WHERE term = '{_sq(t)}'))"
+        for t in sorted(set(terms))
+    )
+    maxo = len(set(terms))
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl}) GROUP BY term
+),
+idfs AS (
+  SELECT term,
+         ln(CAST((SELECT max_doc FROM coll) AS DOUBLE) / (df + 1.0)) + 1
+           AS idf
+  FROM dfs
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+partials AS (
+  SELECT t.doc_id, t.term,
+         sqrt(CAST(t.tf AS DOUBLE)) * (i.idf * i.idf) * (1.0 / sqrt(q.q))
+           AS partial
+  FROM tfs t
+  JOIN idfs i USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+scored AS (
+  SELECT doc_id,
+         ((1.0 / sqrt({qn_terms}))
+          * (CAST(count(DISTINCT term) AS DOUBLE) / {maxo}.0))
+         * sum(partial) AS score
+  FROM partials GROUP BY doc_id
+)
+{_topk('scored', k)}
+""".strip()
+
+
+_RAWTOK_CTE = f"""
+rawtok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM TABLE_NAME
+  )
+)""".strip()
+
+
+def _rawtok(table: str) -> str:
+    return _RAWTOK_CTE.replace("TABLE_NAME", table)
+
+
+def span_near_docs(
+    terms: list[str],
+    slop: int,
+    in_order: bool = True,
+    table: str = "documents",
+) -> str:
+    """SpanNearQuery doc set (NearSpansOrdered/-Unordered over term
+    spans): ordered needs strictly increasing positions in clause order
+    with (p_last - p_first) - (n-1) <= slop; unordered (2 clauses)
+    |p_a - p_b| - 1 <= slop. Positions are raw pre-stop counters —
+    differences are offset-invariant vs the engine's 0-based ones."""
+    n = len(terms)
+    p_ctes = [
+        f"p{i} AS (SELECT doc_id, pos AS v{i} FROM rawtok "
+        f"WHERE term = '{_sq(t)}')"
+        for i, t in enumerate(terms)
+    ]
+    join = "p0"
+    conds = []
+    for i in range(1, n):
+        join += f" JOIN p{i} USING (doc_id)"
+        if in_order:
+            conds.append(f"v{i} > v{i-1}")
+    if in_order:
+        conds.append(f"(v{n-1} - v0) - {n-1} <= {slop}")
+    else:
+        conds.append(f"abs(v1 - v0) - 1 <= {slop}")
+    return f"""
+WITH {_rawtok(table)},
+{', '.join(p_ctes)}
+SELECT DISTINCT doc_id FROM {join}
+WHERE {' AND '.join(conds)}
+ORDER BY doc_id
+""".strip()
+
+
+def span_not_docs(
+    include: str, exclude: str, table: str = "documents"
+) -> str:
+    """SpanNotQuery doc set: at least one include-term span whose
+    position is not an exclude-term position (term spans length 1)."""
+    return f"""
+WITH {_rawtok(table)}
+SELECT DISTINCT doc_id FROM rawtok i
+WHERE i.term = '{_sq(include)}'
+  AND NOT EXISTS (
+    SELECT 1 FROM rawtok e
+    WHERE e.doc_id = i.doc_id AND e.term = '{_sq(exclude)}'
+      AND e.pos = i.pos
+  )
+ORDER BY doc_id
+""".strip()
+
+
 def stats_by_facet(
     term: str, facet: str, table: str = "documents"
 ) -> str:

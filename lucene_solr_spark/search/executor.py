@@ -35,11 +35,13 @@ from .query import (
     BooleanClause,
     BooleanQuery,
     DisMaxQuery,
+    FieldTermQuery,
     FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -214,9 +216,25 @@ class Searcher:
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, term_stats)
         if isinstance(
-            q, (PrefixQuery, WildcardQuery, FuzzyQuery, TermRangeQuery)
+            q,
+            (
+                PrefixQuery,
+                WildcardQuery,
+                FuzzyQuery,
+                TermRangeQuery,
+                RegexpQuery,
+            ),
         ):
             return self._score_multiterm(q)
+        if isinstance(q, FieldTermQuery):
+            # exact match on a stored column: constant-score predicate
+            # pushed into the parquet scan by Catalyst
+            return self.index.docs.where(
+                F.col(q.field).cast("string") == F.lit(q.value)
+            ).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(float(q.boost)).cast(self._score_type).alias("score"),
+            )
         if isinstance(q, DisMaxQuery):
             return self._score_dismax(q, term_stats)
         if isinstance(q, BooleanQuery):
@@ -484,6 +502,11 @@ class Searcher:
         elif isinstance(q, FuzzyQuery):
             matched = ts.where(
                 F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            )
+        elif isinstance(q, RegexpQuery):
+            # RegexpQuery.java: the automaton must accept the WHOLE term
+            matched = ts.where(
+                F.col("term").rlike("^(?:" + q.pattern + ")$")
             )
         elif isinstance(q, TermRangeQuery):
             # lexicographic bounds (TermRangeQuery.java:~60); Parquet

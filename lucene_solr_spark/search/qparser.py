@@ -26,6 +26,7 @@ from .query import (
     BooleanClause,
     BooleanQuery,
     DisMaxQuery,
+    FieldTermQuery,
     FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
@@ -46,7 +47,8 @@ _TOKEN_RX = re.compile(
       (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
       (?P<plus>\+) | (?P<minus>-) |
       (?P<star>\*:\*) |
-      (?P<word>[^\s()+\-"^]+(?:-[^\s()+\-"^]+)*)
+      (?P<fielded>[A-Za-z_][A-Za-z0-9_]*):(?P<fval>[^\s():+\-"^]+) |
+      (?P<word>[^\s():+\-"^]+(?:-[^\s():+\-"^]+)*)
     )(?:\^(?P<boost>[0-9.]+))?
     """,
     re.VERBOSE,
@@ -151,6 +153,14 @@ def parse_lucene(q: str) -> Query:
                 pending_occur = "MUST_NOT"
             elif m.group("star"):
                 push(MatchAllQuery())
+            elif m.group("fielded"):
+                fld, fval = m.group("fielded"), m.group("fval")
+                if fld == "text":
+                    push(_word_query(fval, boost))
+                else:
+                    # Solr fielded clause over a non-text column
+                    # (StrField/TrieField exact match)
+                    push(FieldTermQuery(fld, fval, boost))
             elif m.group("word"):
                 push(_word_query(m.group("word"), boost))
             i += 1
@@ -174,6 +184,25 @@ def _finish(clauses: list[BooleanClause]) -> Query:
     if len(clauses) == 1 and clauses[0].occur in ("MUST", "SHOULD"):
         return clauses[0].query
     return BooleanQuery(clauses)
+
+
+def parse_edismax(
+    user_query: str, tie: float = 0.0, mm: int = 0
+) -> Query:
+    """ExtendedDismaxQParserPlugin.java behavior subset: full lucene
+    syntax (incl. fielded clauses ``field:value``, boosts, phrases,
+    +/-) with edismax's signature GRACEFUL DEGRADATION — if the query
+    does not parse as lucene syntax, fall back to treating it as a
+    plain dismax bag of words (escaping the operators)."""
+    try:
+        q = parse_lucene(user_query)
+    except QueryParseError:
+        return parse_dismax(
+            re.sub(r'[()+\-"^\[\]]', " ", user_query), tie, mm
+        )
+    if mm and isinstance(q, BooleanQuery) and q.min_should_match == 0:
+        q = BooleanQuery(q.clauses, min_should_match=mm)
+    return q
 
 
 def parse_dismax(

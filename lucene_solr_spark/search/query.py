@@ -92,6 +92,31 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Full-term regular-expression match (RegexpQuery.java /
+    AutomatonQuery.java): the WHOLE term must match (Lucene compiles
+    the regexp to an automaton run over complete terms), so execution
+    anchors the pattern with ^..$. Rewrites to a constant-score doc set
+    like the other MultiTermQueries."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldTermQuery(Query):
+    """Exact-match query on a non-text stored/docvalues column
+    (Solr fielded syntax `field:value` over a StrField/TrieField —
+    S/search/ExtendedDismaxQParserPlugin.java field clauses). Scored as
+    a constant (boost) over docs where the column equals the value;
+    Catalyst pushes the predicate into the parquet scan."""
+
+    field: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermRangeQuery(Query):
     """Lexicographic term range (TermRangeQuery.java), inclusive bounds
     optional; rewrites to a constant-score doc set like the other

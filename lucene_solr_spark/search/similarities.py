@@ -1,0 +1,105 @@
+"""Alternative similarities through the Searcher's scoring slot.
+
+The engine's scoring pipeline is three reusable pieces — pruned postings
+lookup (Searcher._postings_for), per-term scalar weights from broadcast
+collection stats, and a vectorized per-(term, doc) score column folded
+by one groupBy(doc_id) — so a Similarity is just a different scalar
+formula bound into the same pipeline (the custom-Similarity extension
+point, lucene/core/.../search/similarities/Similarity.java).
+
+ClassicSimilarity here is Lucene 4.0's DefaultSimilarity /
+TFIDFSimilarity (DefaultSimilarity.java:31-79, TFIDFSimilarity.java):
+
+  idf(t)       = ln(N / (df + 1)) + 1
+  tf(freq)     = sqrt(freq)
+  norm(d)      = decode(norm_byte) = 1 / sqrt(quantized_dl)
+                 (same floatToByte315 byte the index already stores)
+  queryNorm(q) = 1 / sqrt(sum_t (idf(t) * boost(t))^2)
+  coord(q,d)   = overlap / maxOverlap
+  score(q,d)   = coord * queryNorm
+                 * sum_t tf(t,d) * idf(t)^2 * boost(t) * norm(d)
+
+Arithmetic is IEEE-double in the same textual order as the SQL oracle
+(oracles.tfidf_or), mirroring the Searcher's default double mode.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.norms import NORM_TABLE
+from .executor import Searcher
+
+
+def classic_idf(df: int, n: int) -> float:
+    """DefaultSimilarity.idf: ln(numDocs/(docFreq+1)) + 1."""
+    return math.log(float(n) / (df + 1.0)) + 1.0
+
+
+def tfidf_search(
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k for OR(terms) under ClassicSimilarity — the second
+    Similarity through the slot. Same physical plan as the BM25 OR path
+    (ONE union-free pruned scan + ONE groupBy(doc_id) shuffle + top-k).
+    """
+    idx = searcher.index
+    boosts = boosts or {}
+    stats = idx.term_stats(sorted(set(terms)))
+    present = sorted(t for t in set(terms) if t in stats)
+    if not present:
+        return idx.spark.createDataFrame([], "doc_id long, score double")
+    n = idx.stats.max_doc
+    idfs = {t: classic_idf(stats[t][0], n) for t in present}
+    # queryNorm over ALL query terms (absent terms have df=0 -> idf of
+    # df=0 still defined; Lucene computes weights for present terms via
+    # TermStatistics with df=0 giving idf = ln(N/1)+1 — include them)
+    sumsq = 0.0
+    for t in sorted(set(terms)):
+        b = boosts.get(t, 1.0)
+        ti = idfs.get(t, classic_idf(0, n))
+        sumsq += (ti * b) * (ti * b)
+    query_norm = 1.0 / math.sqrt(sumsq)
+    max_overlap = len(set(terms))
+
+    # per-(term, doc) partial: sqrt(tf) * idf^2 * boost * 1/sqrt(qdl)
+    wmap = F.create_map(
+        *[
+            x
+            for t in present
+            for x in (
+                F.lit(t),
+                F.lit(idfs[t] * idfs[t] * boosts.get(t, 1.0)),
+            )
+        ]
+    )
+    inv_sqrt_qdl = [1.0 / math.sqrt(float(v)) for v in NORM_TABLE.tolist()]
+    norm_arr = F.array(*[F.lit(v) for v in inv_sqrt_qdl])
+    partial = (
+        searcher._postings_for(present)
+        .select("term", "doc_id", "tf", "norm_byte")
+        .withColumn(
+            "partial",
+            F.sqrt(F.col("tf").cast("double"))
+            * wmap[F.col("term")]
+            * F.element_at(norm_arr, F.col("norm_byte") + 1),
+        )
+    )
+    scored = partial.groupBy("doc_id").agg(
+        (
+            F.lit(query_norm)
+            * (
+                F.countDistinct("term").cast("double")
+                / F.lit(float(max_overlap))
+            )
+            * F.sum("partial")
+        ).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

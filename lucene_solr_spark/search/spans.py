@@ -1,0 +1,115 @@
+"""Span queries — position-aware doc-set operators (SURVEY.md §2.9).
+
+References (lucene/core/src/java/org/apache/lucene/search/spans/):
+  - SpanNearQuery.java + NearSpansOrdered.java: clause spans in document
+    order, non-overlapping, with total in-between distance <= slop. For
+    term spans (length 1) over positions p_0 < p_1 < ... < p_{n-1} the
+    ordered match condition is (p_{n-1} - p_0) - (n - 1) <= slop.
+  - NearSpansUnordered.java: any order; slop check is
+    (max_end - min_start) - totalLength <= slop, i.e. for two term
+    spans |p_a - p_b| - 1 <= slop.
+  - SpanOrQuery.java: union of clause spans.
+  - SpanNotQuery.java: spans of `include` that do not overlap any span
+    of `exclude` — for term spans, include-positions not equal to any
+    exclude-position (term spans have length 1).
+  - SpanFirstQuery.java: spans ending within the first `end` positions
+    (gated separately as span_first).
+
+The engine exposes these as CONSTANT-SCORE doc sets (the same shape the
+span_first gate uses): the positional existence test is the interesting
+operator; BM25 scoring of span freq composes via the ordinary scorer
+once freq is defined.
+
+Scale shape: each clause is one pruned postings lookup (bucket + term
+pruning on the segment store); positions explode per occurrence and the
+clause streams meet in ONE doc_id-keyed shuffle (groupBy or join chain).
+At 10^12 docs the join keys are (doc_id), the same distribution the
+postings already have — no skew beyond the terms' own df.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .executor import Searcher
+
+
+def _positions(searcher: Searcher, term: str, alias: str) -> DataFrame:
+    return (
+        searcher._postings_for([term], want_positions=True)
+        .select("doc_id", F.explode("positions").alias(alias))
+    )
+
+
+def span_near(
+    searcher: Searcher,
+    terms: list[str],
+    slop: int,
+    in_order: bool = True,
+) -> DataFrame:
+    """Docs containing a SpanNear match of ``terms`` — distinct doc_id.
+
+    Ordered (NearSpansOrdered): positions strictly increasing in clause
+    order with (p_last - p_first) - (n-1) <= slop.
+    Unordered (NearSpansUnordered, 2 clauses): |p_a - p_b| - 1 <= slop.
+    """
+    n = len(terms)
+    if n < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+    if not in_order and n != 2:
+        raise NotImplementedError("unordered span_near: 2 clauses in v1")
+    stats = searcher.index.term_stats(sorted(set(terms)))
+    if any(t not in stats for t in terms):
+        return searcher.index.spark.createDataFrame([], "doc_id long")
+    cur = _positions(searcher, terms[0], "p0")
+    for i in range(1, n):
+        nxt = _positions(searcher, terms[i], f"p{i}")
+        if in_order:
+            cond = F.col(f"p{i}") > F.col(f"p{i-1}")
+            cur = cur.join(nxt, on="doc_id").where(cond)
+        else:
+            cur = cur.join(nxt, on="doc_id")
+    if in_order:
+        width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+    else:
+        width = (
+            F.greatest(F.col("p0"), F.col("p1"))
+            - F.least(F.col("p0"), F.col("p1"))
+            - F.lit(1)
+        )
+    return (
+        cur.where(width <= F.lit(slop)).select("doc_id").distinct()
+    )
+
+
+def span_or(searcher: Searcher, terms: list[str]) -> DataFrame:
+    """Docs with any clause span (SpanOrQuery union) — distinct doc_id."""
+    stats = searcher.index.term_stats(sorted(set(terms)))
+    present = [t for t in terms if t in stats]
+    if not present:
+        return searcher.index.spark.createDataFrame([], "doc_id long")
+    return (
+        searcher._postings_for(present)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def span_not(
+    searcher: Searcher, include: str, exclude: str
+) -> DataFrame:
+    """Docs retaining at least one ``include`` span that does not
+    overlap an ``exclude`` span (term spans overlap iff equal position).
+    """
+    stats = searcher.index.term_stats(sorted({include, exclude}))
+    if include not in stats:
+        return searcher.index.spark.createDataFrame([], "doc_id long")
+    inc = _positions(searcher, include, "pos")
+    if exclude not in stats:
+        return inc.select("doc_id").distinct()
+    exc = _positions(searcher, exclude, "pos").withColumn(
+        "is_exc", F.lit(1)
+    )
+    kept = inc.join(exc, on=["doc_id", "pos"], how="left_anti")
+    return kept.select("doc_id").distinct()
