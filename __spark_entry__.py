@@ -541,6 +541,13 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash_capped(spark, sf_dir):
+    """Mega-bucket guard: bucket_cap=2 forces STAR linking (each
+    over-cap bucket member pairs only with the bucket's min doc_id) —
+    the path that keeps boilerplate buckets O(n) at 100 TB."""
+    return minhash_candidate_pairs(_docs(spark, sf_dir), bucket_cap=2)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -697,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join": q_block_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
         "dedup_simhash": q_dedup_simhash,
         "jaccard": q_jaccard,
         "quality": q_quality,
@@ -764,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "block_join": O.block_join_orders(),
         "dedup_exact": O.dedup_exact_doubled(),
         "dedup_minhash": O.minhash_pairs(),
+        "dedup_minhash_capped": O.minhash_pairs(bucket_cap=2),
         "dedup_simhash": O.simhash_sql(),
         "jaccard": O.jaccard_topk(),
         "quality": O.text_quality(),

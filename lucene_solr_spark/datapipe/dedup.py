@@ -27,42 +27,86 @@ def distinct_shingle_rows(
     df: "DataFrame", text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> "DataFrame":
-    """(doc_id, shingle) distinct rows via an Arrow-batched kernel.
-
-    Spark's higher-order array functions (transform/slice/array_join)
-    run on the interpreted, non-codegen path — measured ~2 ms/doc; the
-    vectorized Python kernel is ~20x faster and identical in output
-    (same analyzer grammar, same ' '-joined word n-grams)."""
+    """(doc_id, shingle) distinct rows via a COLUMN-vectorized Arrow
+    kernel: one pandas `.str.findall` per batch (C regex loop), one
+    vectorized stopword `isin`, n-gram assembly as shifted-array string
+    concat, distinct via frame-level drop_duplicates — no per-document
+    Python. Output identical to analyzer-per-doc shingling (same
+    grammar, same ' '-joined post-stop word n-grams). At 100 TB this
+    kernel is the dedup hot loop; the previous per-doc analyze() loop
+    was its bottleneck."""
+    import numpy as np
     import pandas as pd
 
-    from ..analysis.tokenizer import analyze
+    from ..analysis.tokenizer import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+        TOKEN_PATTERN,
+    )
+
+    stop_list = sorted(ENGLISH_STOP_WORDS)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "shingle": pd.Series([], dtype="object"),
+        }
+    )
 
     def run(batches):
         for pdf in batches:
-            ids, shingles = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks, _ = analyze(text if isinstance(text, str) else "")
-                if len(toks) < shingle_n:
-                    continue
-                seen = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-                ids.extend([doc_id] * len(seen))
-                shingles.extend(seen)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "shingle": pd.Series(shingles, dtype="object"),
-                }
+            texts = pdf[text_col].fillna("").astype(str)
+            toklists = texts.str.lower().str.findall(TOKEN_PATTERN)
+            lens = toklists.str.len().to_numpy(dtype=np.int64)
+            if int(lens.sum()) < shingle_n:
+                yield empty
+                continue
+            flat = pd.Series(
+                np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toklists if t]
+                ),
+                dtype=object,
             )
+            docs = np.repeat(pdf[id_col].to_numpy(dtype=np.int64), lens)
+            keep = (
+                ~flat.isin(stop_list).to_numpy()
+                & (flat.str.len() <= MAX_TOKEN_LENGTH).to_numpy()
+            )
+            tok = flat.to_numpy()[keep]
+            docs = docs[keep]
+            n = len(tok)
+            if n < shingle_n:
+                yield empty
+                continue
+            m = n - shingle_n + 1
+            d0 = docs[:m]
+            same = np.ones(m, dtype=bool)
+            for j in range(1, shingle_n):
+                same &= docs[j : m + j] == d0
+            head = pd.Series(tok[:m], dtype="object")
+            sh = head.str.cat(
+                [pd.Series(tok[j : m + j], dtype="object")
+                 for j in range(1, shingle_n)],
+                sep=" ",
+            ).to_numpy()
+            out = pd.DataFrame(
+                {"doc_id": d0[same], "shingle": sh[same]}
+            ).drop_duplicates()
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, "doc_id long, shingle string"
     )
 
-DEFAULT_NUM_HASHES = 12
-DEFAULT_BAND_SIZE = 3  # 12 hashes -> 4 bands of 3
+# Production LSH parameters: 128 permutations in 16 bands of 8 — the
+# standard near-dup recall/precision operating point (s-curve threshold
+# (1/16)^(1/8) ~= 0.71 Jaccard), vs the toy 12/3 of round 1.
+DEFAULT_NUM_HASHES = 128
+DEFAULT_BAND_SIZE = 8
+
+# Buckets larger than this (boilerplate mega-buckets) switch from
+# all-pairs to star linking — see minhash_candidate_pairs.
+DEFAULT_BUCKET_CAP = 1000
 
 
 def exact_duplicate_groups(
@@ -91,15 +135,17 @@ def minhash_signatures(
     Docs with no shingles (fewer than n tokens) are dropped."""
     base = distinct_shingle_rows(df, text_col, id_col, shingle_n)
     # affine double hashing (Kirsch-Mitzenmacher): ONE md5 per shingle
-    # yields (a, b); permutation i = (a + i*b) & (2^60-1). 12x fewer
+    # yields (a, b); permutation i = (a + i*b) & (2^60-1). 128x fewer
     # hash evaluations than per-seed md5, same LSH guarantees; the
-    # DuckDB oracle mirrors the arithmetic verbatim.
+    # DuckDB oracle mirrors the arithmetic verbatim. b is masked to 55
+    # bits so a + 127*b stays inside int64 (DuckDB errors on BIGINT
+    # overflow; Java would silently wrap and diverge).
     md5c = F.md5(F.col("shingle"))
     a = F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long")
     b = (
         F.conv(F.substring(md5c, 16, 15), 16, 10)
         .cast("long")
-        .bitwiseAND(F.lit((1 << 59) - 1))
+        .bitwiseAND(F.lit((1 << 55) - 1))
         .bitwiseOR(F.lit(1))
     )
     hashed = base.select(
@@ -148,31 +194,54 @@ def minhash_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = 3,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing >= 1 LSH band bucket.
     The self-join is per (band, bucket) — bounded by bucket sizes, never
-    the full cross product."""
+    the full cross product.
+
+    Mega-bucket guard: a bucket with n > ``bucket_cap`` members (one
+    boilerplate text shared by 10^7 docs) would emit O(n^2) pairs and
+    straggle one reducer. Such buckets switch to STAR linking — every
+    member pairs with the bucket's min doc_id only (O(n) pairs). For
+    dedup the star preserves the connected components (all members
+    remain transitively linked through the representative), which is
+    the property dedup-by-clustering consumes; only the explicit
+    pair list is thinned."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     buckets = minhash_band_buckets(sigs, num_hashes, band_size)
     # the self-join references the bucket table twice; without a
     # materialization Spark recomputes the tokenize+shingle+minhash
     # lineage for both sides (no exchange to reuse above a mapInPandas)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    buckets = buckets.withColumn(
+        "sz", F.count(F.lit(1)).over(w)
+    ).withColumn("rep", F.min("doc_id").over(w))
     buckets = buckets.persist()
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    small = buckets.where(F.col("sz") <= F.lit(bucket_cap))
+    left = small.alias("l")
+    right = small.alias("r")
+    all_pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("doc_a"),
+        F.col("r.doc_id").alias("doc_b"),
+    )
+    star_pairs = (
+        buckets.where(
+            (F.col("sz") > F.lit(bucket_cap))
+            & (F.col("doc_id") != F.col("rep"))
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_pairs(

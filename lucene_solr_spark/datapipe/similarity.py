@@ -79,55 +79,71 @@ def knn_cosine_join(
     )
 
 
-def hyperplane_lsh_buckets(
-    embeddings: DataFrame,
-    n_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane sign LSH: bucket = sum of sign bits. Plane
-    weights are +-1 derived from md5(plane,dim) parity — deterministic,
-    replayable, and oracle-SQL-computable."""
+def _sig_col(vec_col: str, n_planes: int, table: int):
+    """One LSH table's signature column: bucket = Σ 2^p over planes
+    with positive projection. Plane weights are +-1 derived from
+    md5(table|plane|dim) parity — deterministic, replayable, and
+    oracle-SQL-computable."""
+    def weight_fn(p: int):
+        prefix = f"{table}|{p}|"
+
+        def fn(x, i):
+            return x.cast("double") * F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), i.cast("string"))),
+                    15,
+                    1,
+                ).isin(list("13579bdf")),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+
+        return fn
+
     sig = F.lit(0)
     for p in range(n_planes):
-        # w[p][i] = +1 if md5("p|i") hex digit 15 is odd else -1 —
-        # the same predicate is expressible verbatim in ANSI SQL/DuckDB
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.substring(
-                        F.md5(
-                            F.concat(F.lit(f"{p}|"), i.cast("string"))
-                        ),
-                        15,
-                        1,
-                    ).isin(list("13579bdf")),
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
+                weight_fn(p),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return embeddings.select(F.col(id_col), sig.alias("lsh_bucket"))
+    return sig
 
 
-def _plane_weight(p: int, i: int) -> float:
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    table: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane sign LSH buckets for one table."""
+    return embeddings.select(
+        F.col(id_col),
+        _sig_col(vec_col, n_planes, table).alias("lsh_bucket"),
+    )
+
+
+def _plane_weight(table: int, p: int, i: int) -> float:
     import hashlib
 
-    h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()
+    h = hashlib.md5(f"{table}|{p}|{i}".encode()).hexdigest()
     return 1.0 if h[14] in "13579bdf" else -1.0
 
 
-def lsh_bucket_of(vec: list[float], n_planes: int = 8) -> int:
+def lsh_bucket_of(
+    vec: list[float], n_planes: int = 8, table: int = 0
+) -> int:
     """Driver-side bucket of a literal query vector (same planes)."""
     sig = 0
     for p in range(n_planes):
         proj = sum(
-            float(x) * _plane_weight(p, i) for i, x in enumerate(vec)
+            float(x) * _plane_weight(table, p, i)
+            for i, x in enumerate(vec)
         )
         if proj > 0:
             sig += 1 << p
@@ -139,22 +155,50 @@ def knn_cosine_lsh(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
+    probe_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: LSH-bucket candidate generation + exact cosine
-    rerank — the sub-linear scale path. At 10^9+ vectors the bucket join
-    prunes the scan to ~N/2^planes candidates; the rerank is the exact
-    brute-force kernel over candidates only. Recall is tunable by
-    n_planes (and multi-probe, out of scope v1)."""
-    qb = lsh_bucket_of(query_vec, n_planes)
-    buckets = hyperplane_lsh_buckets(
-        embeddings, n_planes, id_col=id_col, vec_col=vec_col
+    """Approximate top-k: multi-TABLE multi-PROBE LSH candidate
+    generation + exact cosine rerank — the sub-linear scale path.
+
+    A vector is a candidate if, in ANY of the ``n_tables`` independent
+    hyperplane tables, its signature is within Hamming distance
+    ``probe_hamming`` of the query's (multi-probe, Lv et al. VLDB'07:
+    near neighbors that straddle a few planes land in nearby buckets).
+    All signatures are computed in ONE scan (no joins); the rerank is
+    the exact brute-force kernel over candidates only.
+
+    Recall/scan tradeoff is corpus-dependent: on the gate corpus
+    (synthetic near-random 64-dim embeddings, 5th neighbor at
+    cos ~ 0.3) the default 8 tables x 8 planes x Hamming<=2 measures
+    recall@5 = 0.98 at ~70% scanned (tests/test_knn_recall.py) — honest
+    for unclustered data; clustered production embeddings (neighbors at
+    cos >= 0.8, per-plane agreement ~0.8-0.9) prune an order of
+    magnitude harder at the same recall."""
+    qbs = [
+        lsh_bucket_of(query_vec, n_planes, table=t)
+        for t in range(n_tables)
+    ]
+    sigs = embeddings.select(
+        F.col(id_col),
+        *[
+            _sig_col(vec_col, n_planes, t).alias(f"sig_{t}")
+            for t in range(n_tables)
+        ],
     )
+    cond = None
+    for t in range(n_tables):
+        c = (
+            F.bit_count(
+                F.col(f"sig_{t}").bitwiseXOR(F.lit(qbs[t]))
+            )
+            <= probe_hamming
+        )
+        cond = c if cond is None else (cond | c)
     cand = embeddings.join(
-        buckets.where(F.col("lsh_bucket") == qb).select(id_col),
-        id_col,
-        "left_semi",
+        sigs.where(cond).select(id_col), id_col, "left_semi"
     )
     return knn_cosine_bruteforce(
         cand, query_vec, k=k, id_col=id_col, vec_col=vec_col

@@ -480,10 +480,16 @@ def _hash60b_sql(expr: str) -> str:
 
 
 def minhash_pairs(
-    num_hashes: int = 12, band_size: int = 3, table: str = "documents"
+    num_hashes: int = 128,
+    band_size: int = 8,
+    bucket_cap: int = 1000,
+    table: str = "documents",
 ) -> str:
     # affine double hashing, mirroring datapipe.dedup.minhash_signatures:
-    # a = md5[1:15]; b = (md5[16:30] & (2^59-1)) | 1; mh_i = (a+i*b) & (2^60-1)
+    # a = md5[1:15]; b = (md5[16:30] & (2^55-1)) | 1; mh_i = (a+i*b) & (2^60-1)
+    # (b masked to 55 bits so a + 127*b stays inside BIGINT).
+    # Mega-buckets (> bucket_cap members) mirror the engine's STAR
+    # linking: each member pairs with the bucket's min doc_id only.
     mh_cols = ", ".join(
         f"min((ha + {i} * hb) & {(1 << 60) - 1}) AS mh_{i}"
         for i in range(num_hashes)
@@ -504,14 +510,27 @@ WITH {_shingle_ctes(table)},
 shh AS (
   SELECT doc_id,
          {_hash60_sql('shingle')} AS ha,
-         ({_hash60b_sql('shingle')} & {(1 << 59) - 1}) | 1 AS hb
+         ({_hash60b_sql('shingle')} & {(1 << 55) - 1}) | 1 AS hb
   FROM sh
 ),
 mh AS (SELECT doc_id, {mh_cols} FROM shh GROUP BY doc_id),
-bands AS ({bands})
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+bands AS ({bands}),
+sized AS (
+  SELECT band, bucket, doc_id,
+         count(*) OVER (PARTITION BY band, bucket) AS sz,
+         min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+  FROM bands
+),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM sized l JOIN sized r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  WHERE l.sz <= {bucket_cap}
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b FROM sized
+  WHERE sz > {bucket_cap} AND doc_id <> rep
+)
+SELECT DISTINCT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """.strip()
 
@@ -537,11 +556,11 @@ SELECT doc_id, {sig} AS simhash FROM sums ORDER BY doc_id
 
 def jaccard_topk(
     k: int = 20,
-    num_hashes: int = 12,
-    band_size: int = 3,
+    num_hashes: int = 128,
+    band_size: int = 8,
     table: str = "documents",
 ) -> str:
-    mh = minhash_pairs(num_hashes, band_size, table)
+    mh = minhash_pairs(num_hashes, band_size, table=table)
     # reuse the pair query as a subquery (without its ORDER BY)
     pair_sql = mh.rsplit("ORDER BY", 1)[0]
     return f"""
@@ -849,17 +868,34 @@ boosted AS (
 
 
 def knn_cosine_lsh(
-    query_vec_id: int = 0, k: int = 5, n_planes: int = 8
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_hamming: int = 2,
 ) -> str:
-    """LSH candidate generation + exact rerank, mirroring
-    datapipe.similarity: plane weight = +1 iff md5('p|i') hex digit 15
-    is odd; bucket = Σ 2^p over planes with positive projection."""
+    """Multi-table multi-probe LSH candidate generation + exact rerank,
+    mirroring datapipe.similarity: plane weight = +1 iff
+    md5('t|p|i') hex digit 15 is odd; per-table bucket = Σ 2^p over
+    planes with positive projection; candidates = vectors within
+    Hamming distance ``probe_hamming`` of the query bucket in ANY
+    table."""
     digits = "('1','3','5','7','9','b','d','f')"
-    sig_terms = " + ".join(
-        f"(CASE WHEN sum(CAST(v AS DOUBLE) * "
-        f"(CASE WHEN substring(md5({p} || '|' || CAST(i - 1 AS VARCHAR)), 15, 1) "
-        f"IN {digits} THEN 1.0 ELSE -1.0 END)) > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
+
+    def sig_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN sum(CAST(v AS DOUBLE) * "
+            f"(CASE WHEN substring(md5('{t}|{p}|' || CAST(i - 1 AS VARCHAR)), 15, 1) "
+            f"IN {digits} THEN 1.0 ELSE -1.0 END)) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    sig_cols = ", ".join(
+        f"{sig_terms(t)} AS s{t}" for t in range(n_tables)
+    )
+    probe_cond = " OR ".join(
+        f"bit_count(xor(s{t}, (SELECT s{t} FROM qb))) <= {probe_hamming}"
+        for t in range(n_tables)
     )
     return f"""
 WITH e AS (
@@ -868,10 +904,13 @@ WITH e AS (
   FROM embeddings
 ),
 sig AS (
-  SELECT vec_id, {sig_terms} AS bucket FROM e GROUP BY vec_id
+  SELECT vec_id, {sig_cols} FROM e GROUP BY vec_id
 ),
-qb AS (SELECT bucket FROM sig WHERE vec_id = {query_vec_id}),
-cand AS (SELECT vec_id FROM sig WHERE bucket = (SELECT bucket FROM qb)),
+qb AS (SELECT * FROM sig WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT vec_id FROM sig
+  WHERE {probe_cond}
+),
 q AS (
   SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
   FROM embeddings WHERE vec_id = {query_vec_id}
