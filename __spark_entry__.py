@@ -413,6 +413,79 @@ def q_stats_by_lang(spark, sf_dir):
     )
 
 
+def q_suggest(spark, sf_dir):
+    """Autosuggest (suggest/Lookup analogue): prefix completions from
+    the term dictionary by weight=ttf, exact-first."""
+    from lucene_solr_spark.search.suggest import build_suggester, lookup
+
+    sg = build_suggester(_index(spark, sf_dir).terms_stats)
+    return lookup(sg, "s", 8)
+
+
+def q_collector_hist(spark, sf_dir):
+    """Custom Collector extension point: per-partition applyInPandas
+    accumulation + groupBy merge (ScoreHistogramCollector example)."""
+    from lucene_solr_spark.search.collector import ScoreHistogramCollector
+
+    return ScoreHistogramCollector(0.1).run(
+        _searcher(spark, sf_dir), TermQuery("scan")
+    )
+
+
+def q_term_vectors(spark, sf_dir):
+    """TermVectorComponent: (term, tf, df) of doc 0 via doc-major
+    stored-text re-analysis (never a postings decode)."""
+    from lucene_solr_spark.search.termvectors import term_vector
+
+    return term_vector(_searcher(spark, sf_dir), 0)
+
+
+def q_facet_query(spark, sf_dir):
+    """facet.query counts (SimpleFacets.getFacetQueryCounts)."""
+    from lucene_solr_spark.search.handler import facet_queries
+
+    return facet_queries(
+        _searcher(spark, sf_dir),
+        "scan",
+        {"has_merge": "merge", "is_en": "lang:en"},
+    )
+
+
+# DateMath window bounds, resolved once at import — both the Spark
+# predicate and the SQL oracle embed the same literals (deterministic
+# vs wall clock because the anchor is explicit).
+_DM_NOW = "2024-01-25T13:11:00Z"
+
+
+def _dm_bounds():
+    from lucene_solr_spark.functions.datemath import (
+        parse_date_math,
+        sql_ts,
+    )
+
+    lo = parse_date_math("NOW/DAY-20DAYS", _DM_NOW)
+    hi = parse_date_math("NOW/DAY", _DM_NOW)
+    return sql_ts(lo), sql_ts(hi)
+
+
+def q_datemath(spark, sf_dir):
+    """DateMathParser (S/util/DateMathParser.java): NOW/DAY-20DAYS ..
+    NOW/DAY window over events, count per type. The expression resolves
+    to literals at compile time; Catalyst pushes the timestamp range
+    into the parquet scan."""
+    lo, hi = _dm_bounds()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.where(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------- facets / stats / grouping ----------------
 
 def q_facet_lang(spark, sf_dir):
@@ -692,6 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not": q_span_not,
         "stats_by_lang": q_stats_by_lang,
         "spellcheck": q_spellcheck,
+        "suggest": q_suggest,
+        "collector_hist": q_collector_hist,
+        "term_vectors": q_term_vectors,
+        "facet_query": q_facet_query,
+        "datemath": q_datemath,
         "mlt": q_mlt,
         "highlight": q_highlight,
         "facet_lang": q_facet_lang,
@@ -760,6 +838,13 @@ def oracle_sql() -> dict[str, str]:
         "span_not": O.span_not_docs("scan", "merge"),
         "stats_by_lang": O.stats_by_facet("scan", "lang"),
         "spellcheck": O.spellcheck("qery", 2, 5),
+        "suggest": O.suggest_lookup("s", 8),
+        "collector_hist": O.score_histogram("scan", 0.1),
+        "term_vectors": O.term_vector(0),
+        "facet_query": O.facet_query_counts(
+            "scan", {"has_merge": "merge", "is_en": "lang=en"}
+        ),
+        "datemath": O.events_window_counts(*_dm_bounds()),
         "mlt": O.more_like_this(0, 10),
         "highlight": O.highlight_snippets("scan"),
         "facet_lang": O.facet_field("scan", "lang"),

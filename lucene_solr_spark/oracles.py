@@ -953,6 +953,91 @@ ORDER BY doc_id
 """.strip()
 
 
+def suggest_lookup(
+    prefix: str, num: int = 5, table: str = "documents"
+) -> str:
+    """Lookup.lookup analogue: prefix completions from the term
+    dictionary by (exact-first, weight=ttf desc, key asc)."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT term AS key, count(*) AS weight FROM tok
+WHERE term LIKE '{_sq(prefix)}%'
+GROUP BY term
+ORDER BY (CASE WHEN term = '{_sq(prefix)}' THEN 1 ELSE 0 END) DESC,
+         weight DESC, key ASC
+LIMIT {num}
+""".strip()
+
+
+def score_histogram(
+    term: str, width: float = 0.1, table: str = "documents"
+) -> str:
+    """ScoreHistogramCollector twin: bucket = floor(score/width)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT CAST(floor(score / {width!r}) AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM scored GROUP BY 1 ORDER BY bucket
+""".strip()
+
+
+def term_vector(doc_id: int, table: str = "documents") -> str:
+    """TermVectorComponent twin: (term, tf, df) of one doc."""
+    return f"""
+WITH {tok_ctes(table)},
+tv AS (
+  SELECT term, count(*) AS tf FROM tok
+  WHERE doc_id = {doc_id} GROUP BY term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT term FROM tv) GROUP BY term
+)
+SELECT tv.term, tv.tf, dfs.df FROM tv JOIN dfs USING (term)
+ORDER BY term
+""".strip()
+
+
+def facet_query_counts(
+    base_term: str, queries: dict[str, str], table: str = "documents"
+) -> str:
+    """facet.query twin: each named query is a term; count of base-term
+    docs also containing it. Fielded entries use 'field=value' syntax."""
+    parts = []
+    for name in sorted(queries):
+        qs = queries[name]
+        if "=" in qs:
+            fld, val = qs.split("=", 1)
+            sub = (
+                f"SELECT doc_id FROM {table} "
+                f"WHERE CAST({fld} AS VARCHAR) = '{_sq(val)}'"
+            )
+        else:
+            sub = f"SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(qs)}'"
+        parts.append(
+            f"SELECT '{_sq(name)}' AS name, count(*) AS cnt FROM base "
+            f"WHERE doc_id IN ({sub})"
+        )
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH {tok_ctes(table)},
+base AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(base_term)}')
+SELECT * FROM ({body}) ORDER BY name
+""".strip()
+
+
+def events_window_counts(lo_ts: str, hi_ts: str) -> str:
+    """DateMath-window event counts: [lo, hi) per event_type. The
+    literals come from functions.datemath at SQL-build time — the same
+    instants the engine's Catalyst predicate embeds."""
+    return f"""
+SELECT event_type, count(*) AS cnt
+FROM events
+WHERE ts >= TIMESTAMP '{lo_ts}' AND ts < TIMESTAMP '{hi_ts}'
+GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
 def regexp_docs(pattern: str, table: str = "documents") -> str:
     """RegexpQuery (RegexpQuery.java): whole-term regex match over the
     dictionary, constant-score doc set."""

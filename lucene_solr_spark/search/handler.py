@@ -92,6 +92,30 @@ def select(
     return {"response": page, "facets": facets}
 
 
+def facet_queries(
+    searcher: Searcher,
+    base_q: str,
+    queries: dict[str, str],
+) -> DataFrame:
+    """facet.query counts (SimpleFacets.getFacetQueryCounts,
+    S/request/SimpleFacets.java:205-208): for each named query string,
+    the count of base-query matches also matching it. Each count is a
+    semi-join of two doc sets — no scoring, no row materialization."""
+    base_ids = searcher.score(parse_lucene(base_q)).select("doc_id")
+    parts = []
+    for name, qs in queries.items():
+        ids = searcher.score(parse_lucene(qs)).select("doc_id")
+        n = (
+            base_ids.join(ids, "doc_id", "left_semi")
+            .distinct()
+            .count()
+        )
+        parts.append((name, n))
+    return searcher.index.spark.createDataFrame(
+        sorted(parts), "name string, cnt long"
+    )
+
+
 def _sort_cols(sort: str):
     out = []
     for part in sort.split(","):

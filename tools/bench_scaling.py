@@ -82,6 +82,13 @@ def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
 
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 600_000
+    levels = [2, 8, 32]
+    reps = 2
+    for a in sys.argv[2:]:
+        if a.startswith("--levels="):
+            levels = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
     # tmpfs workdir (input, index output, shuffle scratch): see run_level
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="lss_scaling_", dir=base)
@@ -102,67 +109,92 @@ def main() -> None:
         ).parquet(inp)
         spark.stop()
 
-        # best-of-2 per level: the sandbox VM shows up to ~25%
-        # run-to-run noise (shared host); min is the standard estimator
-        levels = [2, 8, 32]
-        best = {}
-        for c in levels:
-            best[c] = min(
-                (run_level(zpath, c, inp, work) for _ in range(2)),
-                key=lambda r: r["total_sec"],
-            )
+        # Interleave levels within each repetition so slow host-tenancy
+        # drift hits both levels alike; report every run + mean +- sd.
+        runs: dict[int, list[dict]] = {c: [] for c in levels}
+        for rep in range(reps):
+            for c in levels:
+                r = run_level(zpath, c, inp, work)
+                runs[c].append(r)
+                print(
+                    json.dumps(
+                        {"rep": rep, "cores": c, **{
+                            k: r[k] for k in ("total_sec", "turns_per_sec")
+                        }}
+                    ),
+                    flush=True,
+                )
 
-        def eff(lo: int, hi: int) -> float:
-            return (best[lo]["total_sec"] / best[hi]["total_sec"]) / (
-                hi / lo
-            )
+        import statistics as st
 
-        e28 = eff(2, 8)
-        e832 = eff(8, 32)
+        def agg(c: int) -> dict:
+            ts = [r["total_sec"] for r in runs[c]]
+            return {
+                "runs_sec": ts,
+                "mean_sec": round(st.mean(ts), 1),
+                "sd_sec": round(st.pstdev(ts), 1) if len(ts) > 1 else 0.0,
+                "min_sec": min(ts),
+                "turns_per_sec_best": max(
+                    r["turns_per_sec"] for r in runs[c]
+                ),
+            }
+
+        summary = {str(c): agg(c) for c in levels}
+
+        def eff(lo: int, hi: int, field: str) -> float:
+            return (
+                summary[str(lo)][field] / summary[str(hi)][field]
+            ) / (hi / lo)
+
+        pairs = [
+            (lo, hi)
+            for lo, hi in zip(levels, levels[1:])
+            if hi == 4 * lo
+        ]
         result = {
-            "n_turns": best[8]["n_turns"],
-            "levels": {str(c): best[c] for c in levels},
-            "efficiency_2_to_8": round(e28, 3),
-            "efficiency_8_to_32": round(e832, 3),
-            "meets_north_rule_0.8": max(e28, e832) >= 0.8,
+            "n_turns": n_turns,
+            "reps": reps,
+            "levels": summary,
+            "efficiency_mean": {
+                f"{lo}_to_{hi}": round(eff(lo, hi, "mean_sec"), 3)
+                for lo, hi in pairs
+            },
+            "efficiency_min": {
+                f"{lo}_to_{hi}": round(eff(lo, hi, "min_sec"), 3)
+                for lo, hi in pairs
+            },
         }
+        result["meets_north_rule_0.8"] = any(
+            v >= 0.8 for v in result["efficiency_mean"].values()
+        )
         print(json.dumps(result))
 
         rows = "\n".join(
-            f"| local[{c}] | {c} | {best[c]['total_sec']} | "
-            f"{best[c]['turns_per_sec']:,} |"
+            f"| local[{c}] | {c} | "
+            f"{summary[str(c)]['mean_sec']} ± {summary[str(c)]['sd_sec']} "
+            f"(min {summary[str(c)]['min_sec']}) | "
+            f"{summary[str(c)]['turns_per_sec_best']:,} | "
+            f"{summary[str(c)]['runs_sec']} |"
             for c in levels
         )
-        md = f"""# BENCH — measured numbers (this sandbox: one 32-core VM)
+        effs = "\n".join(
+            f"- N={lo} -> 4N={hi}: efficiency (mean times) "
+            f"**{result['efficiency_mean'][f'{lo}_to_{hi}']:.3f}**, "
+            f"(best times) {result['efficiency_min'][f'{lo}_to_{hi}']:.3f}"
+            for lo, hi in pairs
+        )
+        md = f"""# Latest raw scaling sweep
 
-## Scaling efficiency (north rule: >=0.8 from N to 4N executors)
+`python tools/bench_scaling.py {n_turns} --levels={','.join(map(str, levels))} --reps={reps}`
+Identical spark-submit --py-files segment build over the SAME
+pre-generated {n_turns:,}-turn transcript parquet; levels interleaved
+within each repetition.
 
-No multi-node cluster exists in this sandbox, so N -> 4N *executors* is
-evidenced by the identical `spark-submit --py-files` single-pass segment
-build (tools/index_job.py -> build_segment_store: number docs -> DWPT-
-style map-side flush of binary partial posting runs -> term-hash shuffle
--> vectorized merge/re-block -> block-encoded segment commit; stats from
-block metadata) at three parallelism levels over the SAME pre-generated
-{best[8]['n_turns']:,}-turn transcript parquet, best of 2 runs each:
-
-| level | cores | build sec | turns/sec |
-|---|---|---|---|
+| level | cores | build sec (mean ± sd) | best turns/sec | runs |
+|---|---|---|---|---|
 {rows}
 
-- N=2 -> 4N=8:  efficiency **{e28:.3f}**
-- N=8 -> 4N=32: efficiency **{e832:.3f}**
-
-The low-core pair is the honest proxy for cluster scaling: at 32 threads
-a single VM saturates shared memory bandwidth, the lone virtio disk and
-one JVM's GC/scheduler — resources a real 4N-executor cluster multiplies
-along with the cores. The engine's Python kernels themselves scale
-near-linearly (a 32-process tokenize microbenchmark holds per-task time
-within ~10% of the 8-process run), and the dominant pack phase scales
-{(best[2]['total_sec']/best[8]['total_sec']):.2f}x from 2->8 cores.
-Remaining fixed costs per job (~8-10 s: driver scheduling, parquet
-commit, stats jobs) are amortized at larger corpora.
-
-Regenerate: `python tools/bench_scaling.py [n_turns]`.
+{effs}
 """
         # BENCH.md is curated by hand (multi-sweep history); this file
         # carries the latest raw sweep only
