@@ -231,6 +231,95 @@ def q_bm25_stream(spark, sf_dir):
     return _topk_rounded(s.search(TermQuery("scan"), 10))
 
 
+def _updated_reader(spark, sf_dir):
+    """Ingest the corpus with every 5th doc's text corrupted, then push
+    corrected versions through the overwrite-by-uniqueKey update path,
+    compact, and read — the final index must equal a clean batch build
+    (DirectUpdateHandler2 delete-then-add + merge reclamation)."""
+    key = f"upd:{sf_dir}"
+    r = _STREAM_CACHE.get(key)
+    if r is None:
+        import tempfile
+
+        from lucene_solr_spark.streaming.incremental import (
+            IncrementalIndexWriter,
+        )
+
+        d = tempfile.mkdtemp(prefix="lss_gate_upd_")
+        docs = _docs(spark, sf_dir).withColumn("uid", F.col("doc_id"))
+        corrupted = docs.withColumn(
+            "text",
+            F.when(
+                F.col("uid") % 5 == 0,
+                F.concat(F.lit("corruptedzz trash junk "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        w = IncrementalIndexWriter(spark, d, order_cols=("uid",))
+        w.process_batch(corrupted, 0)
+        w.update_documents(docs.where(F.col("uid") % 5 == 0), 1)
+        w.compact()
+        r = w.reader()
+        _STREAM_CACHE[key] = r
+    return r
+
+
+def _deleted_reader(spark, sf_dir):
+    """Ingest the corpus, tombstone every lang='de' doc by unique key,
+    compact — stats and matches must equal a batch build over the
+    surviving docs (merge-time delete reclamation)."""
+    key = f"del:{sf_dir}"
+    r = _STREAM_CACHE.get(key)
+    if r is None:
+        import tempfile
+
+        from lucene_solr_spark.streaming.incremental import (
+            IncrementalIndexWriter,
+        )
+
+        d = tempfile.mkdtemp(prefix="lss_gate_del_")
+        docs = _docs(spark, sf_dir).withColumn("uid", F.col("doc_id"))
+        w = IncrementalIndexWriter(spark, d, order_cols=("uid",))
+        w.process_batch(docs, 0)
+        w.delete_by_keys(docs.where(F.col("lang") == "de").select("uid"))
+        w.compact(min_segments=1)
+        r = w.reader()
+        _STREAM_CACHE[key] = r
+    return r
+
+
+def q_bm25_update(spark, sf_dir):
+    """Update path: corrupt -> overwrite-by-key -> compact == clean
+    batch build. Full match set keyed by the preserved unique key."""
+    r = _updated_reader(spark, sf_dir)
+    scored = Searcher(r).score(TermQuery("scan"))
+    return (
+        scored.join(r.docs.select("doc_id", "uid"), "doc_id")
+        .select(
+            F.col("uid").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def q_bm25_delete(spark, sf_dir):
+    """Delete path: tombstone lang='de' -> compact == batch build over
+    the survivors (df/N/avgdl all refreshed at merge)."""
+    r = _deleted_reader(spark, sf_dir)
+    scored = Searcher(r).score(TermQuery("scan"))
+    return scored.select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def q_rtg(spark, sf_dir):
+    """RealTimeGetComponent: live current versions by unique key from
+    the updated store (overwrites visible)."""
+    r = _updated_reader(spark, sf_dir)
+    return r.get([5, 10, 15], key_col="uid").select(
+        F.col("uid").alias("doc_id"), "lang", "n_chars"
+    )
+
+
 def q_prefix(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return s.score(PrefixQuery("sc")).select("doc_id").distinct()
@@ -747,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_seg": q_bm25_seg,
         "bm25_wand": q_bm25_wand,
         "bm25_stream": q_bm25_stream,
+        "bm25_update": q_bm25_update,
+        "bm25_delete": q_bm25_delete,
+        "rtg": q_rtg,
         "tfidf_or": q_tfidf_or,
         "select_parsed": q_select_parsed,
         "select_fq": q_select_fq,
@@ -816,6 +908,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_stream": O.bm25_term("scan"),
+        "bm25_update": O.bm25_scored_all("scan"),
+        "bm25_delete": O.bm25_scored_all(
+            "scan",
+            table="(SELECT * FROM documents WHERE lang <> 'de') AS live",
+        ),
+        "rtg": O.rtg_docs([5, 10, 15]),
         "tfidf_or": O.tfidf_or(["scan", "merge"]),
         "select_parsed": O.bm25_bool(must=["scan", "merge"]),
         "select_fq": O.bm25_bool(

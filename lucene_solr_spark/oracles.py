@@ -332,6 +332,25 @@ scored AS (
 """.strip()
 
 
+def bm25_scored_all(term: str, table: str = "documents") -> str:
+    """Full (doc_id, score) match set for one term — order-insensitive
+    gate shape used by the delete/update gates (no top-k, so internal
+    docID reassignment after updates cannot perturb tie-breaks)."""
+    return (
+        f"WITH {tok_ctes(table)}, {_scored_cte([term], table)} "
+        f"SELECT doc_id, round(score, 4) AS score FROM scored "
+        f"ORDER BY doc_id"
+    )
+
+
+def rtg_docs(ids: list[int], table: str = "documents") -> str:
+    il = ", ".join(str(int(i)) for i in ids)
+    return (
+        f"SELECT doc_id, lang, n_chars FROM {table} "
+        f"WHERE doc_id IN ({il}) ORDER BY doc_id"
+    )
+
+
 def prefix_docs(prefix: str, table: str = "documents") -> str:
     return (
         f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "

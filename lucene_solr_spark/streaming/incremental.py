@@ -59,11 +59,16 @@ def _read(index_dir: str) -> dict:
         return {
             "generation": 0,
             "next_doc_id": 0,
+            "n_docs": 0,
             "sum_total_term_freq": 0,
             "segments": {},
+            "deletes": [],
         }
     with open(path) as f:
-        return json.load(f)
+        man = json.load(f)
+    man.setdefault("deletes", [])
+    man.setdefault("n_docs", man["next_doc_id"])
+    return man
 
 
 class IncrementalIndexWriter:
@@ -116,9 +121,60 @@ class IncrementalIndexWriter:
             "sum_total_term_freq": int(sttf),
         }
         man["next_doc_id"] = offset + int(n_docs)
+        man["n_docs"] = man.get("n_docs", 0) + int(n_docs)
         man["sum_total_term_freq"] += int(sttf)
         man["generation"] += 1
         _commit(self.index_dir, man)
+
+    # -- deletes / updates ---------------------------------------------------
+
+    def delete_by_keys(
+        self, keys_df: DataFrame, key_col: str = "uid"
+    ) -> int:
+        """Delete documents whose ``key_col`` value appears in
+        ``keys_df`` — the deleteByTerm path (lucene/core/.../index/
+        BufferedDeletesStream.java; Solr delete-by-uniqueKey,
+        S/update/DirectUpdateHandler2.java). Deletes are TOMBSTONES
+        (per-generation doc_id parquet — the .del BitVector analogue,
+        lucene/core/.../codecs/lucene40/BitVector.java): every reader
+        filters matches through the live-docs anti-join immediately;
+        postings are purged physically at the next compaction, exactly
+        Lucene's merge-time delete reclamation. Returns the number of
+        newly deleted docs."""
+        man = _read(self.index_dir)
+        reader = self.reader()  # live view: excludes prior tombstones
+        ids = reader.docs.join(
+            F.broadcast(keys_df.select(key_col).distinct()),
+            key_col,
+            "left_semi",
+        ).select("doc_id")
+        gen = man["generation"]
+        path = f"{self.index_dir}/deletes/del={gen}"
+        ids.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        man["deletes"].append(str(gen))
+        man["n_docs"] = man.get("n_docs", man["next_doc_id"]) - int(n)
+        man["generation"] += 1
+        _commit(self.index_dir, man)
+        return int(n)
+
+    def update_documents(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key_col: str = "uid",
+    ) -> None:
+        """Overwrite-by-uniqueKey update (DirectUpdateHandler2.addDoc
+        with overwrite=true): atomically delete any live doc holding the
+        same key, then add the new version as a delta segment with a
+        fresh docID — Lucene updateDocument semantics (the old internal
+        docID dies, the new doc gets the next one)."""
+        man = _read(self.index_dir)
+        if str(batch_id) in man["segments"]:
+            return  # checkpoint replay
+        if man["segments"]:
+            self.delete_by_keys(batch_df.select(key_col), key_col)
+        self.process_batch(batch_df, batch_id)
 
     def foreach_batch(self):
         """Bind for ``writeStream.foreachBatch(...)``."""
@@ -131,7 +187,12 @@ class IncrementalIndexWriter:
     # -- merge-on-write compaction ----------------------------------------
 
     def compact(self, min_segments: int = 2) -> bool:
-        """Union all delta segments into one (segment merge analogue).
+        """Union all delta segments into one (segment merge analogue),
+        PURGING tombstoned docs physically (merge-time delete
+        reclamation, lucene/core/.../index/SegmentMerger.java skipping
+        deleted docs via liveDocs) and refreshing collection stats from
+        the surviving postings — after a merge, df/sumTTF/N no longer
+        count deleted docs, exactly the reference's behavior.
         Returns True if a merge happened. Crash-safe: the merged segment
         is fully written before the manifest swap; old dirs are removed
         after commit (dead segments, like un-referenced .si files)."""
@@ -139,7 +200,8 @@ class IncrementalIndexWriter:
         segs = sorted(
             man["segments"], key=lambda s: man["segments"][s]["doc_base"]
         )
-        if len(segs) < min_segments:
+        has_deletes = bool(man["deletes"])
+        if len(segs) < min_segments and not has_deletes:
             return False
         gen = man["generation"]
         merged_key = f"m{gen}"
@@ -149,19 +211,39 @@ class IncrementalIndexWriter:
         docs = self.spark.read.parquet(
             *[f"{self.index_dir}/docs/seg={s}" for s in segs]
         )
+        if has_deletes:
+            tomb = self.spark.read.parquet(
+                *[
+                    f"{self.index_dir}/deletes/del={d}"
+                    for d in man["deletes"]
+                ]
+            ).select("doc_id").distinct()
+            post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+            docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
         post.write.mode("overwrite").parquet(
             f"{self.index_dir}/postings/seg={merged_key}"
         )
         docs.write.mode("overwrite").parquet(
             f"{self.index_dir}/docs/seg={merged_key}"
         )
+        merged_post = self.spark.read.parquet(
+            f"{self.index_dir}/postings/seg={merged_key}"
+        )
+        n_docs = self.spark.read.parquet(
+            f"{self.index_dir}/docs/seg={merged_key}"
+        ).count()
+        sttf = int(merged_post.agg(F.sum("tf")).collect()[0][0] or 0)
         man["segments"] = {
             merged_key: {
                 "doc_base": 0,
-                "max_doc": int(man["next_doc_id"]),
-                "sum_total_term_freq": int(man["sum_total_term_freq"]),
+                "max_doc": int(n_docs),
+                "sum_total_term_freq": sttf,
             }
         }
+        man["n_docs"] = int(n_docs)
+        man["sum_total_term_freq"] = sttf
+        old_deletes = man["deletes"]
+        man["deletes"] = []
         man["generation"] = gen + 1
         _commit(self.index_dir, man)
         import shutil
@@ -169,6 +251,8 @@ class IncrementalIndexWriter:
         for s in segs:
             shutil.rmtree(f"{self.index_dir}/postings/seg={s}", True)
             shutil.rmtree(f"{self.index_dir}/docs/seg={s}", True)
+        for d in old_deletes:
+            shutil.rmtree(f"{self.index_dir}/deletes/del={d}", True)
         return True
 
     # -- reader ------------------------------------------------------------
@@ -192,17 +276,42 @@ class StreamingIndexReader:
         if not segs:
             raise FileNotFoundError(f"no committed segments in {self.index_dir}")
         self.manifest = man
-        self.postings = self.spark.read.parquet(
+        raw_post = self.spark.read.parquet(
             *[f"{self.index_dir}/postings/seg={s}" for s in segs]
         )
-        self.docs = self.spark.read.parquet(
+        raw_docs = self.spark.read.parquet(
             *[f"{self.index_dir}/docs/seg={s}" for s in segs]
         )
-        self.terms_stats = self.postings.groupBy("term").agg(
+        # liveDocs (.del BitVector analogue): every match stream is
+        # anti-joined against tombstones, so deletes are visible
+        # IMMEDIATELY; term/collection stats keep counting deleted docs
+        # until compaction, exactly the reference pre-merge semantics
+        # (TermsEnum.docFreq "does not take deleted docs into account").
+        if man["deletes"]:
+            tomb = self.spark.read.parquet(
+                *[
+                    f"{self.index_dir}/deletes/del={d}"
+                    for d in man["deletes"]
+                ]
+            ).select("doc_id").distinct()
+            self.postings = raw_post.join(
+                F.broadcast(tomb), "doc_id", "left_anti"
+            )
+            self.docs = raw_docs.join(
+                F.broadcast(tomb), "doc_id", "left_anti"
+            )
+        else:
+            self.postings = raw_post
+            self.docs = raw_docs
+        self.terms_stats = raw_post.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
         )
+        # maxDoc = Σ per-segment maxDoc: counts deleted docs until the
+        # merge drops them (Lucene maxDoc semantics across a merge)
         self.stats = CollectionStats(
-            max_doc=int(man["next_doc_id"]),
+            max_doc=sum(
+                int(s["max_doc"]) for s in man["segments"].values()
+            ),
             sum_total_term_freq=int(man["sum_total_term_freq"]),
         )
 
@@ -213,6 +322,13 @@ class StreamingIndexReader:
             .collect()
         )
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def get(self, keys: list, key_col: str = "doc_id") -> DataFrame:
+        """RealTimeGetComponent analogue (S/handler/component/
+        RealTimeGetComponent.java): fetch current LIVE versions by
+        unique key — deletes and overwrites from any committed
+        micro-batch are visible without waiting for compaction."""
+        return self.docs.where(F.col(key_col).isin(list(keys)))
 
 
 def index_stream(

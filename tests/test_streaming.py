@@ -113,3 +113,63 @@ def test_compaction_preserves_results(spark, stream_built):
         ]
     # second compact is a no-op below min_segments
     assert w.compact() is False
+
+
+def test_delete_visible_before_compaction(spark, tmp_path):
+    """Tombstoned docs must vanish from matches IMMEDIATELY (liveDocs
+    anti-join), while df keeps counting them until compaction — the
+    reference's pre-merge semantics."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.query import TermQuery
+    from lucene_solr_spark.streaming.incremental import (
+        IncrementalIndexWriter,
+    )
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha delta"),
+        (2, "alpha epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, text string")
+    w = IncrementalIndexWriter(spark, str(tmp_path / "ix"), ("uid",))
+    w.process_batch(df, 0)
+    r0 = w.reader()
+    assert r0.term_stats(["alpha"])["alpha"][0] == 3
+    w.delete_by_keys(df.where(F.col("uid") == 1).select("uid"))
+    r1 = w.reader()
+    hits = {x["doc_id"] for x in Searcher(r1).score(TermQuery("alpha")).collect()}
+    assert hits == {0, 2}  # delete visible immediately
+    assert r1.term_stats(["alpha"])["alpha"][0] == 3  # df pre-merge
+    assert r1.stats.max_doc == 3  # maxDoc counts deleted pre-merge
+    w.compact(min_segments=1)
+    r2 = w.reader()
+    assert r2.term_stats(["alpha"])["alpha"][0] == 2  # reclaimed
+    assert r2.stats.max_doc == 2
+    hits2 = {x["doc_id"] for x in Searcher(r2).score(TermQuery("alpha")).collect()}
+    assert hits2 == {0, 2}
+
+
+def test_update_replaces_and_rtg(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.streaming.incremental import (
+        IncrementalIndexWriter,
+    )
+
+    v1 = spark.createDataFrame(
+        [(0, "old broken contents"), (1, "stable text")],
+        "uid long, text string",
+    )
+    w = IncrementalIndexWriter(spark, str(tmp_path / "ix2"), ("uid",))
+    w.process_batch(v1, 0)
+    v2 = spark.createDataFrame(
+        [(0, "new corrected contents")], "uid long, text string"
+    )
+    w.update_documents(v2, 1)
+    got = w.reader().get([0], key_col="uid").collect()
+    assert len(got) == 1 and got[0]["text"] == "new corrected contents"
+    # replay of the same update batch is a no-op (exactly-once)
+    w.update_documents(v2, 1)
+    assert w.reader().get([0], key_col="uid").count() == 1
