@@ -34,7 +34,11 @@ HEADLINE = [
     "bm25_not",
     "bm25_dismax",
     "bm25_phrase",
+    "bm25_phrase_sloppy",
+    "tfidf_or",
     "prefix",
+    "regexp",
+    "span_near",
     "facet_lang",
     "stats_nchars",
     "group_topk",
@@ -50,6 +54,7 @@ HEADLINE = [
     "token_counts",
     "fingerprint",
     "knn",
+    "knn_lsh",
     "events_hourly",
     "events_stats",
 ]

@@ -85,6 +85,69 @@ def analyze(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+def tokenize_flat(texts: pd.Series) -> dict:
+    """COLUMN-vectorized analysis of a batch: one C-level regex findall,
+    one vectorized stopword isin — no per-document Python. This is the
+    DWPT hot kernel; per-doc analyze() loops halved parallel efficiency
+    at 8+ workers (allocation/bandwidth bound), so the flat form is the
+    build path's required shape.
+
+    Returns flat post-stop token arrays:
+      row   int64[n_tokens]  index into the batch (NOT doc_id)
+      term  object[n_tokens]
+      pos   int64[n_tokens]  pre-stop position (maxlen-filtered stream,
+                             stop removal leaves gaps — FilteringTokenFilter)
+      dl    int64[n_rows]    post-stop token count per batch row
+    """
+    import numpy as np
+
+    n_rows = len(texts)
+    toklists = texts.fillna("").astype(str).str.lower().str.findall(
+        TOKEN_PATTERN
+    )
+    tl_arr = toklists.to_numpy()
+    lens = np.fromiter(map(len, tl_arr), dtype=np.int64, count=n_rows)
+    if int(lens.sum()) == 0:
+        return {
+            "row": np.zeros(0, dtype=np.int64),
+            "term": np.zeros(0, dtype=object),
+            "pos": np.zeros(0, dtype=np.int64),
+            "dl": np.zeros(n_rows, dtype=np.int64),
+        }
+    flat_np = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tl_arr if t]
+    )
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    # maxlen filter BEFORE position numbering (tokenize_raw drops long
+    # tokens without a position increment)
+    m = len(flat_np)
+    tok_lens = np.fromiter(map(len, flat_np), dtype=np.int64, count=m)
+    keep1 = tok_lens <= MAX_TOKEN_LENGTH
+    if not keep1.all():
+        flat_np = flat_np[keep1]
+        rows = rows[keep1]
+        m = len(rows)
+    # pre-stop positions: cumcount within row
+    is_new = np.empty(m, dtype=bool)
+    is_new[0] = True
+    is_new[1:] = rows[1:] != rows[:-1]
+    starts = np.flatnonzero(is_new)
+    grp = np.cumsum(is_new) - 1
+    pos = np.arange(m, dtype=np.int64) - starts[grp]
+    # stop filter (position gaps preserved: pos computed pre-filter)
+    keep2 = ~pd.Series(flat_np, dtype="object").isin(
+        _STOP_LIST_SORTED
+    ).to_numpy()
+    term = flat_np[keep2]
+    rows2 = rows[keep2]
+    pos2 = pos[keep2]
+    dl = np.bincount(rows2, minlength=n_rows).astype(np.int64)
+    return {"row": rows2, "term": term, "pos": pos2, "dl": dl}
+
+
+_STOP_LIST_SORTED = sorted(ENGLISH_STOP_WORDS)
+
+
 def invert_batch(
     doc_ids: pd.Series,
     texts: pd.Series,
@@ -100,13 +163,65 @@ def invert_batch(
     Returns a pandas frame (doc_id, term, tf, positions, dl); one row per
     (doc, distinct term); docs whose tokens are all stopwords emit nothing
     (their dl=0 norm is recovered by the builder via an anti-join).
+
+    Default analyzer: fully vectorized via :func:`tokenize_flat` +
+    factorize/lexsort grouping. A custom analyzer falls back to the
+    per-doc loop (the Analyzer extension slot trades the fast path for
+    arbitrary Python chains).
     """
+    if analyzer is not None and analyzer is not analyze:
+        return _invert_batch_loop(doc_ids, texts, with_positions, analyzer)
+    import numpy as np
+
+    fl = tokenize_flat(texts)
+    rows2, term, pos2, dl = fl["row"], fl["term"], fl["pos"], fl["dl"]
+    if len(rows2) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int32"),
+                "positions": pd.Series([], dtype="object"),
+                "dl": pd.Series([], dtype="int32"),
+            }
+        )
+    codes, uniques = pd.factorize(term, sort=False)
+    order = np.lexsort((pos2, codes, rows2))
+    sd, sc, sp = rows2[order], codes[order], pos2[order]
+    change = (
+        np.flatnonzero((sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])) + 1
+    )
+    bounds = np.concatenate(([0], change, [len(sd)]))
+    g_start, g_end = bounds[:-1], bounds[1:]
+    g_doc = sd[g_start]
+    docid_arr = doc_ids.to_numpy(dtype=np.int64)
+    uniq_arr = np.asarray(uniques, dtype=object)
+    if with_positions:
+        plists = np.split(sp, bounds[1:-1])
+    else:
+        plists = [[]] * len(g_start)
+    return pd.DataFrame(
+        {
+            "doc_id": docid_arr[g_doc],
+            "term": uniq_arr[sc[g_start]],
+            "tf": (g_end - g_start).astype("int32"),
+            "positions": pd.Series(plists, dtype="object"),
+            "dl": dl[g_doc].astype("int32"),
+        }
+    )
+
+
+def _invert_batch_loop(
+    doc_ids: pd.Series,
+    texts: pd.Series,
+    with_positions: bool,
+    analyzer,
+) -> pd.DataFrame:
     out_doc: list = []
     out_term: list[str] = []
     out_tf: list[int] = []
     out_pos: list[list[int]] = []
     out_dl: list[int] = []
-    analyzer = analyzer or analyze
     for doc_id, text in zip(doc_ids, texts):
         terms, positions = analyzer(text if isinstance(text, str) else "")
         if not terms:

@@ -237,66 +237,120 @@ def _invert_flush_partitions(split_range: int, keep_positions: bool):
 
     Mirrors the reference's flush-by-RAM
     (lucene/core/.../index/FlushByRamOrCountsPolicy.java; 16MB default
-    IndexWriterConfig.java:84-90): accumulate FLUSH_POSTINGS postings,
+    IndexWriterConfig.java:84-90): accumulate ~FLUSH_POSTINGS tokens,
     then sort by (term, doc) and emit runs, like
     FreqProxTermsWriter.flush (:41-104) iterating terms in sorted order.
+
+    The whole path is FLAT-array vectorized end to end: tokenize_flat
+    emits token-level numpy arrays (no per-doc Python), ONE lexsort
+    orders them (term, doc, pos), and the only Python loop is per
+    (term, split) RUN (~vocabulary-sized) — per-doc position lists are
+    never materialized, so flush cost is independent of doc count at
+    fixed token count. This is the hot kernel behind the north-rule
+    scaling numbers.
     """
-    from ..analysis.tokenizer import invert_batch
+    from ..analysis.tokenizer import tokenize_flat
     from .norms import encode_norm
     from .codec import encode_run
 
-    def flush(frames: list) -> pd.DataFrame:
-        pdf = (
-            pd.concat(frames, ignore_index=True)
-            if len(frames) > 1
-            else frames[0]
+    def flush(parts: list[dict]) -> pd.DataFrame:
+        from .codec import varint_encode, varint_value_starts
+
+        if len(parts) > 1:
+            doc = np.concatenate([p["doc"] for p in parts])
+            term = np.concatenate([p["term"] for p in parts])
+            pos = np.concatenate([p["pos"] for p in parts])
+            nb = np.concatenate([p["nb"] for p in parts])
+        else:
+            p0 = parts[0]
+            doc, term, pos, nb = p0["doc"], p0["term"], p0["pos"], p0["nb"]
+        codes, uniques = pd.factorize(term, sort=False)
+        # split = doc // split_range is monotone in doc, so sorting by
+        # (code, doc, pos) makes every (term, split) run contiguous
+        order = np.lexsort((pos, doc, codes))
+        doc, pos, nb, codes = (
+            doc[order], pos[order], nb[order], codes[order]
         )
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        norms = pdf["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
-        codes, uniques = pd.factorize(pdf["term"], sort=False)
-        splits = doc_ids // split_range
-        order = np.lexsort((doc_ids, splits, codes))
-        doc_ids = doc_ids[order]
-        tfs = tfs[order]
-        norms = norms[order]
-        codes = codes[order]
-        splits = splits[order]
-        pos_arr = (
-            pdf["positions"].to_numpy()[order] if keep_positions else None
-        )
-        n = len(doc_ids)
-        change = np.flatnonzero(
+        splits = doc // split_range
+        n = len(doc)
+        # token-level run boundaries on (code, split)
+        run_change = np.flatnonzero(
             (codes[1:] != codes[:-1]) | (splits[1:] != splits[:-1])
         ) + 1
-        bounds = np.concatenate(([0], change, [n]))
+        run_bounds = np.concatenate(([0], run_change, [n]))
+        # token-level doc boundaries (within runs; a doc never spans runs)
+        doc_change = np.flatnonzero(
+            (codes[1:] != codes[:-1]) | (doc[1:] != doc[:-1])
+        ) + 1
+        doc_starts = np.concatenate(([0], doc_change))
+        doc_ends = np.concatenate((doc_change, [n]))
+        tf_all = doc_ends - doc_starts  # per (doc, term) occurrence count
+        # doc-group-level arrays
+        dg_doc = doc[doc_starts]
+        dg_nb = nb[doc_starts]
+        n_dg = len(dg_doc)
+        # run boundaries in doc-group index space (runs align with
+        # doc-group boundaries by construction)
+        run_dg = np.searchsorted(doc_starts, run_bounds)
+        # BATCH ENCODE: varint streams concatenate, so ALL runs' gaps /
+        # tf / position deltas are encoded in ONE vectorized call each
+        # and sliced per run by value byte offsets — the Python loop
+        # below only slices bytes and assembles tuples (~2 us/run).
+        gaps = np.empty(n_dg, dtype=np.uint64)
+        if n_dg:
+            gaps[1:] = (dg_doc[1:] - dg_doc[:-1]).astype(np.uint64)
+        gaps[run_dg[:-1]] = 0
+        docs_stream = varint_encode(gaps)
+        d_off = np.append(
+            varint_value_starts(docs_stream), len(docs_stream)
+        )
+        tfs_stream = varint_encode((tf_all - 1).astype(np.uint64))
+        t_off = np.append(
+            varint_value_starts(tfs_stream), len(tfs_stream)
+        )
+        norms_stream = dg_nb.astype(np.uint8).tobytes()
+        if keep_positions:
+            deltas = np.empty(n, dtype=np.int64)
+            if n:
+                deltas[1:] = pos[1:] - pos[:-1]
+            deltas[doc_starts] = pos[doc_starts]  # absolute per doc
+            pos_stream = varint_encode(deltas.astype(np.uint64))
+            p_off = np.append(
+                varint_value_starts(pos_stream), len(pos_stream)
+            )
+        # per-run metadata, vectorized
+        rs = run_dg[:-1]
+        first_doc = dg_doc[rs]
+        last_doc = dg_doc[run_dg[1:] - 1]
+        max_tf = np.maximum.reduceat(tf_all, rs)
+        sum_tf = np.add.reduceat(tf_all, rs)
+        min_nb = np.minimum.reduceat(dg_nb.astype(np.int64), rs)
+        num_docs = np.diff(run_dg)
+        terms_out = np.asarray(uniques, dtype=object)[
+            codes[run_bounds[:-1]]
+        ]
         rows = []
-        for i in range(len(bounds) - 1):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            flat_pos = None
+        for i in range(len(rs)):
+            ds, de = int(run_dg[i]), int(run_dg[i + 1])
             if keep_positions:
-                flat_pos = (
-                    np.concatenate(
-                        [np.asarray(p, dtype=np.int64) for p in pos_arr[s:e]]
-                    )
-                    if e > s
-                    else np.zeros(0, dtype=np.int64)
-                )
-            run = encode_run(doc_ids[s:e], tfs[s:e], norms[s:e], flat_pos)
+                ts, te = int(run_bounds[i]), int(run_bounds[i + 1])
+                pos_bin = pos_stream[int(p_off[ts]) : int(p_off[te])]
+            else:
+                pos_bin = None
             rows.append(
                 (
                     -1,  # bucket assigned by a Catalyst column afterwards
-                    uniques[codes[s]],
-                    run["num_docs"],
-                    run["first_doc"],
-                    run["last_doc"],
-                    run["max_tf"],
-                    int(norms[s:e].min()),  # placeholder; final min_nb set on merge
-                    int(tfs[s:e].sum()),
-                    run["docs_bin"],
-                    run["tfs_bin"],
-                    run["norms_bin"],
-                    run["pos_bin"],
+                    terms_out[i],
+                    int(num_docs[i]),
+                    int(first_doc[i]),
+                    int(last_doc[i]),
+                    int(max_tf[i]),
+                    int(min_nb[i]),  # placeholder; final min_nb on merge
+                    int(sum_tf[i]),
+                    docs_stream[int(d_off[ds]) : int(d_off[de])],
+                    tfs_stream[int(t_off[ds]) : int(t_off[de])],
+                    norms_stream[ds:de],
+                    pos_bin,
                 )
             )
         return _rows_frame(rows)
@@ -305,15 +359,19 @@ def _invert_flush_partitions(split_range: int, keep_positions: bool):
         accum: list = []
         n_accum = 0
         for pdf in batches:
-            flat = invert_batch(
-                pdf["doc_id"], pdf["text"], with_positions=keep_positions
-            )
-            if len(flat):
-                flat["norm_byte"] = encode_norm(
-                    flat["dl"].to_numpy()
-                ).astype("int32")
-                accum.append(flat)
-                n_accum += len(flat)
+            fl = tokenize_flat(pdf["text"])
+            if len(fl["row"]):
+                docid_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+                nb_per_row = encode_norm(fl["dl"])
+                accum.append(
+                    {
+                        "doc": docid_arr[fl["row"]],
+                        "term": fl["term"],
+                        "pos": fl["pos"],
+                        "nb": nb_per_row[fl["row"]].astype(np.uint8),
+                    }
+                )
+                n_accum += len(fl["row"])
             if n_accum >= FLUSH_POSTINGS:
                 yield flush(accum)
                 accum, n_accum = [], 0
