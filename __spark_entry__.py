@@ -502,6 +502,16 @@ def q_stats_by_lang(spark, sf_dir):
     )
 
 
+def q_elevation(spark, sf_dir):
+    """QueryElevationComponent: pin [490, 7] for 'scan' ahead of
+    organic results (490 may not match — forceElevation, score 0)."""
+    from lucene_solr_spark.search.handler import elevate
+
+    return elevate(
+        _searcher(spark, sf_dir), "scan", {"scan": [490, 7]}, rows=10
+    )
+
+
 def q_suggest(spark, sf_dir):
     """Autosuggest (suggest/Lookup analogue): prefix completions from
     the term dictionary by weight=ttf, exact-first."""
@@ -609,6 +619,32 @@ def q_facet_pivot(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("lang", "source")
     )
+
+
+def q_geofilt(spark, sf_dir):
+    """Spatial {!geofilt}: bbox prune + haversine over deterministic
+    doc_id-derived coordinates (driver tables carry none)."""
+    from lucene_solr_spark.search.spatial import (
+        geofilt,
+        with_synthetic_coords,
+    )
+
+    pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
+    return geofilt(pts, 12.5, 40.0, 2500.0)
+
+
+def q_facet_taxonomy(spark, sf_dir):
+    """Taxonomy facet counts (lucene/facet shape): per-node counts over
+    the lang -> lang/source hierarchy within the match set."""
+    matched = _matched_docs(spark, sf_dir, "scan")
+    d = _index(spark, sf_dir).docs.join(matched, "doc_id")
+    l1 = d.groupBy(F.col("lang").alias("path")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    l2 = d.groupBy(
+        F.concat_ws("/", "lang", "source").alias("path")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return l1.unionByName(l2).orderBy("path")
 
 
 def q_stats_nchars(spark, sf_dir):
@@ -857,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not": q_span_not,
         "stats_by_lang": q_stats_by_lang,
         "spellcheck": q_spellcheck,
+        "elevation": q_elevation,
         "suggest": q_suggest,
         "collector_hist": q_collector_hist,
         "term_vectors": q_term_vectors,
@@ -867,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": q_facet_lang,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
+        "facet_taxonomy": q_facet_taxonomy,
+        "geofilt": q_geofilt,
         "stats_nchars": q_stats_nchars,
         "group_topk": q_group_topk,
         "terms_enum": q_terms_enum,
@@ -936,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "span_not": O.span_not_docs("scan", "merge"),
         "stats_by_lang": O.stats_by_facet("scan", "lang"),
         "spellcheck": O.spellcheck("qery", 2, 5),
+        "elevation": O.query_elevation("scan", [490, 7]),
         "suggest": O.suggest_lookup("s", 8),
         "collector_hist": O.score_histogram("scan", 0.1),
         "term_vectors": O.term_vector(0),
@@ -948,6 +988,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": O.facet_field("scan", "lang"),
         "facet_range": O.facet_range_nchars(),
         "facet_pivot": O.facet_pivot(),
+        "facet_taxonomy": O.taxonomy_facets("scan"),
+        "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),
         "stats_nchars": O.stats_nchars("scan"),
         "group_topk": O.group_topk_per_field("scan", "lang"),
         "terms_enum": O.terms_enum("s"),

@@ -332,6 +332,78 @@ scored AS (
 """.strip()
 
 
+def geofilt_docs(
+    lat: float, lon: float, d_km: float, table: str = "documents"
+) -> str:
+    """{!geofilt} twin: same synthetic doc_id-derived coordinates, same
+    haversine op order (2R * atan2(sqrt(a), sqrt(1-a)))."""
+    r = 6371.0087714
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 1800) / 10.0 - 90.0 AS lat,
+         ((doc_id * 73) % 3600) / 10.0 - 180.0 AS lon
+  FROM {table}
+),
+d AS (
+  SELECT doc_id,
+         (2.0 * {r!r}) * atan2(
+           sqrt(  sin(radians(lat - {lat!r}) / 2) * sin(radians(lat - {lat!r}) / 2)
+                + cos(radians({lat!r})) * cos(radians(lat))
+                  * sin(radians(lon - {lon!r}) / 2) * sin(radians(lon - {lon!r}) / 2)),
+           sqrt(1.0 - (sin(radians(lat - {lat!r}) / 2) * sin(radians(lat - {lat!r}) / 2)
+                + cos(radians({lat!r})) * cos(radians(lat))
+                  * sin(radians(lon - {lon!r}) / 2) * sin(radians(lon - {lon!r}) / 2)))
+         ) AS dist_km
+  FROM pts
+)
+SELECT doc_id, round(dist_km, 4) AS dist_km FROM d
+WHERE dist_km <= {d_km!r}
+ORDER BY doc_id
+""".strip()
+
+
+def taxonomy_facets(term: str, table: str = "documents") -> str:
+    """Hierarchical facet counts over the lang/source taxonomy: one row
+    per tree node (depth-1 lang and depth-2 lang/source), counts within
+    the matching doc set — lucene/facet taxonomy counting shape."""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}'),
+m AS (SELECT d.lang, d.source FROM {table} d JOIN matched USING (doc_id))
+SELECT path, cnt FROM (
+  SELECT lang AS path, count(*) AS cnt FROM m GROUP BY lang
+  UNION ALL
+  SELECT lang || '/' || source AS path, count(*) AS cnt
+  FROM m GROUP BY lang, source
+) ORDER BY path
+""".strip()
+
+
+def query_elevation(
+    term: str, ids: list[int], k: int = 10, table: str = "documents"
+) -> str:
+    """QueryElevationComponent twin: pinned ids first in config order
+    (score 0 when the query does not match them), organic after."""
+    vals = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(ids))
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+elev(e_doc, elev_rank) AS (VALUES {vals}),
+j AS (
+  SELECT COALESCE(s.doc_id, e.e_doc) AS doc_id,
+         COALESCE(s.score, 0.0) AS score,
+         e.elev_rank
+  FROM scored s FULL OUTER JOIN elev e ON s.doc_id = e.e_doc
+)
+SELECT doc_id, round(score, 4) AS score,
+       CAST(elev_rank IS NOT NULL AS INTEGER) AS elevated
+FROM j
+ORDER BY CASE WHEN elev_rank IS NOT NULL THEN 0 ELSE 1 END,
+         elev_rank ASC NULLS LAST, score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_scored_all(term: str, table: str = "documents") -> str:
     """Full (doc_id, score) match set for one term — order-insensitive
     gate shape used by the delete/update gates (no top-k, so internal

@@ -116,6 +116,52 @@ def facet_queries(
     )
 
 
+def elevate(
+    searcher: Searcher,
+    q: str,
+    elevations: dict[str, list[int]],
+    rows: int = 10,
+) -> DataFrame:
+    """QueryElevationComponent (S/handler/component/
+    QueryElevationComponent.java): for a configured query string, pin
+    the listed doc ids to the top IN CONFIG ORDER regardless of score;
+    organic results follow in normal (score desc, doc_id) order.
+    Returns (doc_id, score, elevated).
+
+    Shape: the elevation map is a broadcast literal frame joined into
+    the scored set — one extra column, no extra shuffle beyond the
+    ordinary top-k."""
+    ids = elevations.get(q.strip().lower(), [])
+    scored = searcher.score(parse_lucene(q))
+    spark = searcher.index.spark
+    if ids:
+        elev = spark.createDataFrame(
+            [(int(d), i) for i, d in enumerate(ids)],
+            "doc_id long, elev_rank int",
+        )
+        # elevated docs appear even when the query does not match them
+        # (forceElevation semantics): outer-join and default score 0
+        out = scored.join(F.broadcast(elev), "doc_id", "full_outer")
+        out = out.select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.col("elev_rank"),
+        )
+    else:
+        out = scored.withColumn("elev_rank", F.lit(None).cast("int"))
+    ordered = out.orderBy(
+        F.when(F.col("elev_rank").isNotNull(), 0).otherwise(1),
+        F.asc_nulls_last("elev_rank"),
+        F.desc("score"),
+        F.asc("doc_id"),
+    )
+    return ordered.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("elev_rank").isNotNull().cast("int").alias("elevated"),
+    ).limit(rows)
+
+
 def _sort_cols(sort: str):
     out = []
     for part in sort.split(","):

@@ -47,6 +47,14 @@ def spark_submit_bin() -> str:
     return cand if os.path.exists(cand) else "spark-submit"
 
 
+def _proc_stat():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return sum(vals), idle
+
+
 def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
     index_dir = os.path.join(work, f"index_c{cores}")
     # Heap scales with cores (2 GiB/core): an N->4N *executor* cluster
@@ -71,11 +79,23 @@ def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
         index_dir,
         str(cores),
     ]
+    import time as _time
+
+    t_before, i_before = _proc_stat()
+    w0 = _time.perf_counter()
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=work, check=True
     )
+    wall = _time.perf_counter() - w0
+    t_after, i_after = _proc_stat()
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
+    # host-wide busy cores during the leg (shared-tenant evidence: the
+    # sandbox VM's deliverable CPU drifts; this records what this leg
+    # actually got)
+    dt, di = t_after - t_before, i_after - i_before
+    ncpu = os.cpu_count() or 1
+    res["host_busy_cores"] = round(ncpu * (dt - di) / dt, 2) if dt else None
     shutil.rmtree(index_dir, ignore_errors=True)
     return res
 

@@ -25,7 +25,13 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     inp, index_dir = sys.argv[1], sys.argv[2]
-    shuffle = sys.argv[3] if len(sys.argv) > 3 else "32"
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # 4 tasks per core on BOTH sides of the shuffle: a single wave of
+    # core-count tasks is straggler-quantized (one slow task idles the
+    # rest of the wave); 4x over-decomposition keeps every core busy
+    # until the stage tail. This is exactly the tasks-per-executor
+    # over-provisioning a real cluster uses.
+    shuffle = str(4 * cores)
 
     spark = (
         SparkSession.builder.appName("lucene-solr-spark-index-job")
@@ -65,6 +71,13 @@ def main() -> None:
         .count()
     )
 
+    # split the input scan into ~4 tasks/core as well: the default
+    # packing hands out defaultParallelism splits — one wave of huge
+    # map tasks whose stragglers cap scaling long before the kernels do
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum",
+        str(4 * spark.sparkContext.defaultParallelism),
+    )
     docs = spark.read.parquet(inp)
     t0 = time.perf_counter()
     # single-pass build: number docs -> one tokenize/pack pass ->
@@ -84,6 +97,7 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / total, 1),
                 "master": spark.sparkContext.master,
                 "generation": seg.manifest["generation"],
+                "phases": seg.manifest.get("build_phase_sec", {}),
             }
         )
     )
