@@ -809,6 +809,57 @@ def q_knn_lsh(spark, sf_dir):
     return knn_cosine_lsh(emb, [float(x) for x in qv], k=5)
 
 
+def _media(spark, sf_dir):
+    """Deterministic media table derived from documents: payload =
+    UTF-8 text bytes, kind/dims/duration from doc_id arithmetic — the
+    driver ships no binary tables, so both engines derive the same one
+    (multimodal decode itself stays a declared stub; the gates pin the
+    Spark-side schema/fan-out/metadata plumbing)."""
+    d = _docs(spark, sf_dir)
+    kind = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(100) + F.pmod("doc_id", F.lit(500))).cast("int").alias("width"),
+        (F.lit(100) + F.pmod("doc_id", F.lit(300))).cast("int").alias("height"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 2,
+            (F.lit(1000) + F.pmod("doc_id", F.lit(10)) * 700).cast("int"),
+        ).alias("duration_ms"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Feature-extraction plumbing (Arrow-batched mapInPandas over
+    binary payloads): metadata columns gated; the md5-derived fake
+    feature vector is pinned by tests/test_multimodal.py."""
+    from lucene_solr_spark.datapipe.multimodal import extract_features
+
+    out = extract_features(_media(spark, sf_dir))
+    return out.select("media_id", "kind", "n_bytes")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling fan-out: one row per sampled timestamp."""
+    from lucene_solr_spark.datapipe.multimodal import sample_frames
+
+    out = sample_frames(_media(spark, sf_dir), every_ms=1000)
+    return out.select("media_id", "frame_idx", "ts_ms")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Resize planning — pure Catalyst dim arithmetic, no UDF."""
+    from lucene_solr_spark.datapipe.multimodal import resize_images
+
+    return resize_images(_media(spark, sf_dir), max_side=256)
+
+
 # ---------------- events (stream-shaped analytics, batch check) -------
 
 def q_events_hourly(spark, sf_dir):
@@ -922,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "knn": q_knn,
         "knn_lsh": q_knn_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "events_hourly": q_events_hourly,
         "events_stats": q_events_stats,
     }
@@ -1006,6 +1060,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": O.fingerprint(),
         "knn": O.knn_cosine(),
         "knn_lsh": O.knn_cosine_lsh(),
+        "multimodal_meta": O.multimodal_meta(),
+        "multimodal_frames": O.multimodal_frames(),
+        "multimodal_resize": O.multimodal_resize(),
         "events_hourly": O.events_hourly(),
         "events_stats": O.events_type_stats(),
     }

@@ -332,6 +332,60 @@ scored AS (
 """.strip()
 
 
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(100 + doc_id % 500 AS INTEGER) AS width,
+         CAST(100 + doc_id % 300 AS INTEGER) AS height,
+         CASE WHEN doc_id % 3 = 2
+              THEN CAST(1000 + (doc_id % 10) * 700 AS INTEGER) END
+           AS duration_ms
+  FROM documents
+)""".strip()
+
+
+def multimodal_meta() -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes FROM media
+ORDER BY media_id
+""".strip()
+
+
+def multimodal_frames(every_ms: int = 1000) -> str:
+    return f"""
+WITH {_MEDIA_CTE},
+vids AS (
+  SELECT media_id,
+         greatest(duration_ms // {every_ms}, 1) AS n_frames
+  FROM media WHERE kind = 'video'
+)
+SELECT media_id,
+       CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
+       CAST(unnest(range(n_frames)) * {every_ms} AS INTEGER) AS ts_ms
+FROM vids
+ORDER BY media_id, frame_idx
+""".strip()
+
+
+def multimodal_resize(max_side: int = 256) -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, width, height,
+       CAST(round(width * CASE WHEN greatest(width, height) > {max_side}
+            THEN CAST({max_side} AS DOUBLE) / greatest(width, height)
+            ELSE 1.0 END) AS INTEGER) AS target_w,
+       CAST(round(height * CASE WHEN greatest(width, height) > {max_side}
+            THEN CAST({max_side} AS DOUBLE) / greatest(width, height)
+            ELSE 1.0 END) AS INTEGER) AS target_h
+FROM media WHERE kind = 'image'
+ORDER BY media_id
+""".strip()
+
+
 def geofilt_docs(
     lat: float, lon: float, d_km: float, table: str = "documents"
 ) -> str:
