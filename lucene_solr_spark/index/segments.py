@@ -381,62 +381,165 @@ def _invert_flush_partitions(split_range: int, keep_positions: bool):
     return run_udf
 
 
+# rank of each norm byte's decoded quantized dl (ties by byte value):
+# min-rank within a block gives the byte that minimizes the BM25
+# denominator addend under ANY avgdl (same argument as _pack_run)
+_NB_RANK = np.argsort(np.argsort(NORM_TABLE, kind="stable"), kind="stable")
+_BYTE_OF_RANK = np.argsort(_NB_RANK, kind="stable")
+
+
 def _merge_partials_stream(split_range: int, keep_positions: bool):
     """Reducer: rows hash-partitioned by (term, split) and sorted by
     (term, first_doc) — each (term, split) group's partial runs are
-    contiguous and doc-ordered. Decode partials + re-block, vectorized
-    (SegmentMerger.mergeTerms analogue; positions are byte-sliced, never
-    decoded — codec.reblock_runs)."""
-    from .codec import reblock_runs
+    contiguous. BATCH re-block (SegmentMerger.mergeTerms analogue):
+    at Zipfian vocabularies most groups hold a handful of docs, so a
+    per-group numpy loop pays ~350 us of call overhead per TERM; here
+    the whole Arrow frame is decoded with ONE varint_decode per stream,
+    doc-sorted with ONE global in-group lexsort (only when map-task doc
+    ranges interleaved), and re-encoded with ONE varint_encode per
+    stream, sliced per block by value byte offsets. Positions are
+    byte-sliced per doc, never decoded (each doc's sub-stream starts
+    with an absolute position — encode_run)."""
+    from .codec import varint_decode, varint_encode, varint_value_starts
 
     def pack_frame(pdf: pd.DataFrame, rows: list) -> None:
         terms_arr = pdf["term"].to_numpy()
-        splits_arr = (
-            pdf["first_doc"].to_numpy(dtype=np.int64) // split_range
-        )
-        n = len(pdf)
+        first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
+        splits_arr = first_doc // split_range
+        num_docs = pdf["num_docs"].to_numpy(dtype=np.int64)
+        buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+        npart = len(pdf)
         change = np.flatnonzero(
             (terms_arr[1:] != terms_arr[:-1])
             | (splits_arr[1:] != splits_arr[:-1])
         ) + 1
-        bounds = np.concatenate(([0], change, [n]))
-        cols = {
-            c: pdf[c].to_numpy()
-            for c in (
-                "bucket", "num_docs", "first_doc", "docs_bin",
-                "tfs_bin", "norms_bin", "pos_bin",
+        p_bounds = np.concatenate(([0], change, [npart]))
+
+        # ---- decode every partial in one shot ----
+        docs_cat = b"".join(pdf["docs_bin"])
+        tfs_cat = b"".join(pdf["tfs_bin"])
+        norms_cat = b"".join(pdf["norms_bin"])
+        total = int(num_docs.sum())
+        gaps = varint_decode(docs_cat, total).astype(np.int64)
+        tfs = varint_decode(tfs_cat, total).astype(np.int64) + 1
+        norms = np.frombuffer(norms_cat, dtype=np.uint8)
+        pd_starts = np.zeros(npart, dtype=np.int64)
+        np.cumsum(num_docs[:-1], out=pd_starts[1:])
+        pidx = np.repeat(np.arange(npart), num_docs)
+        g = np.cumsum(gaps)
+        docs = first_doc[pidx] + (g - g[pd_starts][pidx])
+
+        # group bounds in doc space
+        g_start_doc = pd_starts[p_bounds[:-1]]
+        g_bounds_doc = np.append(g_start_doc, total)
+        ngroups = len(g_start_doc)
+        grp_of_doc = np.repeat(
+            np.arange(ngroups), np.diff(g_bounds_doc)
+        )
+
+        if keep_positions:
+            pos_cat = b"".join(x or b"" for x in pdf["pos_bin"])
+            tok_off = np.append(
+                varint_value_starts(pos_cat), len(pos_cat)
             )
-        }
-        for i in range(len(bounds) - 1):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            partials = [
-                {
-                    "num_docs": int(cols["num_docs"][j]),
-                    "first_doc": int(cols["first_doc"][j]),
-                    "docs_bin": cols["docs_bin"][j],
-                    "tfs_bin": cols["tfs_bin"][j],
-                    "norms_bin": cols["norms_bin"][j],
-                    "pos_bin": cols["pos_bin"][j],
-                }
-                for j in range(s, e)
-            ]
-            for blk in reblock_runs(partials, keep_positions):
-                rows.append(
-                    (
-                        int(cols["bucket"][s]),
-                        terms_arr[s],
-                        blk["num_docs"],
-                        blk["first_doc"],
-                        blk["last_doc"],
-                        blk["max_tf"],
-                        blk["min_nb"],
-                        blk["sum_tf"],
-                        blk["docs_bin"],
-                        blk["tfs_bin"],
-                        blk["norms_bin"],
-                        blk["pos_bin"],
-                    )
+            tf_cum = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(tfs, out=tf_cum[1:])
+            # per-doc position byte spans (relocatable)
+            span_lo = tok_off[tf_cum[:-1]]
+            span_hi = tok_off[tf_cum[1:]]
+
+        # ---- repair interleaved map-task doc ranges (one lexsort) ----
+        inner = np.ones(total, dtype=bool)
+        inner[g_start_doc] = False  # group-start positions excluded
+        needs_sort = bool(
+            total > 1 and np.any((np.diff(docs) <= 0) & inner[1:])
+        )
+        if needs_sort:
+            order = np.lexsort((docs, grp_of_doc))
+            docs = docs[order]
+            tfs = tfs[order]
+            norms = norms[order]
+            if keep_positions:
+                span_lo = span_lo[order]
+                span_hi = span_hi[order]
+
+        # ---- re-block: every group cut into BLOCK_SIZE blocks ----
+        glen = np.diff(g_bounds_doc)
+        nb_per_group = (glen + BLOCK_SIZE - 1) // BLOCK_SIZE
+        nblocks = int(nb_per_group.sum())
+        block_group = np.repeat(np.arange(ngroups), nb_per_group)
+        nb_excl = np.zeros(ngroups, dtype=np.int64)
+        np.cumsum(nb_per_group[:-1], out=nb_excl[1:])
+        within = np.arange(nblocks) - nb_excl[block_group]
+        b_start = g_start_doc[block_group] + within * BLOCK_SIZE
+        b_end = np.minimum(
+            b_start + BLOCK_SIZE, g_bounds_doc[1:][block_group]
+        )
+
+        # ---- encode all blocks' streams in one call each ----
+        new_gaps = np.empty(total, dtype=np.int64)
+        if total > 1:
+            new_gaps[1:] = docs[1:] - docs[:-1]
+        new_gaps[b_start] = 0
+        docs_stream = varint_encode(new_gaps.astype(np.uint64))
+        d_off = np.append(
+            varint_value_starts(docs_stream), len(docs_stream)
+        )
+        tfs_stream = varint_encode((tfs - 1).astype(np.uint64))
+        t_off = np.append(
+            varint_value_starts(tfs_stream), len(tfs_stream)
+        )
+        norms_stream = norms.tobytes()
+
+        # ---- per-block metadata, vectorized ----
+        first_b = docs[b_start]
+        last_b = docs[b_end - 1]
+        max_tf = np.maximum.reduceat(tfs, b_start)
+        sum_tf = np.add.reduceat(tfs, b_start)
+        min_rank = np.minimum.reduceat(
+            _NB_RANK[norms.astype(np.int64)], b_start
+        )
+        min_nb = _BYTE_OF_RANK[min_rank]
+        term_b = terms_arr[p_bounds[:-1]][block_group]
+        bucket_b = buckets[p_bounds[:-1]][block_group]
+        ndocs_b = b_end - b_start
+
+        if keep_positions and needs_sort:
+            # positions must follow the doc permutation: rebuild the
+            # buffer from permuted per-doc spans (Python slicing loop,
+            # only on interleaved frames)
+            pos_cat = b"".join(
+                pos_cat[int(a) : int(b)]
+                for a, b in zip(span_lo, span_hi)
+            )
+            lens = span_hi - span_lo
+            span_lo = np.zeros(total, dtype=np.int64)
+            np.cumsum(lens[:-1], out=span_lo[1:])
+            span_hi = span_lo + lens
+
+        for i in range(nblocks):
+            ds, de = int(b_start[i]), int(b_end[i])
+            pos_bin = None
+            if keep_positions:
+                pos_bin = pos_cat[
+                    int(span_lo[ds]) : int(span_hi[de - 1])
+                ]
+            rows.append(
+                (
+                    int(bucket_b[i]),
+                    term_b[i],
+                    int(ndocs_b[i]),
+                    int(first_b[i]),
+                    int(last_b[i]),
+                    int(max_tf[i]),
+                    int(min_nb[i]),
+                    int(sum_tf[i]),
+                    docs_stream[int(d_off[ds]) : int(d_off[de])],
+                    tfs_stream[int(t_off[ds]) : int(t_off[de])],
+                    norms_stream[ds:de],
+                    pos_bin,
                 )
+            )
 
     def run_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
