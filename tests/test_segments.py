@@ -339,3 +339,78 @@ def test_build_segment_store_single_pass(spark, tiny_pdf, tiny_index, tiny_oracl
         assert_topk_equal(
             s.search(q, 10).collect(), tiny_oracle.top_k(want_scores, 10)
         )
+
+
+def test_batch_merge_equals_per_group_reference():
+    """The frame-batched reducer must produce the SAME block set as
+    per-group reblock_runs, including under interleaved map-task doc
+    ranges (even/odd striping)."""
+    import pandas as pd
+
+    from lucene_solr_spark.corpus import generate_transcripts
+    from lucene_solr_spark.index.codec import reblock_runs
+    from lucene_solr_spark.index.segments import (
+        _invert_flush_partitions,
+        _merge_partials_stream,
+    )
+
+    frames = []
+    for t in range(3):
+        pdf = generate_transcripts(2000, seed=300 + t).reset_index(
+            drop=True
+        )
+        pdf["doc_id"] = np.arange(len(pdf), dtype=np.int64) * 3 + t
+        kern = _invert_flush_partitions(1 << 20, True)
+        frames.extend(list(kern(iter([pdf[["doc_id", "text"]]]))))
+    allp = (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["term", "first_doc"])
+        .reset_index(drop=True)
+    )
+    allp["bucket"] = 0
+    merge = _merge_partials_stream(1 << 20, True)
+    out = pd.concat(list(merge(iter([allp]))), ignore_index=True)
+    cols = {
+        c: allp[c].to_numpy()
+        for c in (
+            "term", "num_docs", "first_doc", "docs_bin", "tfs_bin",
+            "norms_bin", "pos_bin",
+        )
+    }
+    terms = cols["term"]
+    bounds = np.concatenate(
+        ([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1, [len(allp)])
+    )
+    want = set()
+    for i in range(len(bounds) - 1):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        partials = [
+            dict(
+                num_docs=int(cols["num_docs"][j]),
+                first_doc=int(cols["first_doc"][j]),
+                docs_bin=cols["docs_bin"][j],
+                tfs_bin=cols["tfs_bin"][j],
+                norms_bin=cols["norms_bin"][j],
+                pos_bin=cols["pos_bin"][j],
+            )
+            for j in range(s, e)
+        ]
+        for blk in reblock_runs(partials, True):
+            want.add(
+                (
+                    terms[s], blk["num_docs"], blk["first_doc"],
+                    blk["last_doc"], blk["max_tf"], blk["min_nb"],
+                    blk["sum_tf"], blk["docs_bin"], blk["tfs_bin"],
+                    blk["norms_bin"], blk["pos_bin"],
+                )
+            )
+    got = set(
+        out[
+            [
+                "term", "num_docs", "first_doc", "last_doc", "max_tf",
+                "min_nb", "sum_tf", "docs_bin", "tfs_bin", "norms_bin",
+                "pos_bin",
+            ]
+        ].itertuples(index=False, name=None)
+    )
+    assert got == want and len(want) > 100
