@@ -398,6 +398,30 @@ def q_tfidf_or(spark, sf_dir):
     )
 
 
+def q_match_all(spark, sf_dir):
+    """MatchAllDocsQuery (*:*) through the parser + constant scoring."""
+    from lucene_solr_spark.search.qparser import parse_lucene
+
+    s = _searcher(spark, sf_dir)
+    return s.score(parse_lucene("*:*")).select("doc_id", "score")
+
+
+def q_sort_by_field(spark, sf_dir):
+    """TopFieldCollector / Sort: top-10 by a stored field instead of
+    score (handler sort= spec)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        sort="n_chars desc",
+        rows=10,
+    )
+    return out["response"].select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_select_parsed(spark, sf_dir):
     """Query-string entry (QParser): '+scan +merge' == programmatic AND."""
     from lucene_solr_spark.search.qparser import parse_lucene
@@ -927,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_delete": q_bm25_delete,
         "rtg": q_rtg,
         "tfidf_or": q_tfidf_or,
+        "match_all": q_match_all,
+        "sort_by_field": q_sort_by_field,
         "select_parsed": q_select_parsed,
         "select_fq": q_select_fq,
         "func_boost": q_func_boost,
@@ -1008,6 +1034,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rtg": O.rtg_docs([5, 10, 15]),
         "tfidf_or": O.tfidf_or(["scan", "merge"]),
+        "match_all": O.match_all(),
+        "sort_by_field": O.sort_by_field("scan", "n_chars"),
         "select_parsed": O.bm25_bool(must=["scan", "merge"]),
         "select_fq": O.bm25_bool(
             must=[], should=["scan", "merge"], fq="d.lang = 'en'"

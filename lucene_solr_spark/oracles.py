@@ -434,6 +434,26 @@ SELECT path, cnt FROM (
 """.strip()
 
 
+def match_all(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, 1.0 AS score FROM {table} ORDER BY doc_id"
+    )
+
+
+def sort_by_field(
+    term: str, field: str, k: int = 10, table: str = "documents"
+) -> str:
+    """TopFieldCollector twin: top-k of the match set by a stored field
+    (desc), doc_id tiebreak, scores still reported."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN {table} d USING (doc_id)
+ORDER BY d.{field} DESC, s.doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def query_elevation(
     term: str, ids: list[int], k: int = 10, table: str = "documents"
 ) -> str:
