@@ -398,6 +398,36 @@ def q_tfidf_or(spark, sf_dir):
     )
 
 
+def q_lm_dirichlet(spark, sf_dir):
+    """Third similarity through the scoring slot: LMDirichletSimilarity
+    (mu=2000) OR query over collection LM stats (ttf/sumTTF)."""
+    from lucene_solr_spark.search.similarities import lm_dirichlet_search
+
+    return _topk_rounded(
+        lm_dirichlet_search(_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
+
+
+def q_ngram_freq(spark, sf_dir):
+    """NGramTokenFilter over the analyzed token stream, entirely in
+    Catalyst (sequence/transform/flatten + explode): top-20 character
+    trigrams by occurrence count."""
+    from lucene_solr_spark.analysis.ngram import ngrams_expr
+    from lucene_solr_spark.functions.spark_text import analyzed_tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(analyzed_tokens(F.col("text"))).alias("term")
+        )
+        .select(F.explode(ngrams_expr(F.col("term"), 3, 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 def q_match_all(spark, sf_dir):
     """MatchAllDocsQuery (*:*) through the parser + constant scoring."""
     from lucene_solr_spark.search.qparser import parse_lucene
@@ -951,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_delete": q_bm25_delete,
         "rtg": q_rtg,
         "tfidf_or": q_tfidf_or,
+        "lm_dirichlet": q_lm_dirichlet,
+        "ngram_freq": q_ngram_freq,
         "match_all": q_match_all,
         "sort_by_field": q_sort_by_field,
         "select_parsed": q_select_parsed,
@@ -1034,6 +1066,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rtg": O.rtg_docs([5, 10, 15]),
         "tfidf_or": O.tfidf_or(["scan", "merge"]),
+        "lm_dirichlet": O.lm_dirichlet_or(["scan", "merge"]),
+        "ngram_freq": O.ngram_freq(3, 20),
         "match_all": O.match_all(),
         "sort_by_field": O.sort_by_field("scan", "n_chars"),
         "select_parsed": O.bm25_bool(must=["scan", "merge"]),

@@ -257,7 +257,11 @@ def _invert_batch_loop(
 
 
 def make_analyzer(
-    stem: bool = False, fold: bool = False, stop: bool = True
+    stem: bool = False,
+    fold: bool = False,
+    stop: bool = True,
+    ngram: tuple[int, int] | None = None,
+    edge_ngram: tuple[int, int] | None = None,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -270,11 +274,22 @@ def make_analyzer(
     filters (FilteringTokenFilter.java:49-57), and the stemmer/folder
     are arity-preserving so positions are untouched.
     """
-    fold_fn = stem_fn = None
+    fold_fn = stem_fn = gram_fn = None
     if fold:
         from .folding import fold_to_ascii as fold_fn
     if stem:
         from .porter import porter_stem as stem_fn
+    if ngram and edge_ngram:
+        raise ValueError("ngram and edge_ngram are mutually exclusive")
+    if ngram or edge_ngram:
+        from .ngram import edge_ngram_tokens, ngram_tokens
+
+        if ngram:
+            mn, mx = ngram
+            gram_fn = lambda t: ngram_tokens(t, mn, mx)  # noqa: E731
+        else:
+            mn, mx = edge_ngram
+            gram_fn = lambda t: edge_ngram_tokens(t, mn, mx)  # noqa: E731
 
     def run(text: str) -> tuple[list[str], list[int]]:
         raw = tokenize_raw(
@@ -285,8 +300,17 @@ def make_analyzer(
         for pos, tok in enumerate(raw):
             if stop and tok in ENGLISH_STOP_WORDS:
                 continue
-            terms.append(stem_fn(tok) if stem_fn else tok)
-            positions.append(pos)
+            tok = stem_fn(tok) if stem_fn else tok
+            if gram_fn is not None:
+                # all grams of one source token share its position
+                # (NGramTokenFilter keeps posIncrement of the first gram
+                # and 0 for the rest within a token in 4.x behavior)
+                for g in gram_fn(tok):
+                    terms.append(g)
+                    positions.append(pos)
+            else:
+                terms.append(tok)
+                positions.append(pos)
         return terms, positions
 
     return run

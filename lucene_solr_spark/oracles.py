@@ -434,6 +434,24 @@ SELECT path, cnt FROM (
 """.strip()
 
 
+def ngram_freq(
+    n: int = 3, k: int = 20, table: str = "documents"
+) -> str:
+    """NGramTokenFilter twin: top-k char n-grams over the analyzed
+    token stream (one gram row per token occurrence position)."""
+    return f"""
+WITH {tok_ctes(table)},
+grams AS (
+  SELECT unnest(list_transform(
+           range(1, length(term) - {n} + 2),
+           i -> substr(term, i::INT, {n}))) AS gram
+  FROM tok
+)
+SELECT gram, count(*) AS cnt FROM grams
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
+""".strip()
+
+
 def match_all(table: str = "documents") -> str:
     return (
         f"SELECT doc_id, 1.0 AS score FROM {table} ORDER BY doc_id"
@@ -1295,6 +1313,46 @@ scored AS (
           * (CAST(count(DISTINCT term) AS DOUBLE) / {maxo}.0))
          * sum(partial) AS score
   FROM partials GROUP BY doc_id
+)
+{_topk('scored', k)}
+""".strip()
+
+
+def lm_dirichlet_or(
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    table: str = "documents",
+) -> str:
+    """LMDirichletSimilarity OR query — mirrors
+    similarities.lm_dirichlet_search textually: per-(term,doc)
+    partial = greatest(0, ln(1 + tf/(mu*p_c)) + ln(mu/(qdl+mu))) with
+    p_c = (ttf+1)/(sumTTF+1); score = sum(partial)."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH {tok_ctes(table)},
+sttf AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM tok),
+ttfs AS (
+  SELECT term, {mu!r} * ((count(*) + 1.0) / ((SELECT s FROM sttf) + 1.0))
+           AS mu_pc
+  FROM tok WHERE term IN ({tl}) GROUP BY term
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+partials AS (
+  SELECT t.doc_id,
+         greatest(0.0,
+           ln(1.0 + CAST(t.tf AS DOUBLE) / y.mu_pc)
+           + ln({mu!r} / (q.q + {mu!r}))) AS partial
+  FROM tfs t
+  JOIN ttfs y USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+scored AS (
+  SELECT doc_id, sum(partial) AS score FROM partials GROUP BY doc_id
 )
 {_topk('scored', k)}
 """.strip()

@@ -35,6 +35,63 @@ from ..index.norms import NORM_TABLE
 from .executor import Searcher
 
 
+def lm_dirichlet_search(
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Top-k for OR(terms) under LMDirichletSimilarity (mu=2000) — a
+    third Similarity through the slot, exercising collection-level
+    language-model stats (ttf + sumTotalTermFreq) the TF-IDF/BM25 paths
+    never read.
+
+    Formula (lucene/core/.../similarities/LMDirichletSimilarity.java:58-76
+    with LMSimilarity.DefaultCollectionModel:
+    p(t|C) = (ttf+1)/(sumTotalTermFreq+1)):
+
+      w(t,d)   = max(0, ln(1 + tf/(mu*p(t|C))) + ln(mu/(dl+mu)))
+      score(d) = sum over matched terms of boost * w(t,d)
+
+    dl is the quantized doc length decoded from the stored norm byte —
+    identical quantization to the BM25 path. Same physical plan: pruned
+    postings scan -> vectorized per-(term,doc) column -> ONE
+    groupBy(doc_id) shuffle -> top-k.
+    """
+    idx = searcher.index
+    stats = idx.term_stats(sorted(set(terms)))
+    present = sorted(t for t in set(terms) if t in stats)
+    if not present:
+        return idx.spark.createDataFrame([], "doc_id long, score double")
+    sttf = float(idx.stats.sum_total_term_freq)
+    # mu * p(t|C) precomputed per term as a double literal
+    mu_pc = {
+        t: mu * ((stats[t][1] + 1.0) / (sttf + 1.0)) for t in present
+    }
+    wmap = F.create_map(
+        *[x for t in present for x in (F.lit(t), F.lit(mu_pc[t]))]
+    )
+    qdl_arr = F.array(*[F.lit(float(v)) for v in NORM_TABLE.tolist()])
+    dl = F.element_at(qdl_arr, F.col("norm_byte") + 1)
+    partial = (
+        searcher._postings_for(present)
+        .select("term", "doc_id", "tf", "norm_byte")
+        .withColumn(
+            "partial",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.lit(1.0)
+                    + F.col("tf").cast("double") / wmap[F.col("term")]
+                )
+                + F.log(F.lit(mu) / (dl + F.lit(mu))),
+            ),
+        )
+    )
+    scored = partial.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def classic_idf(df: int, n: int) -> float:
     """DefaultSimilarity.idf: ln(numDocs/(docFreq+1)) + 1."""
     return math.log(float(n) / (df + 1.0)) + 1.0

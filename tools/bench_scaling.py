@@ -55,13 +55,26 @@ def _proc_stat():
     return sum(vals), idle
 
 
-def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
+def run_level(
+    zpath: str, cores: int, inp: str, work: str, pin: bool = False
+) -> dict:
     index_dir = os.path.join(work, f"index_c{cores}")
     # Heap scales with cores (2 GiB/core): an N->4N *executor* cluster
     # brings 4x total memory, so a fixed single-JVM heap would measure GC
     # pressure, not scaling. local[] runs everything in the driver JVM.
     mem = os.environ.get("SPARK_DRIVER_MEM", f"{2 * cores}g")
-    cmd = [
+    cmd = []
+    if pin:
+        # Hard CPU affinity: local[N] on an idle 32-core host leaks JVM
+        # service threads (GC, shuffle I/O, netty) onto cores beyond the
+        # N task slots — measured 2.3-2.6 busy cores for local[2] — which
+        # makes the small leg faster than any real N-core executor fleet
+        # could be and so UNDERSTATES scaling efficiency. An N-executor
+        # cluster has exactly N*c cores for everything incl. GC; taskset
+        # models that. Affinity is inherited by the forked Python workers.
+        cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    gc_threads = max(2, cores)
+    cmd += [
         spark_submit_bin(),
         "--master",
         f"local[{cores}]",
@@ -72,6 +85,16 @@ def run_level(zpath: str, cores: int, inp: str, work: str) -> dict:
         # executor its own local NVMe, which tmpfs models honestly here
         "--conf",
         f"spark.local.dir={work}/sparktmp_c{cores}",
+        # GC parallelism sized to the leg's core budget (default would be
+        # ~23 threads on this 32-core host for BOTH legs — thrashing when
+        # pinned to 2 cores, stealing idle cores when not)
+        "--conf",
+        (
+            "spark.driver.extraJavaOptions="
+            f"-XX:ParallelGCThreads={gc_threads} "
+            f"-XX:ConcGCThreads={max(1, gc_threads // 4)} "
+            f"-XX:CICompilerCount={max(2, min(4, cores))}"
+        ),
         "--py-files",
         zpath,
         os.path.join(REPO, "tools", "index_job.py"),
@@ -104,11 +127,14 @@ def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 600_000
     levels = [2, 8, 32]
     reps = 2
+    pin = False
     for a in sys.argv[2:]:
         if a.startswith("--levels="):
             levels = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a == "--pin":
+            pin = True
     # tmpfs workdir (input, index output, shuffle scratch): see run_level
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="lss_scaling_", dir=base)
@@ -134,12 +160,19 @@ def main() -> None:
         runs: dict[int, list[dict]] = {c: [] for c in levels}
         for rep in range(reps):
             for c in levels:
-                r = run_level(zpath, c, inp, work)
+                r = run_level(zpath, c, inp, work, pin=pin)
                 runs[c].append(r)
                 print(
                     json.dumps(
                         {"rep": rep, "cores": c, **{
-                            k: r[k] for k in ("total_sec", "turns_per_sec")
+                            k: r[k]
+                            for k in (
+                                "total_sec",
+                                "turns_per_sec",
+                                "host_busy_cores",
+                                "phases",
+                            )
+                            if k in r
                         }}
                     ),
                     flush=True,
@@ -197,6 +230,7 @@ def main() -> None:
         result = {
             "n_turns": n_turns,
             "reps": reps,
+            "pinned": pin,
             "levels": summary,
             "efficiency_mean": {
                 f"{lo}_to_{hi}": round(eff(lo, hi, "mean_sec"), 3)
@@ -249,7 +283,7 @@ def main() -> None:
         )
         md = f"""# Latest raw scaling sweep
 
-`python tools/bench_scaling.py {n_turns} --levels={','.join(map(str, levels))} --reps={reps}`
+`python tools/bench_scaling.py {n_turns} --levels={','.join(map(str, levels))} --reps={reps}{' --pin' if pin else ''}`
 Identical spark-submit --py-files segment build over the SAME
 pre-generated {n_turns:,}-turn transcript parquet; levels interleaved
 within each repetition.
