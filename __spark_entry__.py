@@ -408,6 +408,16 @@ def q_lm_dirichlet(spark, sf_dir):
     )
 
 
+def q_dfr_inl2(spark, sf_dir):
+    """Fourth similarity through the scoring slot: DFR InL2
+    (BasicModelIn + AfterEffectL + NormalizationH2, c=1) OR query."""
+    from lucene_solr_spark.search.similarities import dfr_inl2_search
+
+    return _topk_rounded(
+        dfr_inl2_search(_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
+
+
 def q_ngram_freq(spark, sf_dir):
     """NGramTokenFilter over the analyzed token stream, entirely in
     Catalyst (sequence/transform/flatten + explode): top-20 character
@@ -982,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtg": q_rtg,
         "tfidf_or": q_tfidf_or,
         "lm_dirichlet": q_lm_dirichlet,
+        "dfr_inl2": q_dfr_inl2,
         "ngram_freq": q_ngram_freq,
         "match_all": q_match_all,
         "sort_by_field": q_sort_by_field,
@@ -1067,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "rtg": O.rtg_docs([5, 10, 15]),
         "tfidf_or": O.tfidf_or(["scan", "merge"]),
         "lm_dirichlet": O.lm_dirichlet_or(["scan", "merge"]),
+        "dfr_inl2": O.dfr_inl2_or(["scan", "merge"]),
         "ngram_freq": O.ngram_freq(3, 20),
         "match_all": O.match_all(),
         "sort_by_field": O.sort_by_field("scan", "n_chars"),

@@ -1358,6 +1358,55 @@ scored AS (
 """.strip()
 
 
+def dfr_inl2_or(
+    terms: list[str],
+    k: int = 10,
+    c: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """DFR InL2 OR query — mirrors similarities.dfr_inl2_search
+    textually: tfn = tf * ln(1 + c*avgdl/qdl) / ln(2);
+    partial = (tfn/(1+tfn)) * ln((N+1)/(df+0.5))/ln(2);
+    score = sum(partial)."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl}) GROUP BY term
+),
+basics AS (
+  SELECT term,
+         ln((CAST((SELECT max_doc FROM coll) AS DOUBLE) + 1.0)
+            / (df + 0.5)) / ln(2.0) AS basic
+  FROM dfs
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+tfns AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf AS DOUBLE)
+           * ln(1.0 + {c!r} * (SELECT avgdl FROM coll) / q.q)
+           / ln(2.0) AS tfn
+  FROM tfs t
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+partials AS (
+  SELECT f.doc_id,
+         (f.tfn / (1.0 + f.tfn)) * b.basic AS partial
+  FROM tfns f
+  JOIN basics b USING (term)
+),
+scored AS (
+  SELECT doc_id, sum(partial) AS score FROM partials GROUP BY doc_id
+)
+{_topk('scored', k)}
+""".strip()
+
+
 _RAWTOK_CTE = f"""
 rawtok AS (
   SELECT doc_id, term, pos FROM (

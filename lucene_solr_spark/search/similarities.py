@@ -92,6 +92,71 @@ def lm_dirichlet_search(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def dfr_inl2_search(
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    c: float = 1.0,
+) -> DataFrame:
+    """Top-k for OR(terms) under DFR InL2 — divergence-from-randomness
+    with the inverse-document-frequency basic model I(n), Laplace after
+    effect L, and H2 length normalization (the standard "InL2" triple).
+
+    Formula (lucene/core/.../similarities/DFRSimilarity.java:99-110,
+    BasicModelIn.java:30-36, AfterEffectL.java:27-31,
+    NormalizationH2.java:34-39, all composed exactly as
+    DFRSimilarity.score does):
+
+      tfn      = tf * log2(1 + c * avgdl / dl)        (H2)
+      basic    = tfn * log2((N + 1) / (df + 0.5))     (I(n))
+      gain     = 1 / (1 + tfn)                        (L)
+      w(t,d)   = gain * basic
+      score(d) = sum over matched terms of boost * w(t,d)
+
+    log2 is written ln(x)/ln(2) in the same textual order as the SQL
+    oracle (oracles.dfr_inl2_or); dl is the quantized doc length from
+    the stored norm byte, identical to every other similarity here.
+    Fourth Similarity through the slot — same physical plan: pruned
+    postings scan -> vectorized per-(term,doc) column -> ONE
+    groupBy(doc_id) shuffle -> top-k.
+    """
+    idx = searcher.index
+    stats = idx.term_stats(sorted(set(terms)))
+    present = sorted(t for t in set(terms) if t in stats)
+    if not present:
+        return idx.spark.createDataFrame([], "doc_id long, score double")
+    n = idx.stats.max_doc
+    # double-precision avgdl in the oracle's textual order (sumTTF /
+    # maxDoc), matching Searcher.avgdl64 — NOT the float32 stats field
+    avgdl = float(idx.stats.sum_total_term_freq) / float(n) if n else 1.0
+    ln2 = math.log(2.0)
+    # per-term basic-model factor log2((N+1)/(df+0.5)) as a double literal
+    basic = {
+        t: math.log((n + 1.0) / (stats[t][0] + 0.5)) / ln2
+        for t in present
+    }
+    wmap = F.create_map(
+        *[x for t in present for x in (F.lit(t), F.lit(basic[t]))]
+    )
+    qdl_arr = F.array(*[F.lit(float(v)) for v in NORM_TABLE.tolist()])
+    dl = F.element_at(qdl_arr, F.col("norm_byte") + 1)
+    tfn = (
+        F.col("tf").cast("double")
+        * F.log(F.lit(1.0) + F.lit(c) * F.lit(avgdl) / dl)
+        / F.lit(ln2)
+    )
+    partial = (
+        searcher._postings_for(present)
+        .select("term", "doc_id", "tf", "norm_byte")
+        .withColumn(
+            "partial",
+            (tfn / (F.lit(1.0) + tfn)) * wmap[F.col("term")],
+        )
+    )
+    scored = partial.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def classic_idf(df: int, n: int) -> float:
     """DefaultSimilarity.idf: ln(numDocs/(docFreq+1)) + 1."""
     return math.log(float(n) / (df + 1.0)) + 1.0
