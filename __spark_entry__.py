@@ -873,6 +873,16 @@ def q_knn_lsh(spark, sf_dir):
     return knn_cosine_lsh(emb, [float(x) for x in qv], k=5)
 
 
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH same-bucket candidate pairs
+    (8 tables x 8 planes, one Arrow signature pass, one (t,sig)
+    self-join — never all-pairs) + exact cosine >= 0.4 verify."""
+    from lucene_solr_spark.datapipe.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, threshold=0.4)
+
+
 def _media(spark, sf_dir):
     """Deterministic media table derived from documents: payload =
     UTF-8 text bytes, kind/dims/duration from doc_id arithmetic — the
@@ -1042,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "knn": q_knn,
         "knn_lsh": q_knn_lsh,
+        "dedup_embed": q_dedup_embed,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -1134,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": O.fingerprint(),
         "knn": O.knn_cosine(),
         "knn_lsh": O.knn_cosine_lsh(),
+        "dedup_embed": O.cosine_neardup(0.4),
         "multimodal_meta": O.multimodal_meta(),
         "multimodal_frames": O.multimodal_frames(),
         "multimodal_resize": O.multimodal_resize(),

@@ -251,3 +251,87 @@ def knn_cosine_lsh(
     return knn_cosine_bruteforce(
         cand, query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) for
+    every candidate pair with exact cosine >= ``threshold``.
+
+    Scale shape (the SimHash/MinHash dedup shape, applied to dense
+    vectors): signatures for ALL tables in ONE Arrow scan
+    (_signatures_arrow) -> melt to (id, table, sig) long form -> ONE
+    equality self-join keyed on (table, sig) — candidates are generated
+    per bucket, never all-pairs — -> distinct pairs -> exact cosine
+    verify via a JVM fold on the two joined vectors. At 10^9 vectors
+    the pair space is 10^18; only same-bucket pairs (per-table
+    ~N^2/2^planes under uniformity, far fewer under real clustering)
+    are ever materialized, and ``max_bucket`` drops degenerate buckets
+    (all-zero embeddings, constant vectors) the way the MinHash path
+    caps boilerplate mega-buckets — dropped buckets are observable in
+    the returned plan, not silent (they simply exceed the cap filter).
+
+    Recall: a true pair at cosine c collides in one table w.p.
+    (1 - acos(c)/pi)^planes; across T independent tables
+    1-(1-p)^T — e.g. c=0.9, 8 planes, 8 tables -> 0.94. Raise
+    ``n_tables`` (more scans of the signature table, same shape) for
+    higher recall; production near-dups (c >= 0.9) sit on the easy end
+    of the curve. tests/test_embed_neardup.py measures recall >= 0.95
+    on a clustered corpus with injected jittered duplicates.
+    """
+    sigs = _signatures_arrow(
+        embeddings, n_planes, n_tables, id_col, vec_col
+    )
+    stack_args = ", ".join(
+        f"{t}, sig_{t}" for t in range(n_tables)
+    )
+    long = sigs.selectExpr(
+        id_col,
+        f"stack({n_tables}, {stack_args}) AS (t, sig)",
+    )
+    # degenerate-bucket cap (count per (t, sig), computed once)
+    sizes = long.groupBy("t", "sig").count()
+    long = long.join(
+        F.broadcast(
+            sizes.where(F.col("count") > max_bucket).select("t", "sig")
+        ),
+        ["t", "sig"],
+        "left_anti",
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    scored = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "cos", cosine(F.col("vec_a"), F.col("vec_b"))
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+    return scored

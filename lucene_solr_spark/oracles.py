@@ -1116,6 +1116,71 @@ LIMIT {k}
 """.strip()
 
 
+def cosine_neardup(
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> str:
+    """Embedding-cosine near-dup pairs — mirrors
+    datapipe.similarity.cosine_neardup_pairs: same md5-parity
+    hyperplane signatures, same-bucket (any table) candidate pairs
+    with id_a < id_b, exact double cosine >= threshold."""
+    digits = "('1','3','5','7','9','b','d','f')"
+
+    def sig_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN sum(CAST(v AS DOUBLE) * "
+            f"(CASE WHEN substring(md5('{t}|{p}|' || CAST(i - 1 AS VARCHAR)), 15, 1) "
+            f"IN {digits} THEN 1.0 ELSE -1.0 END)) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    sig_cols = ", ".join(
+        f"{sig_terms(t)} AS s{t}" for t in range(n_tables)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, s{t} AS sig FROM sig"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, {sig_cols} FROM e GROUP BY vec_id
+),
+long AS ({unions}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM long a JOIN long b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv
+  FROM e GROUP BY vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         sum(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS d
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT d.id_a, d.id_b,
+         round(d.d / (sqrt(na.nv) * sqrt(nb.nv)), 4) AS cos
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE d.d / (sqrt(na.nv) * sqrt(nb.nv)) >= {threshold!r}
+)
+SELECT id_a, id_b, cos FROM scored ORDER BY id_a, id_b
+""".strip()
+
+
 def span_first_docs(
     term: str, n: int, table: str = "documents"
 ) -> str:
