@@ -418,6 +418,16 @@ def q_dfr_inl2(spark, sf_dir):
     )
 
 
+def q_ib_ll(spark, sf_dir):
+    """Fifth similarity through the scoring slot: IB LL-D(F)-H2
+    (log-logistic distribution, DF lambda, H2 normalization)."""
+    from lucene_solr_spark.search.similarities import ib_ll_search
+
+    return _topk_rounded(
+        ib_ll_search(_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
+
+
 def q_ngram_freq(spark, sf_dir):
     """NGramTokenFilter over the analyzed token stream, entirely in
     Catalyst (sequence/transform/flatten + explode): top-20 character
@@ -1003,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_or": q_tfidf_or,
         "lm_dirichlet": q_lm_dirichlet,
         "dfr_inl2": q_dfr_inl2,
+        "ib_ll": q_ib_ll,
         "ngram_freq": q_ngram_freq,
         "match_all": q_match_all,
         "sort_by_field": q_sort_by_field,
@@ -1090,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_or": O.tfidf_or(["scan", "merge"]),
         "lm_dirichlet": O.lm_dirichlet_or(["scan", "merge"]),
         "dfr_inl2": O.dfr_inl2_or(["scan", "merge"]),
+        "ib_ll": O.ib_ll_or(["scan", "merge"]),
         "ngram_freq": O.ngram_freq(3, 20),
         "match_all": O.match_all(),
         "sort_by_field": O.sort_by_field("scan", "n_chars"),

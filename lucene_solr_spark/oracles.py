@@ -1472,6 +1472,54 @@ scored AS (
 """.strip()
 
 
+def ib_ll_or(
+    terms: list[str],
+    k: int = 10,
+    c: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """IB LL-D(F)-H2 OR query — mirrors similarities.ib_ll_search
+    textually: tfn = tf * ln(1 + c*avgdl/qdl) / ln(2);
+    lambda = (df+1)/(N+1); partial = ln((tfn+lambda)/lambda)."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl}) GROUP BY term
+),
+lambdas AS (
+  SELECT term,
+         (df + 1.0)
+           / (CAST((SELECT max_doc FROM coll) AS DOUBLE) + 1.0) AS lam
+  FROM dfs
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+tfns AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf AS DOUBLE)
+           * ln(1.0 + {c!r} * (SELECT avgdl FROM coll) / q.q)
+           / ln(2.0) AS tfn
+  FROM tfs t
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+partials AS (
+  SELECT f.doc_id,
+         ln((f.tfn + y.lam) / y.lam) AS partial
+  FROM tfns f
+  JOIN lambdas y USING (term)
+),
+scored AS (
+  SELECT doc_id, sum(partial) AS score FROM partials GROUP BY doc_id
+)
+{_topk('scored', k)}
+""".strip()
+
+
 _RAWTOK_CTE = f"""
 rawtok AS (
   SELECT doc_id, term, pos FROM (

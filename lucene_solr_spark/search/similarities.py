@@ -157,6 +157,57 @@ def dfr_inl2_search(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def ib_ll_search(
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    c: float = 1.0,
+) -> DataFrame:
+    """Top-k for OR(terms) under the information-based IB similarity
+    with log-logistic distribution, document-frequency lambda, and H2
+    length normalization — "IB LL-D(F) H2", the fifth Similarity
+    through the slot, completing the DFR/IB/LM families.
+
+    Formula (lucene/core/.../similarities/IBSimilarity.java:98-103,
+    DistributionLL.java:33-35 (-ln(lambda/(tfn+lambda)), written as the
+    equal-quotient ln((tfn+lambda)/lambda) in BOTH engines so the
+    double rounding matches), LambdaDF.java:32-34, NormalizationH2.java
+    :52-54):
+
+      tfn      = tf * log2(1 + c * avgdl / dl)       (H2)
+      lambda   = (df + 1) / (N + 1)                  (D_F)
+      w(t,d)   = ln((tfn + lambda) / lambda)         (LL)
+      score(d) = sum over matched terms of boost * w(t,d)
+    """
+    idx = searcher.index
+    stats = idx.term_stats(sorted(set(terms)))
+    present = sorted(t for t in set(terms) if t in stats)
+    if not present:
+        return idx.spark.createDataFrame([], "doc_id long, score double")
+    n = idx.stats.max_doc
+    avgdl = float(idx.stats.sum_total_term_freq) / float(n) if n else 1.0
+    ln2 = math.log(2.0)
+    lam = {t: (stats[t][0] + 1.0) / (n + 1.0) for t in present}
+    wmap = F.create_map(
+        *[x for t in present for x in (F.lit(t), F.lit(lam[t]))]
+    )
+    qdl_arr = F.array(*[F.lit(float(v)) for v in NORM_TABLE.tolist()])
+    dl = F.element_at(qdl_arr, F.col("norm_byte") + 1)
+    tfn = (
+        F.col("tf").cast("double")
+        * F.log(F.lit(1.0) + F.lit(c) * F.lit(avgdl) / dl)
+        / F.lit(ln2)
+    )
+    lam_col = wmap[F.col("term")]
+    partial = (
+        searcher._postings_for(present)
+        .select("term", "doc_id", "tf", "norm_byte")
+        .withColumn("partial", F.log((tfn + lam_col) / lam_col))
+    )
+    scored = partial.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def classic_idf(df: int, n: int) -> float:
     """DefaultSimilarity.idf: ln(numDocs/(docFreq+1)) + 1."""
     return math.log(float(n) / (df + 1.0)) + 1.0
