@@ -83,9 +83,29 @@ def capacity_probe(n_procs: int) -> float:
 
 
 def run_level(
-    zpath: str, cores: int, inp: str, work: str, pin: bool = False
+    zpath: str,
+    cores: int,
+    inp: str,
+    work: str,
+    pin: bool = False,
+    execs: int | None = None,
+    cpe: int = 2,
 ) -> dict:
-    index_dir = os.path.join(work, f"index_c{cores}")
+    """One leg. ``cores`` mode: --master local[cores] (all threads in
+    the driver JVM). ``execs`` mode: --master local-cluster[execs,cpe,m]
+    — SEPARATE executor JVM processes, each with its own heap, GC, and
+    Python workers, talking to the driver over RPC and shuffling through
+    per-executor block managers. local[] shares ONE JVM across every
+    task slot, so its scheduler/GC/shuffle-tracker contention grows with
+    N and local[2] vs local[8] under-measures executor scaling;
+    local-cluster[1,c] vs local-cluster[4,c] is the faithful in-sandbox
+    model of the north rule's "N executors vs 4N executors" (same
+    per-executor resources, 4x the executors)."""
+    if execs is not None:
+        cores = execs * cpe
+        index_dir = os.path.join(work, f"index_e{execs}")
+    else:
+        index_dir = os.path.join(work, f"index_c{cores}")
     # Heap scales with cores (2 GiB/core): an N->4N *executor* cluster
     # brings 4x total memory, so a fixed single-JVM heap would measure GC
     # pressure, not scaling. local[] runs everything in the driver JVM.
@@ -99,22 +119,30 @@ def run_level(
         # could be and so UNDERSTATES scaling efficiency. An N-executor
         # cluster has exactly N*c cores for everything incl. GC; taskset
         # models that. Affinity is inherited by the forked Python workers.
-        cmd += ["taskset", "-c", f"0-{cores - 1}"]
-    gc_threads = max(2, cores)
+        # exec mode: +1 CPU for the driver JVM — on a real cluster the
+        # driver is a separate node, not a slice of executor capacity
+        pin_cpus = cores + (1 if execs is not None else 0)
+        cmd += ["taskset", "-c", f"0-{pin_cpus - 1}"]
+    gc_threads = max(2, cores if execs is None else cpe)
+    if execs is not None:
+        master = f"local-cluster[{execs},{cpe},{2048 * cpe}]"
+        mem = os.environ.get("SPARK_DRIVER_MEM", "3g")
+    else:
+        master = f"local[{cores}]"
     cmd += [
         spark_submit_bin(),
         "--master",
-        f"local[{cores}]",
+        master,
         "--driver-memory",
         mem,
         # shuffle/spill scratch on tmpfs: one shared spinning/virtio disk
         # would serialize both levels' I/O; a real cluster gives every
         # executor its own local NVMe, which tmpfs models honestly here
         "--conf",
-        f"spark.local.dir={work}/sparktmp_c{cores}",
-        # GC parallelism sized to the leg's core budget (default would be
-        # ~23 threads on this 32-core host for BOTH legs — thrashing when
-        # pinned to 2 cores, stealing idle cores when not)
+        f"spark.local.dir={work}/sparktmp_{os.path.basename(index_dir)}",
+        # GC parallelism sized to the leg's per-JVM core budget (default
+        # would be ~23 threads on this 32-core host for BOTH legs —
+        # thrashing when pinned, stealing idle cores when not)
         "--conf",
         (
             "spark.driver.extraJavaOptions="
@@ -122,6 +150,18 @@ def run_level(
             f"-XX:ConcGCThreads={max(1, gc_threads // 4)} "
             f"-XX:CICompilerCount={max(2, min(4, cores))}"
         ),
+    ]
+    if execs is not None:
+        cmd += [
+            "--conf",
+            (
+                "spark.executor.extraJavaOptions="
+                f"-XX:ParallelGCThreads={gc_threads} "
+                f"-XX:ConcGCThreads={max(1, gc_threads // 4)} "
+                f"-XX:CICompilerCount=2"
+            ),
+        ]
+    cmd += [
         "--py-files",
         zpath,
         os.path.join(REPO, "tools", "index_job.py"),
@@ -159,9 +199,18 @@ def main() -> None:
     levels = [2, 8, 32]
     reps = 2
     pin = False
+    exec_mode = False
+    cpe = 2
     for a in sys.argv[2:]:
         if a.startswith("--levels="):
             levels = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--execs="):
+            # levels are EXECUTOR counts (local-cluster mode: one JVM
+            # per executor — the faithful N vs 4N executor model)
+            levels = [int(x) for x in a.split("=", 1)[1].split(",")]
+            exec_mode = True
+        elif a.startswith("--cores-per-exec="):
+            cpe = int(a.split("=", 1)[1])
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
         elif a == "--pin":
@@ -191,7 +240,15 @@ def main() -> None:
         runs: dict[int, list[dict]] = {c: [] for c in levels}
         for rep in range(reps):
             for c in levels:
-                r = run_level(zpath, c, inp, work, pin=pin)
+                r = run_level(
+                    zpath,
+                    c,
+                    inp,
+                    work,
+                    pin=pin,
+                    execs=c if exec_mode else None,
+                    cpe=cpe,
+                )
                 runs[c].append(r)
                 print(
                     json.dumps(
@@ -265,6 +322,12 @@ def main() -> None:
             "n_turns": n_turns,
             "reps": reps,
             "pinned": pin,
+            "mode": (
+                f"local-cluster[N,{cpe},{2048 * cpe}] (one JVM per "
+                "executor)"
+                if exec_mode
+                else "local[N]"
+            ),
             "levels": summary,
             "efficiency_mean": {
                 f"{lo}_to_{hi}": round(eff(lo, hi, "mean_sec"), 3)

@@ -16,6 +16,7 @@ enters only through master/shuffle partitions, never through the code.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -26,12 +27,19 @@ from pyspark.sql import SparkSession
 def main() -> None:
     inp, index_dir = sys.argv[1], sys.argv[2]
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    # 4 tasks per core on BOTH sides of the shuffle: a single wave of
-    # core-count tasks is straggler-quantized (one slow task idles the
-    # rest of the wave); 4x over-decomposition keeps every core busy
-    # until the stage tail. This is exactly the tasks-per-executor
-    # over-provisioning a real cluster uses.
-    shuffle = str(4 * cores)
+    # Task decomposition is a property of the INPUT, not of the cluster
+    # size: on a real cluster the parquet splits don't change when
+    # executors are added, and the N vs 4N comparison is only fair if
+    # both levels run the IDENTICAL task set. (Sizing tasks to 4*cores
+    # per leg — the previous scheme — silently changed the WORK with the
+    # cluster size: 4x the map tasks fragments every term's partial
+    # posting runs 4x, multiplying run-encode and merge overhead, so the
+    # big leg did strictly more work per turn and scaling read as flat.)
+    # LSS_FIXED_TASKS pins both sides of the shuffle; default 32 — a
+    # multiple of every measured level, >= 4 waves on the small legs to
+    # wash out stragglers, and one wave on the largest.
+    n_tasks = int(os.environ.get("LSS_FIXED_TASKS", "32"))
+    shuffle = str(n_tasks)
 
     spark = (
         SparkSession.builder.appName("lucene-solr-spark-index-job")
@@ -71,13 +79,10 @@ def main() -> None:
         .count()
     )
 
-    # split the input scan into ~4 tasks/core as well: the default
-    # packing hands out defaultParallelism splits — one wave of huge
-    # map tasks whose stragglers cap scaling long before the kernels do
-    spark.conf.set(
-        "spark.sql.files.minPartitionNum",
-        str(4 * spark.sparkContext.defaultParallelism),
-    )
+    # input-scan splits pinned to the same fixed task count (see above:
+    # identical task set at every cluster size, like real parquet splits)
+    spark.conf.set("spark.sql.files.minPartitionNum", str(n_tasks))
+    spark.conf.set("spark.sql.files.maxPartitionNum", str(n_tasks))
     docs = spark.read.parquet(inp)
     t0 = time.perf_counter()
     # single-pass build: number docs -> one tokenize/pack pass ->
