@@ -388,7 +388,9 @@ _NB_RANK = np.argsort(np.argsort(NORM_TABLE, kind="stable"), kind="stable")
 _BYTE_OF_RANK = np.argsort(_NB_RANK, kind="stable")
 
 
-def _merge_partials_stream(split_range: int, keep_positions: bool):
+def _merge_partials_stream(
+    split_range: int, keep_positions: bool, stats_dir: str | None = None
+):
     """Reducer: rows hash-partitioned by (term, split) and sorted by
     (term, first_doc) — each (term, split) group's partial runs are
     contiguous. BATCH re-block (SegmentMerger.mergeTerms analogue):
@@ -399,10 +401,23 @@ def _merge_partials_stream(split_range: int, keep_positions: bool):
     ranges interleaved), and re-encoded with ONE varint_encode per
     stream, sliced per block by value byte offsets. Positions are
     byte-sliced per doc, never decoded (each doc's sub-stream starts
-    with an absolute position — encode_run)."""
+    with an absolute position — encode_run).
+
+    ``stats_dir``: when set, each reduce task ALSO writes its partial
+    (bucket, term, df, ttf) aggregate as a tiny parquet side file —
+    the Lucene shape, where the terms dict is written during segment
+    flush (lucene/core/.../index/FreqProxTermsWriter.java flush), not
+    by a post-pass re-reading the postings. The write is idempotent
+    under task retry/speculation: the task's input partition is
+    deterministic, the part is keyed by partitionId only, and it lands
+    via tmp-file + atomic rename (last writer wins with identical
+    bytes). Requires ``stats_dir`` on storage every executor can reach
+    — the same contract the manifest/doc-store paths already assume."""
     from .codec import varint_decode, varint_encode, varint_value_starts
 
-    def pack_frame(pdf: pd.DataFrame, rows: list) -> None:
+    def pack_frame(
+        pdf: pd.DataFrame, rows: list, stats_acc: list | None = None
+    ) -> None:
         terms_arr = pdf["term"].to_numpy()
         first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
         splits_arr = first_doc // split_range
@@ -465,6 +480,19 @@ def _merge_partials_stream(split_range: int, keep_positions: bool):
 
         # ---- re-block: every group cut into BLOCK_SIZE blocks ----
         glen = np.diff(g_bounds_doc)
+        if stats_acc is not None:
+            # per-(term,split) group df/ttf — summed per task below, so
+            # terms_stats needs no post-pass over the postings store
+            stats_acc.append(
+                pd.DataFrame(
+                    {
+                        "bucket": buckets[p_bounds[:-1]],
+                        "term": terms_arr[p_bounds[:-1]],
+                        "df": glen,
+                        "ttf": np.add.reduceat(tfs, g_start_doc),
+                    }
+                )
+            )
         nb_per_group = (glen + BLOCK_SIZE - 1) // BLOCK_SIZE
         nblocks = int(nb_per_group.sum())
         block_group = np.repeat(np.arange(ngroups), nb_per_group)
@@ -541,8 +569,44 @@ def _merge_partials_stream(split_range: int, keep_positions: bool):
                 )
             )
 
+    def _flush_stats(stats_acc: list) -> None:
+        """Write this task's (bucket, term, df, ttf) partial aggregate
+        as one tiny parquet side file (tmp + atomic rename; content is
+        canonical-sorted so retries produce identical bytes)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        if stats_acc:
+            sdf = (
+                pd.concat(stats_acc, ignore_index=True)
+                .groupby(["bucket", "term"], as_index=False)
+                .sum()
+                .sort_values(["bucket", "term"], ignore_index=True)
+            )
+        else:
+            sdf = pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "ttf": pd.Series([], dtype="int64"),
+                }
+            )
+        os.makedirs(stats_dir, exist_ok=True)
+        tmp = os.path.join(
+            stats_dir, f".part-{pid:05d}-{os.getpid()}.tmp"
+        )
+        pq.write_table(
+            pa.Table.from_pandas(sdf, preserve_index=False), tmp
+        )
+        os.replace(tmp, os.path.join(stats_dir, f"part-{pid:05d}.parquet"))
+
     def run_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
+        stats_acc: list | None = [] if stats_dir is not None else None
         for pdf in batches:
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
@@ -565,12 +629,14 @@ def _merge_partials_stream(split_range: int, keep_positions: bool):
             carry = pdf.iloc[n - n_tail :]
             if len(head):
                 rows: list = []
-                pack_frame(head, rows)
+                pack_frame(head, rows, stats_acc)
                 yield _rows_frame(rows)
         if carry is not None and len(carry):
             rows = []
-            pack_frame(carry, rows)
+            pack_frame(carry, rows, stats_acc)
             yield _rows_frame(rows)
+        if stats_acc is not None:
+            _flush_stats(stats_acc)
 
     return run_udf
 
@@ -755,6 +821,15 @@ def build_segment_store(
 
     done: set[str] = set(manifest["buckets"])
     todo = [b for b in range(n_buckets) if str(b) not in done]
+    # Fresh full build: reduce tasks side-write their partial term stats
+    # (see _merge_partials_stream) so terms_stats derives from a tiny
+    # parts scan instead of a post-pass over the whole postings store.
+    # A resumed build mixes generations in the parts dir, so it falls
+    # back to the metadata read-back (which covers resumed buckets).
+    full_build = len(todo) == n_buckets
+    stats_dir = f"{index_dir}/_term_stats_parts"
+    stats_from_parts = False
+    sum_ttf: int | None = None
     if todo:
         import shutil
 
@@ -762,6 +837,8 @@ def build_segment_store(
             part_dir = f"{index_dir}/postings/bucket={b}"
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
+        if os.path.isdir(stats_dir):
+            shutil.rmtree(stats_dir)
         src_df = stored.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col(text_col).cast("string").alias("text"),
@@ -782,7 +859,11 @@ def build_segment_store(
             split_expr, F.col("term")
         ).sortWithinPartitions("term", "first_doc")
         packed = shuffled.mapInPandas(
-            _merge_partials_stream(split_range, keep_positions),
+            _merge_partials_stream(
+                split_range,
+                keep_positions,
+                stats_dir=stats_dir if full_build else None,
+            ),
             SEGMENT_SCHEMA,
         )
         from pyspark.sql import Observation
@@ -790,6 +871,8 @@ def build_segment_store(
         obs = Observation()
         packed = packed.observe(
             obs,
+            F.sum("num_docs").alias("nd_total"),
+            F.sum("sum_tf").alias("tf_total"),
             *[
                 F.sum(
                     F.when(F.col("bucket") == b, 1).otherwise(0)
@@ -810,23 +893,56 @@ def build_segment_store(
             }
         _t = _mark("pack_write", _t)
 
-    # stats + terms_stats from block metadata (covers resumed buckets)
-    blocks_meta = spark.read.parquet(f"{index_dir}/postings").select(
-        "bucket", "term", "num_docs", "sum_tf"
-    )
-    (
-        blocks_meta.groupBy("term", "bucket")
-        .agg(
-            F.sum("num_docs").alias("df"),
-            F.sum("sum_tf").alias("ttf"),
+        if full_build and os.path.isdir(stats_dir):
+            # validate the side parts against totals observed during
+            # the SAME write job; any mismatch (lost part file) falls
+            # back to the read-back path
+            parts = spark.read.parquet(stats_dir)
+            agg = parts.agg(
+                F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
+            ).collect()[0]
+            if int(agg["df"] or 0) == int(
+                observed.get("nd_total") or 0
+            ) and int(agg["ttf"] or 0) == int(
+                observed.get("tf_total") or 0
+            ):
+                (
+                    parts.groupBy("term", "bucket")
+                    .agg(
+                        F.sum("df").alias("df"),
+                        F.sum("ttf").alias("ttf"),
+                    )
+                    .select(
+                        "term",
+                        "df",
+                        "ttf",
+                        F.col("bucket").cast("int").alias("bucket"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{index_dir}/terms_stats")
+                )
+                sum_ttf = int(observed.get("tf_total") or 0)
+                stats_from_parts = True
+
+    if not stats_from_parts:
+        # stats + terms_stats from block metadata (covers resumed buckets)
+        blocks_meta = spark.read.parquet(f"{index_dir}/postings").select(
+            "bucket", "term", "num_docs", "sum_tf"
         )
-        .select("term", "df", "ttf", "bucket")
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/terms_stats")
-    )
+        (
+            blocks_meta.groupBy("term", "bucket")
+            .agg(
+                F.sum("num_docs").alias("df"),
+                F.sum("sum_tf").alias("ttf"),
+            )
+            .select("term", "df", "ttf", "bucket")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/terms_stats")
+        )
     _t = _mark("terms_stats", _t)
-    ts = spark.read.parquet(f"{index_dir}/terms_stats")
-    sum_ttf = int(ts.agg(F.sum("ttf")).collect()[0][0] or 0)
+    if sum_ttf is None:
+        ts = spark.read.parquet(f"{index_dir}/terms_stats")
+        sum_ttf = int(ts.agg(F.sum("ttf")).collect()[0][0] or 0)
     max_doc = n_docs
     _t = _mark("stats", _t)
     manifest["max_doc"] = int(max_doc)

@@ -414,3 +414,44 @@ def test_batch_merge_equals_per_group_reference():
         ].itertuples(index=False, name=None)
     )
     assert got == want and len(want) > 100
+
+
+def test_terms_stats_side_parts_equal_postings_metadata(
+    spark, tiny_pdf, tmp_path
+):
+    """A fresh full build derives terms_stats from the reduce tasks' side
+    parts (_term_stats_parts), never re-reading the postings store; the
+    result must equal the (term, bucket) -> (df, ttf) aggregation over
+    the block metadata (the fallback/read-back definition)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index.segments import build_segment_store
+
+    d = str(tmp_path / "sideparts")
+    sdf = spark.createDataFrame(
+        tiny_pdf.drop(columns=["doc_id"])
+    ).repartition(4, "conv_id")
+    seg = build_segment_store(
+        spark, sdf, d, n_buckets=8, order_cols=["conv_id", "turn_idx"]
+    )
+    assert os.path.isdir(os.path.join(d, "_term_stats_parts"))
+    got = {
+        (r["term"], r["bucket"]): (int(r["df"]), int(r["ttf"]))
+        for r in seg.terms_stats.collect()
+    }
+    want = {
+        (r["term"], r["bucket"]): (int(r["df"]), int(r["ttf"]))
+        for r in (
+            spark.read.parquet(f"{d}/postings")
+            .groupBy("term", "bucket")
+            .agg(F.sum("num_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
+            .collect()
+        )
+    }
+    assert got == want and len(want) > 50
+    # collection stats observed during the write match the store
+    assert seg.stats.sum_total_term_freq == sum(
+        v[1] for v in want.values()
+    )
