@@ -82,38 +82,47 @@ def capacity_probe(n_procs: int) -> float:
     return sum(ts) / len(ts)
 
 
+# Best (fastest) single-task burn time observed this session — the
+# absolute per-thread speed floor the gate measures against. A purely
+# relative loaded-vs-base probe passes on a UNIFORMLY slow host (both
+# numbers inflate together), which is exactly what the co-tenant bursts
+# on this VM do; anchoring to the session-best base catches that.
+_MIN_BASE: list[float] = []
+
+
+def probe_capacity(cores: int) -> dict:
+    """One capacity measurement at this leg's hot-thread count."""
+    conc = min(2 * cores, os.cpu_count() or 32)
+    base = capacity_probe(1)
+    if not _MIN_BASE or base < _MIN_BASE[0]:
+        _MIN_BASE[:] = [base]
+    loaded = capacity_probe(conc)
+    infl = loaded / _MIN_BASE[0]
+    return {
+        "probe_base_sec": round(base, 4),
+        "probe_loaded_sec": round(loaded, 4),
+        "probe_conc": conc,
+        "ref_base_sec": round(_MIN_BASE[0], 4),
+        "inflation_vs_ref": round(infl, 3),
+    }
+
+
 def wait_for_capacity(
     cores: int, factor: float, max_wait_sec: float = 1800.0
 ) -> dict:
-    """Block until the host can actually deliver this leg's concurrency.
-
-    The sandbox VM is shared-tenant: its deliverable CPU collapses
-    without warning (observed 5x per-thread inflation — a local[8] leg
-    got 6.8 busy cores and ran SLOWER than local[2], which no amount of
-    interleaving or repetition can average away). Gate each leg on a
-    direct measurement: per-task time of ``2*cores`` concurrent burn
-    tasks vs a single-task baseline. Inflation <= ``factor`` means the
-    host is delivering ~full-speed cores at this leg's hot-thread count
-    (JVM task thread + Python worker per slot); otherwise sleep and
-    re-probe. Returns the probe record (gated=False if the wait timed
-    out and the leg proceeds on a degraded host — recorded, not hidden).
-    """
+    """Block until the host delivers ~full-speed cores at this leg's
+    concurrency (loaded probe <= factor x session-best single-task
+    time). The sandbox VM is shared-tenant: observed co-tenant bursts
+    slow even single-thread work 1.5-4x for minutes at a time, which
+    interleaving/repetition cannot average away. Returns the passing
+    probe, or the last failing one (gated=False) after max_wait_sec."""
     import time as _time
 
-    conc = min(2 * cores, os.cpu_count() or 32)
     t_start = _time.monotonic()
     while True:
-        base = capacity_probe(1)
-        loaded = capacity_probe(conc)
-        infl = loaded / base
-        rec = {
-            "probe_base_sec": round(base, 4),
-            "probe_loaded_sec": round(loaded, 4),
-            "probe_conc": conc,
-            "inflation": round(infl, 3),
-            "gated": infl <= factor,
-        }
-        if infl <= factor:
+        rec = probe_capacity(cores)
+        rec["gated"] = rec["inflation_vs_ref"] <= factor
+        if rec["gated"]:
             return rec
         waited = _time.monotonic() - t_start
         if waited > max_wait_sec:
@@ -122,7 +131,7 @@ def wait_for_capacity(
             json.dumps({"capacity_wait": rec, "waited_sec": round(waited)}),
             flush=True,
         )
-        _time.sleep(60)
+        _time.sleep(45)
 
 
 def run_level(
@@ -238,6 +247,9 @@ def run_level(
 
 
 def main() -> None:
+    for a in sys.argv:
+        if a.startswith("--ref="):
+            _MIN_BASE[:] = [float(a.split("=", 1)[1])]
     if "--probe" in sys.argv:
         # host-state check: print capacity probes at common leg widths
         for cores in (1, 2, 4, 8, 16):
@@ -252,6 +264,11 @@ def main() -> None:
     cpe = 2
     gate = 1.30
     for a in sys.argv[2:]:
+        if a.startswith("--ref="):
+            # pre-seed the per-thread speed floor (e.g. a known
+            # quiet-host probe) so a sweep started mid-burst doesn't
+            # anchor its gate to a degraded baseline
+            _MIN_BASE[:] = [float(a.split("=", 1)[1])]
         if a.startswith("--levels="):
             levels = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--gate="):
@@ -292,50 +309,73 @@ def main() -> None:
         # Interleave levels within each repetition so slow host-tenancy
         # drift hits both levels alike; report every run + mean +- sd.
         runs: dict[int, list[dict]] = {c: [] for c in levels}
+        # big leg first within each rep: it is the shorter leg and the
+        # most sensitive to a mid-leg co-tenant burst
+        leg_order = sorted(levels, reverse=True)
         for rep in range(reps):
-            for c in levels:
-                if gate:
-                    cap = wait_for_capacity(
-                        c * cpe if exec_mode else c, gate
+            for c in leg_order:
+                eff_cores = c * cpe if exec_mode else c
+                attempts = 0
+                while True:
+                    attempts += 1
+                    pre = (
+                        wait_for_capacity(eff_cores, gate)
+                        if gate
+                        else None
                     )
-                else:
-                    cap = None
-                r = run_level(
-                    zpath,
-                    c,
-                    inp,
-                    work,
-                    pin=pin,
-                    execs=c if exec_mode else None,
-                    cpe=cpe,
-                )
-                if cap is not None:
-                    r["capacity_gate"] = cap
-                runs[c].append(r)
-                print(
-                    json.dumps(
-                        {"rep": rep, "cores": c, **{
-                            k: r[k]
-                            for k in (
-                                "total_sec",
-                                "turns_per_sec",
-                                "host_busy_cores",
-                                "capacity_gate",
-                                "phases",
-                            )
-                            if k in r
-                        }}
-                    ),
-                    flush=True,
-                )
+                    r = run_level(
+                        zpath,
+                        c,
+                        inp,
+                        work,
+                        pin=pin,
+                        execs=c if exec_mode else None,
+                        cpe=cpe,
+                    )
+                    post = probe_capacity(eff_cores) if gate else None
+                    # a leg is clean only if the host was at full
+                    # per-thread speed both entering AND leaving it
+                    clean = (not gate) or bool(
+                        pre["gated"]
+                        and post["inflation_vs_ref"] <= gate
+                    )
+                    r["clean"] = clean
+                    r["capacity"] = {
+                        "pre": pre,
+                        "post": post,
+                        "attempt": attempts,
+                    }
+                    print(
+                        json.dumps(
+                            {"rep": rep, "cores": c, **{
+                                k: r[k]
+                                for k in (
+                                    "total_sec",
+                                    "turns_per_sec",
+                                    "host_busy_cores",
+                                    "clean",
+                                    "capacity",
+                                    "phases",
+                                )
+                                if k in r
+                            }}
+                        ),
+                        flush=True,
+                    )
+                    if clean or attempts >= 3:
+                        runs[c].append(r)
+                        break
 
         import statistics as st
 
         def agg(c: int) -> dict:
-            ts = [r["total_sec"] for r in runs[c]]
+            # capacity-clean runs only (fall back to all if none passed
+            # the gate — recorded via n_clean so the table shows it)
+            rs = [r for r in runs[c] if r.get("clean", True)] or runs[c]
+            ts = [r["total_sec"] for r in rs]
             busy = [
                 r["host_busy_cores"]
-                for r in runs[c]
+                for r in rs
                 if r.get("host_busy_cores")
             ]
             return {
@@ -343,8 +383,12 @@ def main() -> None:
                 "mean_sec": round(st.mean(ts), 1),
                 "sd_sec": round(st.pstdev(ts), 1) if len(ts) > 1 else 0.0,
                 "min_sec": min(ts),
+                "n_clean": sum(
+                    1 for r in runs[c] if r.get("clean", True)
+                ),
+                "n_runs": len(runs[c]),
                 "turns_per_sec_best": max(
-                    r["turns_per_sec"] for r in runs[c]
+                    r["turns_per_sec"] for r in rs
                 ),
                 # host cores this level ACTUALLY consumed (local[N] uses
                 # >N: JVM shuffle/GC/service threads ride beside the N
@@ -356,7 +400,7 @@ def main() -> None:
                     round(
                         st.mean(
                             r["turns_per_sec"] / r["host_busy_cores"]
-                            for r in runs[c]
+                            for r in rs
                             if r.get("host_busy_cores")
                         ),
                         1,
@@ -365,7 +409,7 @@ def main() -> None:
                     else None
                 ),
                 "probe_task_sec": [
-                    r.get("probe_task_sec") for r in runs[c]
+                    r.get("probe_task_sec") for r in rs
                 ],
             }
 
@@ -458,6 +502,7 @@ def main() -> None:
             f"{summary[str(c)]['mean_sec']} ± {summary[str(c)]['sd_sec']} "
             f"(min {summary[str(c)]['min_sec']}) | "
             f"{summary[str(c)]['turns_per_sec_best']:,} | "
+            f"{summary[str(c)]['n_clean']}/{summary[str(c)]['n_runs']} | "
             f"{summary[str(c)]['runs_sec']} |"
             for c in levels
         )
@@ -472,10 +517,15 @@ def main() -> None:
 `python tools/bench_scaling.py {n_turns} --levels={','.join(map(str, levels))} --reps={reps}{' --pin' if pin else ''}`
 Identical spark-submit --py-files segment build over the SAME
 pre-generated {n_turns:,}-turn transcript parquet; levels interleaved
-within each repetition.
+within each repetition (big leg first). Legs are capacity-gated: a
+burn-task probe must show per-thread speed within the gate factor of
+the session-best baseline BOTH before and after a leg for it to count
+as clean (this VM's co-tenant bursts slow even single-thread work
+1.5-4x for minutes); unclean legs are retried up to 3x and excluded
+from the means when any clean run exists.
 
-| level | cores | build sec (mean ± sd) | best turns/sec | runs |
-|---|---|---|---|---|
+| level | cores | build sec (mean ± sd) | best turns/sec | clean | runs (clean only) |
+|---|---|---|---|---|---|
 {rows}
 
 {effs}
