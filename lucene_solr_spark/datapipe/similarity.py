@@ -192,6 +192,17 @@ def _signatures_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             proj = E @ W.T  # (n, T*P)
+            # Knife-edge tolerance: the sign test below is computed by a
+            # numpy float64 matmul, while the DuckDB oracle sums
+            # CAST-to-double products in SQL aggregation order. A
+            # projection within ~1 ulp of zero could flip a signature
+            # bit between the two, changing the candidate set. The gate
+            # corpora are safe in practice: random float32 vectors x
+            # +-1 md5-parity planes put min |proj| many orders of
+            # magnitude above double rounding error —
+            # tests/test_knn_recall.py::test_projection_margin pins
+            # that margin on the driver corpus; callers with
+            # adversarial inputs should jitter the plane seed instead.
             bits = proj > 0
             out = {id_col: pdf[id_col].to_numpy(dtype=np.int64)}
             for t in range(n_tables):

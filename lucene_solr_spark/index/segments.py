@@ -595,12 +595,27 @@ def _merge_partials_stream(
                     "ttf": pd.Series([], dtype="int64"),
                 }
             )
+        # explicit schema: an empty object Series would otherwise be
+        # inferred as a `term: null` parquet column, which conflicts
+        # with populated parts' `term: string` at read time and crashes
+        # the multi-part stats read on any empty reduce partition
+        stats_schema = pa.schema(
+            [
+                ("bucket", pa.int64()),
+                ("term", pa.string()),
+                ("df", pa.int64()),
+                ("ttf", pa.int64()),
+            ]
+        )
         os.makedirs(stats_dir, exist_ok=True)
         tmp = os.path.join(
             stats_dir, f".part-{pid:05d}-{os.getpid()}.tmp"
         )
         pq.write_table(
-            pa.Table.from_pandas(sdf, preserve_index=False), tmp
+            pa.Table.from_pandas(
+                sdf, schema=stats_schema, preserve_index=False
+            ),
+            tmp,
         )
         os.replace(tmp, os.path.join(stats_dir, f"part-{pid:05d}.parquet"))
 

@@ -54,3 +54,40 @@ def test_multi_probe_recall_at_5(spark):
     mean_recall = sum(recalls) / len(recalls)
     print(f"multi-probe recall@5 over {len(qids)} queries: {mean_recall}")
     assert mean_recall >= 0.9, recalls
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_projection_margin(spark):
+    """Knife-edge guard for the sign-test LSH (ADVICE r2): the engine
+    computes `proj > 0` with a float64 numpy matmul while the DuckDB
+    oracle sums CAST-to-double products in SQL aggregation order — a
+    projection within rounding error of zero could flip a signature bit
+    between them. Pin that the driver corpus keeps min |projection| far
+    above double rounding error (~1e-16 * dim * |x|), so the
+    knn_lsh/dedup_embed gates cannot be decided by summation order."""
+    import numpy as np
+
+    from lucene_solr_spark.datapipe.similarity import _plane_weight
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    dim = vecs.shape[1]
+    W = np.array(
+        [
+            [_plane_weight(t, p, i) for i in range(dim)]
+            for t in range(8)
+            for p in range(8)
+        ],
+        dtype=np.float64,
+    )
+    proj = vecs @ W.T
+    margin = float(np.abs(proj).min())
+    print(f"min |projection| over corpus: {margin}")
+    assert margin > 1e-9, margin

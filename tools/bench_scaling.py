@@ -372,6 +372,19 @@ def main() -> None:
             # capacity-clean runs only (fall back to all if none passed
             # the gate — recorded via n_clean so the table shows it)
             rs = [r for r in runs[c] if r.get("clean", True)] or runs[c]
+            # endpoint probes miss mid-leg co-tenant bursts (a past
+            # sweep recorded a clean:true leg 2.2x slower than the
+            # quiet-host reference): also reject clean legs whose
+            # total_sec is >1.5x the fastest leg at the SAME level —
+            # the fastest leg is the session's quiet-host reference.
+            if len(rs) > 1:
+                best = min(r["total_sec"] for r in rs)
+                fast = [r for r in rs if r["total_sec"] <= 1.5 * best]
+                for r in rs:
+                    if r not in fast:
+                        r["clean"] = False
+                        r["unclean_reason"] = "mid-leg outlier >1.5x best"
+                rs = fast
             ts = [r["total_sec"] for r in rs]
             busy = [
                 r["host_busy_cores"]
@@ -485,15 +498,24 @@ def main() -> None:
                     "mean": round(st.mean(per_rep), 3),
                 }
         result["efficiency_capacity_adjusted"] = adj
-        result["meets_north_rule_0.8"] = any(
-            v >= 0.8
-            for v in list(result["efficiency_mean"].values())
-            + [
-                x
-                for x in result["efficiency_per_busy_core"].values()
-                if x is not None
-            ]
-            + [a["mean"] for a in adj.values()]
+        # The north-rule flag counts RAW metrics only. The
+        # capacity-adjusted number is reported context, never a pass
+        # criterion: adj = raw * (probe_hi/probe_lo) is >= raw
+        # essentially by construction (the probe at higher concurrency
+        # is slower per task on any host — SMT, turbo, memory
+        # bandwidth — not only under co-tenant steal), so counting it
+        # would let the flag claim the rule is met when raw N->4N
+        # efficiency fails it.
+        result["meets_north_rule_0.8_raw_mean"] = any(
+            v >= 0.8 for v in result["efficiency_mean"].values()
+        )
+        result["meets_north_rule_0.8_per_busy_core"] = any(
+            x is not None and x >= 0.8
+            for x in result["efficiency_per_busy_core"].values()
+        )
+        result["meets_north_rule_0.8"] = (
+            result["meets_north_rule_0.8_raw_mean"]
+            or result["meets_north_rule_0.8_per_busy_core"]
         )
         print(json.dumps(result))
 
