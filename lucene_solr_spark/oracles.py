@@ -718,20 +718,42 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
-def simhash_sql(bits: int = 32, table: str = "documents") -> str:
+def simhash_sql(bits: int = 64, table: str = "documents") -> str:
+    """64-bit simhash twin of datapipe.dedup.simhash: term-hash bits
+    0..59 come from md5 hex chars 1-15, bits 60..63 from the low 4 bits
+    of chars 16-30 (same layout as the Arrow kernel). Bit 63's weight
+    is emitted as the BIGINT minimum and ADDED LAST so every
+    intermediate sum stays representable (DuckDB errors on BIGINT
+    overflow; the engine's uint64 pack + int64 view is the same
+    two's-complement value)."""
     sums = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s_{b}"
+        (
+            f"sum(CASE WHEN (ha >> {b}) & 1 = 1 THEN tf ELSE -tf END)"
+            f" AS s_{b}"
+            if b < 60
+            else f"sum(CASE WHEN (hb >> {b - 60}) & 1 = 1 THEN tf "
+            f"ELSE -tf END) AS s_{b}"
+        )
         for b in range(bits)
     )
-    sig = " + ".join(
-        f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) "
-        f"ELSE CAST(0 AS BIGINT) END"
+    weight_terms = [
+        (
+            f"CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            if b < 63
+            else f"CASE WHEN s_{b} > 0 THEN "
+            "CAST(-9223372036854775808 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
         for b in range(bits)
-    )
+    ]
+    sig = " + ".join(weight_terms)
     return f"""
 WITH {tok_ctes(table)},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-h AS (SELECT doc_id, tf, {_hash60_sql('term')} AS h FROM tf),
+h AS (SELECT doc_id, tf, {_hash60_sql('term')} AS ha,
+             ({_hash60b_sql('term')} & 15) AS hb
+      FROM tf),
 sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
 SELECT doc_id, {sig} AS simhash FROM sums ORDER BY doc_id
 """.strip()

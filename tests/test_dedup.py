@@ -63,3 +63,94 @@ def test_mega_bucket_star_linking(spark):
     }
     # star: every member pairs with doc 0 only
     assert capped_pairs == {(0, b) for b in range(1, 6)}
+
+
+def _simhash_reference(text: str, bits: int = 64) -> int | None:
+    """Pure-Python definitional simhash: tf-weighted +-1 sums over the
+    md5-derived term-hash bits (layout: bits 0..59 from hex[0:15],
+    60..63 from low 4 bits of hex[15:30]), bit set iff sum > 0."""
+    import hashlib
+    from collections import Counter
+
+    from lucene_solr_spark.analysis.tokenizer import analyze
+
+    toks, _ = analyze(text or "")
+    if not toks:
+        return None
+    tf = Counter(toks)
+    sums = [0] * bits
+    for t, c in tf.items():
+        hx = hashlib.md5(t.encode()).hexdigest()
+        a = int(hx[0:15], 16)
+        b2 = int(hx[15:30], 16) & 0xF
+        for b in range(bits):
+            bit = (a >> b) & 1 if b < 60 else (b2 >> (b - 60)) & 1
+            sums[b] += c if bit else -c
+    sig = 0
+    for b in range(bits):
+        if sums[b] > 0:
+            sig |= 1 << b
+    # int64 two's complement view
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_kernel_matches_reference(texts_df):
+    """The one-pass Arrow simhash kernel must equal the definitional
+    per-doc reference (independent of the DuckDB oracle twin)."""
+    from lucene_solr_spark.datapipe.dedup import simhash
+
+    got = {
+        r["doc_id"]: r["simhash"] for r in simhash(texts_df).collect()
+    }
+    want = {}
+    for row in texts_df.collect():
+        sig = _simhash_reference(row["text"])
+        if sig is not None:
+            want[row["doc_id"]] = sig
+    assert got == want and len(want) > 0
+
+
+def test_simhash_near_pairs_jittered_duplicates(spark):
+    """Pair recall on jittered duplicates: each base doc gets a copy
+    with 2 of ~40 tokens replaced; 64-bit fingerprints with 4x16-bit
+    pigeonhole blocking must recover every (base, jitter) pair whose
+    hamming distance is within the bound, and the emitted pairs must
+    carry the true hamming distance."""
+    from lucene_solr_spark.datapipe.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    base_words = [
+        "select project filter aggregate shuffle partition broadcast",
+        "index posting merge segment norm score rank boost query",
+        "arrow batch kernel vector column stripe page footer stat",
+        "stream window watermark state trigger sink source offset",
+    ]
+    rows = []
+    for i in range(8):
+        toks = (base_words[i % 4] + " ").split() * 5  # ~35-40 tokens
+        rows.append((i * 2, " ".join(toks)))
+        jit = list(toks)
+        jit[3] = "changedword"
+        jit[17] = "anotherchange"
+        rows.append((i * 2 + 1, " ".join(jit)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    want = set()
+    for i in range(8):
+        a, b = i * 2, i * 2 + 1
+        ham = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            want.add((a, b))
+    assert want, "fixture produced no within-bound jittered pairs"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    # pigeonhole blocking guarantees every within-bound pair is found
+    assert want <= set(got)
+    for (a, b), ham in got.items():
+        true_ham = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert ham == true_ham <= 3
