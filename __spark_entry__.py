@@ -47,6 +47,7 @@ from lucene_solr_spark.search.spellcheck import suggest as spell_suggest
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 _SEG_CACHE: dict[str, object] = {}
 _STREAM_CACHE: dict[str, object] = {}
+_FIELDED_CACHE: dict[str, object] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +128,67 @@ def _bool(must=(), should=(), must_not=(), msm=0) -> BooleanQuery:
 def _matched_docs(spark, sf_dir, term: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     return s._postings_for([term]).select("doc_id").distinct()
+
+
+# ---------------- multi-field BM25 / edismax qf+pf ----------------
+
+# Driver tables carry one text column, so the fielded gates derive a
+# deterministic second field BOTH engines can reproduce: title =
+# substr(text, 1, 80) (character semantics identical in Spark and
+# DuckDB on this ASCII corpus), body = text. Per-field dl / df / avgdl
+# / norms follow the reference's FieldInvertState model
+# (lucene/core/.../index/FieldInvertState.java:29-36).
+
+def _fielded(spark, sf_dir):
+    fs = _FIELDED_CACHE.get(sf_dir)
+    if fs is None:
+        from lucene_solr_spark.index.fields import build_fielded_index
+        from lucene_solr_spark.search.fielded import FieldedSearcher
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "title", F.substring("text", 1, 80)
+        )
+        fidx = build_fielded_index(
+            spark, docs, {"title": "title", "body": "text"}, cache=True
+        )
+        fs = FieldedSearcher(fidx)
+        _FIELDED_CACHE[sf_dir] = fs
+    return fs
+
+
+def q_bm25_fielded(spark, sf_dir):
+    """Per-field BM25: title:scan scored with title's df, dl and avgdl
+    (NOT the body's) through the field_view facade."""
+    fs = _fielded(spark, sf_dir)
+    return _topk_rounded(
+        fs.field_searcher("title").search(TermQuery("scan"), 10)
+    )
+
+
+def q_edismax_qf(spark, sf_dir):
+    """edismax qf='title^2 body' tie=0.3: per-term DisjunctionMax over
+    the fields, summed across terms (DisMaxQParser.java:140-180)."""
+    fs = _fielded(spark, sf_dir)
+    return _topk_rounded(
+        fs.search_edismax(
+            ["scan", "merge"], {"title": 2.0, "body": 1.0}, tie=0.3, k=10
+        )
+    )
+
+
+def q_edismax_pf(spark, sf_dir):
+    """edismax qf + pf phrase boost: docs where 'key order' occurs as a
+    phrase in body get the phrase BM25 added to the main-query score."""
+    fs = _fielded(spark, sf_dir)
+    return _topk_rounded(
+        fs.search_edismax(
+            ["key", "order"],
+            {"title": 2.0, "body": 1.0},
+            tie=0.0,
+            pf={"body": 1.5},
+            k=10,
+        )
+    )
 
 
 # ---------------- BM25 family ----------------
@@ -998,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2's 26 unchecked gates + this round's new gates lead; the 50
     # gates already green in the r2 driver record trail.
     return {
+        # --- new this round ---
+        "bm25_fielded": q_bm25_fielded,
+        "edismax_qf": q_edismax_qf,
+        "edismax_pf": q_edismax_pf,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1082,6 +1148,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
+        "edismax_qf": O.edismax_qf_sql(
+            ["scan", "merge"],
+            [("_t", "substr(text, 1, 80)", 2.0), ("_b", "text", 1.0)],
+            tie=0.3,
+        ),
+        "edismax_pf": O.edismax_pf_sql(
+            ["key", "order"],
+            [("_t", "substr(text, 1, 80)", 2.0), ("_b", "text", 1.0)],
+            [("_b", "text", 1.5)],
+            tie=0.0,
+        ),
         "bm25_term": O.bm25_term("scan"),
         "bm25_absent": O.bm25_term("zzzqq"),
         "bm25_and": O.bm25_bool(must=["scan", "merge"]),

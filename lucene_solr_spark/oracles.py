@@ -103,6 +103,217 @@ scored AS (
 """.strip()
 
 
+def field_ctes(
+    suffix: str, text_expr: str, table: str = "documents"
+) -> str:
+    """Per-field twins of tok/dls/coll (tok_t, dls_t, coll_t, ...):
+    the same analyzer chain over an arbitrary text expression, so a
+    derived field like substr(text, 1, 80) gets its OWN document
+    lengths, docFreqs and average field length — mirroring the
+    engine's per-field FieldInvertState (index/fields.py). qdl is
+    field-independent (one quantization table) and must be emitted
+    once separately via qdl_cte()."""
+    return f"""
+tok{suffix} AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower({text_expr}), {PATTERN_LIT}))
+             AS term
+    FROM {table}
+  ) WHERE length(term) <= 255 AND term NOT IN ({STOP_LIST})
+),
+dls{suffix} AS (SELECT doc_id, count(*) AS dl FROM tok{suffix}
+                GROUP BY doc_id),
+coll{suffix} AS (
+  SELECT (SELECT count(*) FROM {table}) AS max_doc,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dls{suffix})
+           / (SELECT CAST(count(*) AS DOUBLE) FROM {table}) AS avgdl
+)
+""".strip()
+
+
+def qdl_cte() -> str:
+    return f"qdl AS (SELECT * FROM (VALUES {_qdl()}) AS t(lo, hi, q))"
+
+
+def _scored_cte_field(
+    terms: list[str],
+    suffix: str,
+    boost: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """Per-(doc, term) BM25 over one field's CTEs, with a query-time
+    field boost multiplied FIRST — textually identical to the engine's
+    weight = boost * idf * (k1+1) (executor._term_weight_value)."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+qtf{suffix} AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok{suffix}
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dfs{suffix} AS (SELECT term, count(*) AS df FROM qtf{suffix}
+                GROUP BY term),
+scored{suffix} AS (
+  SELECT f.doc_id, f.term,
+         {boost!r} * ln(1 + ((SELECT max_doc FROM coll{suffix}) - d.df
+                             + 0.5) / (d.df + 0.5))
+           * ({K1}+1) * f.tf
+           / (f.tf + {K1}*((1-{B})
+                + {B}*q.q/(SELECT avgdl FROM coll{suffix})))
+           AS score
+  FROM qtf{suffix} f
+  JOIN dfs{suffix} d USING (term)
+  JOIN dls{suffix} l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+""".strip()
+
+
+def bm25_fielded_term(
+    term: str, text_expr: str, k: int = 10, table: str = "documents"
+) -> str:
+    """BM25 top-k over ONE derived field: per-field df, dl, avgdl."""
+    return (
+        f"WITH {qdl_cte()}, {field_ctes('_f', text_expr, table)}, "
+        f"{_scored_cte_field([term], '_f', 1.0, table)} "
+        + _topk("scored_f", k)
+    )
+
+
+def edismax_qf_sql(
+    terms: list[str],
+    field_specs: list[tuple[str, str, float]],
+    tie: float = 0.0,
+    mm: int = 1,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """edismax main query: per-term DisjunctionMax over the qf fields
+    (max + tie*(sum-max)), summed across terms with minimum-match —
+    the DisMaxQParser.java:140-180 composition. ``field_specs`` is
+    [(suffix, text_expr, boost), ...]."""
+    parts = [qdl_cte()]
+    unions = []
+    for suffix, text_expr, boost in field_specs:
+        parts.append(field_ctes(suffix, text_expr, table))
+        parts.append(_scored_cte_field(terms, suffix, boost, table))
+        unions.append(f"SELECT doc_id, term, score FROM scored{suffix}")
+    u = " UNION ALL ".join(unions)
+    parts.append(f"u AS ({u})")
+    parts.append(
+        "per_term AS (SELECT doc_id, term, "
+        f"max(score) + {tie!r} * (sum(score) - max(score)) AS score "
+        "FROM u GROUP BY doc_id, term)"
+    )
+    parts.append(
+        "agg AS (SELECT doc_id, sum(score) AS score FROM per_term "
+        f"GROUP BY doc_id HAVING count(*) >= {mm})"
+    )
+    return "WITH " + ", ".join(parts) + " " + _topk("agg", k)
+
+
+def edismax_pf_sql(
+    terms: list[str],
+    field_specs: list[tuple[str, str, float]],
+    pf_specs: list[tuple[str, str, float]],
+    tie: float = 0.0,
+    mm: int = 1,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """edismax qf main query + pf exact-phrase boost: docs matching the
+    main query get each pf field's phrase BM25 (idf-sum weight * phrase
+    tf saturation, boosted) ADDED when the whole term sequence occurs
+    adjacently in that field (DisMaxQParser.addBoostQuery analogue).
+    ``pf_specs`` is [(suffix, text_expr, boost), ...] and each suffix
+    must ALREADY have field_ctes emitted via a matching qf spec or be
+    distinct from them."""
+    base = edismax_qf_sql(terms, field_specs, tie, mm, 10**9, table)
+    # strip the trailing top-k select; keep the WITH ... agg body
+    with_body = base.rsplit(" SELECT doc_id, round(score, 4)", 1)[0]
+    pf_parts = []
+    pf_unions = []
+    emitted = {s for s, _, _ in field_specs}
+    for suffix, text_expr, boost in pf_specs:
+        if suffix not in emitted:
+            pf_parts.append(field_ctes(suffix, text_expr, table))
+            emitted.add(suffix)
+        # adjacency walk over pre-stop positions of this field's text
+        p_ctes = [
+            f"""
+rawp{suffix} AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower({text_expr}), {PATTERN_LIT}))
+             AS term,
+           generate_subscripts(
+             regexp_extract_all(lower({text_expr}), {PATTERN_LIT}), 1)
+             AS pos
+    FROM {table}
+  )
+)""".strip()
+        ]
+        joins = [f"pp{suffix}_0"]
+        p_ctes.append(
+            f"pp{suffix}_0 AS (SELECT doc_id, pos FROM rawp{suffix} "
+            f"WHERE term = '{_sq(terms[0])}')"
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            p_ctes.append(
+                f"pp{suffix}_{i} AS (SELECT doc_id, pos - {i} AS pos "
+                f"FROM rawp{suffix} WHERE term = '{_sq(t)}')"
+            )
+            joins.append(f"pp{suffix}_{i}")
+        join_expr = joins[0]
+        for j in joins[1:]:
+            join_expr += f" JOIN {j} USING (doc_id, pos)"
+        tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+        idf_terms = " + ".join(
+            f"ln(1 + ((SELECT max_doc FROM coll{suffix}) - "
+            f"(SELECT df FROM pdfs{suffix} WHERE term = '{_sq(t)}') + 0.5)"
+            f" / ((SELECT df FROM pdfs{suffix} WHERE term = '{_sq(t)}') "
+            "+ 0.5))"
+            for t in terms
+        )
+        p_ctes.append(
+            f"pdfs{suffix} AS (SELECT term, count(DISTINCT doc_id) AS df "
+            f"FROM tok{suffix} WHERE term IN ({tl}) GROUP BY term)"
+        )
+        p_ctes.append(
+            f"pocc{suffix} AS (SELECT doc_id, count(*) AS tf FROM "
+            f"({join_expr}) GROUP BY doc_id)"
+        )
+        p_ctes.append(
+            f"""
+pboost{suffix} AS (
+  SELECT o.doc_id,
+         {boost!r} * ({idf_terms}) * ({K1}+1) * o.tf
+           / (o.tf + {K1}*((1-{B})
+                + {B}*q.q/(SELECT avgdl FROM coll{suffix}))) AS pf_score
+  FROM pocc{suffix} o
+  JOIN dls{suffix} l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)""".strip()
+        )
+        pf_parts.extend(p_ctes)
+        pf_unions.append(
+            f"SELECT doc_id, pf_score FROM pboost{suffix}"
+        )
+    pf_parts.append(
+        "pf_agg AS (SELECT doc_id, sum(pf_score) AS pf_score FROM ("
+        + " UNION ALL ".join(pf_unions)
+        + ") GROUP BY doc_id)"
+    )
+    pf_parts.append(
+        "boosted AS (SELECT a.doc_id, a.score + coalesce(p.pf_score, "
+        "CAST(0.0 AS DOUBLE)) AS score FROM agg a LEFT JOIN pf_agg p "
+        "USING (doc_id))"
+    )
+    return (
+        with_body + ", " + ", ".join(pf_parts) + " " + _topk("boosted", k)
+    )
+
+
 def _topk(select_from: str, k: int = 10, offset: int = 0) -> str:
     off = f" OFFSET {offset}" if offset else ""
     return (
