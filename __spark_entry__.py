@@ -260,6 +260,20 @@ def q_bm25_phrase_sloppy(spark, sf_dir):
     )
 
 
+def q_bm25_phrase_sloppy_rpts(spark, sf_dir):
+    """Repeated-term sloppy phrase "key key order"~2 — the hasRpts walk
+    (SloppyPhraseScorer.java:106-215): per-doc repeat-group init (2nd
+    'key' clause pre-advanced) + collision resolution during the walk.
+    Oracle: the same walk simulated as a recursive-CTE state machine
+    (oracles.bm25_phrase_sloppy_rpts); also pinned by tests/test_sloppy
+    against a line-by-line Java transliteration with a real heap."""
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(
+            PhraseQuery(["key", "key", "order"], 2), 10
+        )
+    )
+
+
 def q_bm25_page2(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     q = _bool(should=["scan", "merge"])
@@ -1064,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fielded": q_bm25_fielded,
         "edismax_qf": q_edismax_qf,
         "edismax_pf": q_edismax_pf,
+        "bm25_phrase_sloppy_rpts": q_bm25_phrase_sloppy_rpts,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1172,6 +1187,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
         "bm25_phrase_sloppy": O.bm25_phrase_sloppy(["key", "order"], 2),
+        "bm25_phrase_sloppy_rpts": O.bm25_phrase_sloppy_rpts(
+            "key", "order", 2
+        ),
         "bm25_page2": O.bm25_bool(
             must=[], should=["scan", "merge"], k=10, offset=10
         ),

@@ -543,6 +543,160 @@ scored AS (
 """.strip()
 
 
+def bm25_phrase_sloppy_rpts(
+    t_rpt: str,
+    t_other: str,
+    slop: int,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """Sloppy phrase "A A B"~slop with a repeated term — the hasRpts
+    walk (SloppyPhraseScorer.java:106-215) simulated EXACTLY as a
+    recursive-CTE state machine, one row per walk step.
+
+    State per doc: lk/lo = raw position lists of A and B; i0,i1 index
+    lk (clauses 0,1 of term A; adjusted pos = raw - offset), i2 indexes
+    lo (clause 2); pp = popped clause; endp/ml/nxt = walk registers;
+    emit = match length scored at this step (NULL if none).
+
+    Init mirrors initComplex: clause 1 pre-advanced once
+    (advanceRepeatGroups, group [0,1] sorted by offset), needing
+    len(lk) >= 2. Collisions (both A-clauses on one raw position,
+    i.e. i0 == i1) resolve by advancing clause 1 — the lesser by
+    (position, offset) since its adjusted position is raw-1 — and with
+    a 2-element group one extra advance always clears the collision
+    (indices into one list collide iff equal). Emission order = step
+    order; phraseFreq = float32 list_reduce like the 2-clause oracle.
+    Covers exactly the (A A B) clause shape the gate uses."""
+    assert t_rpt != t_other
+    a, b = _sq(t_rpt), _sq(t_other)
+    pos_ctes = f"""
+rawtok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  )
+)""".strip()
+    terms = [t_rpt, t_rpt, t_other]
+    idf_terms = " + ".join(
+        "ln(1 + ((SELECT max_doc FROM coll) - "
+        f"(SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5) / "
+        f"((SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5))"
+        for t in terms
+    )
+    return f"""
+WITH RECURSIVE {tok_ctes(table)},
+{pos_ctes},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('{a}', '{b}') GROUP BY term
+),
+lists AS (
+  SELECT doc_id,
+         list(pos ORDER BY pos) FILTER (WHERE term = '{a}') AS lk,
+         list(pos ORDER BY pos) FILTER (WHERE term = '{b}') AS lo
+  FROM rawtok WHERE term IN ('{a}', '{b}') GROUP BY doc_id
+  HAVING len(list(pos ORDER BY pos) FILTER (WHERE term = '{a}')) >= 2
+     AND len(list(pos ORDER BY pos) FILTER (WHERE term = '{b}')) >= 1
+),
+init AS (
+  SELECT doc_id, lk, lo, 1 AS i0, 2 AS i1, 1 AS i2,
+         CASE WHEN p0 <= p1 AND p0 <= p2 THEN 0
+              WHEN p1 <= p2 THEN 1 ELSE 2 END AS pp,
+         greatest(p0, p1, p2) AS endp,
+         greatest(p0, p1, p2) - least(p0, p1, p2) AS ml,
+         CASE WHEN p0 <= p1 AND p0 <= p2 THEN least(p1, p2)
+              WHEN p1 <= p2 THEN least(p0, p2)
+              ELSE least(p0, p1) END AS nxt
+  FROM (SELECT doc_id, lk, lo,
+               lk[1] AS p0, lk[2] - 1 AS p1, lo[1] - 2 AS p2
+        FROM lists)
+),
+chain(doc_id, lk, lo, i0, i1, i2, pp, endp, ml, nxt, step, emit, done)
+AS (
+  SELECT doc_id, lk, lo, i0, i1, i2, pp, endp, ml, nxt,
+         0 AS step, CAST(NULL AS BIGINT) AS emit, FALSE AS done
+  FROM init
+  UNION ALL
+  SELECT doc_id, lk, lo,
+         j0, k1, j2,
+         CASE WHEN exhausted OR NOT branch THEN pp
+              WHEN q0 <= q1 AND q0 <= q2 THEN 0
+              WHEN q1 <= q2 THEN 1 ELSE 2 END,
+         CASE WHEN exhausted THEN endp ELSE end2 END,
+         CASE WHEN exhausted THEN ml
+              WHEN branch THEN end2 - least(q0, q1, q2)
+              ELSE least(ml, end2 - pos_pp) END,
+         CASE WHEN exhausted OR NOT branch THEN nxt
+              WHEN q0 <= q1 AND q0 <= q2 THEN least(q1, q2)
+              WHEN q1 <= q2 THEN least(q0, q2)
+              ELSE least(q0, q1) END,
+         step + 1,
+         CASE WHEN exhausted OR branch THEN ml END,
+         exhausted
+  FROM (
+    SELECT *,
+           CASE WHEN exhausted THEN NULL ELSE lk[j0] END AS q0,
+           CASE WHEN exhausted THEN NULL ELSE lk[k1] - 1 END AS q1,
+           CASE WHEN exhausted THEN NULL ELSE lo[j2] - 2 END AS q2,
+           CASE WHEN exhausted THEN NULL ELSE greatest(
+             endp,
+             CASE pp WHEN 0 THEN lk[j0]
+                     WHEN 1 THEN lk[k1] - 1
+                     ELSE lo[j2] - 2 END,
+             CASE WHEN coll THEN lk[k1] - 1 ELSE endp END) END AS end2,
+           CASE WHEN exhausted THEN NULL
+                ELSE CASE pp WHEN 0 THEN lk[j0]
+                             WHEN 1 THEN lk[k1] - 1
+                             ELSE lo[j2] - 2 END END AS pos_pp,
+           CASE WHEN exhausted THEN FALSE
+                ELSE (CASE pp WHEN 0 THEN lk[j0]
+                              WHEN 1 THEN lk[k1] - 1
+                              ELSE lo[j2] - 2 END) > nxt END AS branch
+    FROM (
+      SELECT *, exhausted_a OR (coll AND k1 > len(lk)) AS exhausted
+      FROM (
+        SELECT *,
+               NOT exhausted_a AND pp IN (0, 1) AND j0 = j1 AS coll,
+               CASE WHEN NOT exhausted_a AND pp IN (0, 1) AND j0 = j1
+                    THEN j1 + 1 ELSE j1 END AS k1
+        FROM (
+          SELECT *,
+                 (pp = 0 AND j0 > len(lk)) OR (pp = 1 AND j1 > len(lk))
+                   OR (pp = 2 AND j2 > len(lo)) AS exhausted_a
+          FROM (
+            SELECT doc_id, lk, lo, i0, i1, i2, pp, endp, ml, nxt, step,
+                   CASE pp WHEN 0 THEN i0 + 1 ELSE i0 END AS j0,
+                   CASE pp WHEN 1 THEN i1 + 1 ELSE i1 END AS j1,
+                   CASE pp WHEN 2 THEN i2 + 1 ELSE i2 END AS j2
+            FROM chain WHERE NOT done
+          )
+        )
+      )
+    )
+  )
+),
+freqs AS (
+  SELECT doc_id,
+         list_reduce(
+           list(CAST(1.0 AS REAL) / CAST(emit + 1 AS REAL) ORDER BY step),
+           (x, y) -> CAST(x + y AS REAL)) AS tf
+  FROM chain WHERE emit IS NOT NULL AND emit <= {slop} GROUP BY doc_id
+),
+scored AS (
+  SELECT o.doc_id,
+         ({idf_terms}) * ({K1}+1) * o.tf
+           / (o.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM freqs o JOIN dls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 _MEDIA_CTE = """
 media AS (
   SELECT doc_id AS media_id,

@@ -418,11 +418,12 @@ class Searcher:
         from .sloppy import sloppy_freq_partitions
 
         terms = list(q.terms)
-        if len(set(terms)) != len(terms):
-            raise NotImplementedError(
-                "repeated-term sloppy phrases (SloppyPhraseScorer "
-                "hasRpts path) are out of scope v1"
-            )
+        # hasRpts (SloppyPhraseScorer.java:106-215): clauses sharing a
+        # term form repeat groups, sorted by query offset
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            by_term.setdefault(t, []).append(i)
+        rpt_groups = [v for v in by_term.values() if len(v) > 1]
         n = len(terms)
         parts = []
         for i, t in enumerate(terms):
@@ -441,7 +442,7 @@ class Searcher:
             "doc_id", "clause"
         )
         freqs = rows.mapInPandas(
-            sloppy_freq_partitions(n, q.slop),
+            sloppy_freq_partitions(n, q.slop, rpt_groups),
             "doc_id long, tf double, norm_byte int",
         )
         return self._score_phrase_freqs(freqs, terms, q.boost, term_stats)

@@ -68,9 +68,325 @@ def test_sloppy_rank_identity(tiny_searcher, tiny_oracle, terms, slop):
     assert_topk_equal(got, want)
 
 
-def test_repeated_terms_rejected(tiny_searcher):
-    with pytest.raises(NotImplementedError):
-        tiny_searcher.search(PhraseQuery(["error", "error"], 2), 10)
+def test_repeated_terms_now_supported(tiny_searcher):
+    """hasRpts phrases no longer raise; they score via the repeat walk."""
+    out = tiny_searcher.search(PhraseQuery(["error", "error"], 2), 10)
+    assert out.columns == ["doc_id", "score"]
+    out.collect()  # must execute without NotImplementedError
+
+
+# ---------------------------------------------------------------------
+# Line-by-line Java transliteration of SloppyPhraseScorer (hasRpts path)
+# used ONLY as a test reference: real binary heap (PriorityQueue.java
+# add/pop/upHeap/downHeap), PhrasePositions objects, the rptStack
+# re-queue dance — everything the production scan-queue walk optimizes
+# away. Agreement over randomized inputs pins control-flow equivalence.
+# ---------------------------------------------------------------------
+
+
+class _PP:
+    """PhrasePositions.java: position = raw - offset."""
+
+    def __init__(self, arr, offset):
+        self.arr, self.offset = arr, offset
+        self.i = -1
+        self.position = 0
+        self.rptGroup = -1
+        self.rptInd = -1
+
+    def firstPosition(self):
+        self.i = -1
+        self.nextPosition()
+
+    def nextPosition(self):
+        self.i += 1
+        if self.i < len(self.arr):
+            self.position = int(self.arr[self.i]) - self.offset
+            return True
+        return False
+
+
+class _PQ:
+    """PriorityQueue.java binary heap with PhraseQueue.lessThan."""
+
+    def __init__(self, max_size):
+        self.heap = [None] * (max_size + 1)
+        self.size = 0
+
+    @staticmethod
+    def lessThan(a, b):
+        if a.position == b.position:
+            return a.offset < b.offset
+        return a.position < b.position
+
+    def add(self, el):
+        self.size += 1
+        self.heap[self.size] = el
+        self._up()
+
+    def top(self):
+        return self.heap[1]
+
+    def pop(self):
+        r = self.heap[1]
+        self.heap[1] = self.heap[self.size]
+        self.heap[self.size] = None
+        self.size -= 1
+        self._down()
+        return r
+
+    def clear(self):
+        self.size = 0
+
+    def _up(self):
+        i = self.size
+        node = self.heap[i]
+        j = i >> 1
+        while j > 0 and self.lessThan(node, self.heap[j]):
+            self.heap[i] = self.heap[j]
+            i = j
+            j >>= 1
+        self.heap[i] = node
+
+    def _down(self):
+        i = 1
+        node = self.heap[i]
+        j = i << 1
+        k = j + 1
+        if k <= self.size and self.lessThan(self.heap[k], self.heap[j]):
+            j = k
+        while j <= self.size and self.lessThan(self.heap[j], node):
+            self.heap[i] = self.heap[j]
+            i = j
+            j = i << 1
+            k = j + 1
+            if k <= self.size and self.lessThan(
+                self.heap[k], self.heap[j]
+            ):
+                j = k
+        self.heap[i] = node
+
+
+def java_sloppy_freq(terms, term_positions, slop):
+    """Transliterated SloppyPhraseScorer.phraseFreq for one doc.
+    ``term_positions[t]`` = sorted raw positions of term t."""
+    from collections import Counter, defaultdict
+
+    n = len(terms)
+    pps = [_PP(term_positions[t], i) for i, t in enumerate(terms)]
+    for pp in pps:
+        pp.firstPosition()
+    cnt = Counter(terms)
+    groups = defaultdict(list)
+    for pp, t in zip(pps, terms):
+        if cnt[t] >= 2:
+            groups[t].append(pp)
+    rptGroups = []
+    for t in groups:
+        rg = sorted(groups[t], key=lambda p: p.offset)
+        for j, pp in enumerate(rg):
+            pp.rptGroup = len(rptGroups)
+            pp.rptInd = j
+        rptGroups.append(rg)
+    hasRpts = bool(rptGroups)
+    end = -(10**9)
+
+    def advancePP(pp):
+        nonlocal end
+        if not pp.nextPosition():
+            return False
+        if pp.position > end:
+            end = pp.position
+        return True
+
+    for rg in rptGroups:  # advanceRepeatGroups (non-MTP branch)
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].nextPosition():
+                    return 0.0
+    pq = _PQ(n)
+    pq.clear()
+    for pp in pps:  # fillQueue
+        if pp.position > end:
+            end = pp.position
+        pq.add(pp)
+
+    def tpPos(pp):
+        return pp.position + pp.offset
+
+    def collide(pp):
+        for pp2 in rptGroups[pp.rptGroup]:
+            if pp2 is not pp and tpPos(pp2) == tpPos(pp):
+                return pp2.rptInd
+        return -1
+
+    def lesser(a, b):
+        if a.position < b.position or (
+            a.position == b.position and a.offset < b.offset
+        ):
+            return a
+        return b
+
+    rptStack = [None] * n
+
+    def advanceRpts(pp):
+        if pp.rptGroup < 0:
+            return True
+        rg = rptGroups[pp.rptGroup]
+        bits = set()
+        k0 = pp.rptInd
+        while True:
+            k = collide(pp)
+            if k < 0:
+                break
+            pp = lesser(pp, rg[k])
+            if not advancePP(pp):
+                return False
+            if k != k0:
+                bits.add(k)
+        m = 0
+        while bits:  # re-queue dance
+            pp2 = pq.pop()
+            rptStack[m] = pp2
+            m += 1
+            if pp2.rptGroup >= 0 and pp2.rptInd in bits:
+                bits.discard(pp2.rptInd)
+        for i in range(m - 1, -1, -1):
+            pq.add(rptStack[i])
+        return True
+
+    freq = np.float32(0.0)
+    pp = pq.pop()
+    matchLength = end - pp.position
+    nxt = pq.top().position
+    while advancePP(pp):
+        if hasRpts and not advanceRpts(pp):
+            break
+        if pp.position > nxt:
+            if matchLength <= slop:
+                freq = np.float32(
+                    freq + np.float32(1.0) / np.float32(matchLength + 1)
+                )
+            pq.add(pp)
+            pp = pq.pop()
+            nxt = pq.top().position
+            matchLength = end - pp.position
+        else:
+            ml2 = end - pp.position
+            if ml2 < matchLength:
+                matchLength = ml2
+    if matchLength <= slop:
+        freq = np.float32(
+            freq + np.float32(1.0) / np.float32(matchLength + 1)
+        )
+    return float(freq)
+
+
+def _engine_freq(terms, term_positions, slop):
+    from lucene_solr_spark.search.sloppy import (
+        sloppy_freq,
+        sloppy_freq_rpts,
+    )
+
+    plists = [
+        np.asarray(term_positions[t], dtype=np.int64) - i
+        for i, t in enumerate(terms)
+    ]
+    by_term = {}
+    for i, t in enumerate(terms):
+        by_term.setdefault(t, []).append(i)
+    rpt_groups = [v for v in by_term.values() if len(v) > 1]
+    if rpt_groups:
+        return sloppy_freq_rpts(plists, slop, rpt_groups)
+    return sloppy_freq(plists, slop)
+
+
+def test_rpts_walk_matches_java_transliteration():
+    """Production repeat walk (scan queue, no requeue dance) must equal
+    the literal Java port over randomized repeated-term phrases."""
+    import random
+
+    rng = random.Random(42)
+    shapes = [
+        ["a", "a"],
+        ["a", "a", "b"],
+        ["a", "b", "a"],
+        ["b", "a", "a"],
+        ["a", "a", "a"],
+        ["a", "b", "a", "b"],
+        ["a", "a", "b", "b"],
+        ["a", "b", "c", "a"],
+    ]
+    checked = 0
+    for trial in range(3000):
+        terms = rng.choice(shapes)
+        uniq = sorted(set(terms))
+        term_positions = {}
+        ok = True
+        for t in uniq:
+            cnt = rng.randint(1, 6)
+            term_positions[t] = sorted(
+                rng.sample(range(0, 25), cnt)
+            )
+            # phraseFreq is only invoked on docs where every clause's
+            # postings advanced to the doc; repeats need enough
+            # occurrences only via init exhaustion (handled by both)
+            if not term_positions[t]:
+                ok = False
+        if not ok:
+            continue
+        slop = rng.randint(0, 6)
+        want = java_sloppy_freq(terms, term_positions, slop)
+        got = _engine_freq(terms, term_positions, slop)
+        assert got == pytest.approx(want, abs=0.0), (
+            terms,
+            term_positions,
+            slop,
+            got,
+            want,
+        )
+        checked += 1
+    assert checked >= 2500
+
+
+def test_rpts_positive_freq_implies_valid_window():
+    """Soundness: whenever the walk scores, a valid injective
+    assignment (same-term clauses on distinct raw positions) with
+    adjusted span <= slop must exist (brute-force enumeration)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(400):
+        terms = rng.choice(
+            [["a", "a", "b"], ["a", "b", "a"], ["a", "a"]]
+        )
+        term_positions = {
+            t: sorted(rng.sample(range(0, 15), rng.randint(1, 5)))
+            for t in sorted(set(terms))
+        }
+        slop = rng.randint(0, 4)
+        f = _engine_freq(terms, term_positions, slop)
+        if f <= 0.0:
+            continue
+        found = False
+        for combo in itertools.product(
+            *[term_positions[t] for t in terms]
+        ):
+            by_t = {}
+            inj = True
+            for i, t in enumerate(terms):
+                if combo[i] in by_t.setdefault(t, set()):
+                    inj = False
+                    break
+                by_t[t].add(combo[i])
+            if not inj:
+                continue
+            adj = [combo[i] - i for i in range(len(terms))]
+            if max(adj) - min(adj) <= slop:
+                found = True
+                break
+        assert found, (terms, term_positions, slop, f)
 
 
 def test_closed_form_equals_walk_2clause():
