@@ -524,6 +524,34 @@ def q_ngram_freq(spark, sf_dir):
     )
 
 
+def q_shingle_freq(spark, sf_dir):
+    """ShingleFilter in the ANALYZER SLOT (not the standalone column
+    fn): bigram shingles with '_' fillers in stop-filter holes
+    (ShingleFilter.java:50,338-357), unigrams off — top-20 by count."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(shingle=(2, 2), shingle_unigrams=False)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"gram": pd.Series(rows, dtype="object")})
+
+    grams = docs.mapInPandas(run, "gram string")
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 def q_match_all(spark, sf_dir):
     """MatchAllDocsQuery (*:*) through the parser + constant scoring."""
     from lucene_solr_spark.search.qparser import parse_lucene
@@ -622,6 +650,19 @@ def q_span_near_unord(spark, sf_dir):
 
     return span_near(
         _searcher(spark, sf_dir), ["scan", "merge"], 3, in_order=False
+    )
+
+
+def q_span_near_unord3(spark, sf_dir):
+    """SpanNearQuery unordered, 3 clauses (NearSpansUnordered.java): a
+    one-position-per-clause window with (max-min+1) - 3 <= slop."""
+    from lucene_solr_spark.search.spans import span_near
+
+    return span_near(
+        _searcher(spark, sf_dir),
+        ["scan", "merge", "key"],
+        6,
+        in_order=False,
     )
 
 
@@ -1079,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edismax_qf": q_edismax_qf,
         "edismax_pf": q_edismax_pf,
         "bm25_phrase_sloppy_rpts": q_bm25_phrase_sloppy_rpts,
+        "span_near_unord3": q_span_near_unord3,
+        "shingle_freq": q_shingle_freq,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1207,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "dfr_inl2": O.dfr_inl2_or(["scan", "merge"]),
         "ib_ll": O.ib_ll_or(["scan", "merge"]),
         "ngram_freq": O.ngram_freq(3, 20),
+        "shingle_freq": O.shingle_freq(20),
         "match_all": O.match_all(),
         "sort_by_field": O.sort_by_field("scan", "n_chars"),
         "select_parsed": O.bm25_bool(must=["scan", "merge"]),
@@ -1227,6 +1271,9 @@ def oracle_sql() -> dict[str, str]:
         "span_first": O.span_first_docs("scan", 5),
         "span_near": O.span_near_docs(["scan", "merge"], 4, True),
         "span_near_unord": O.span_near_docs(["scan", "merge"], 3, False),
+        "span_near_unord3": O.span_near_docs(
+            ["scan", "merge", "key"], 6, False
+        ),
         "span_not": O.span_not_docs("scan", "merge"),
         "stats_by_lang": O.stats_by_facet("scan", "lang"),
         "spellcheck": O.spellcheck("qery", 2, 5),

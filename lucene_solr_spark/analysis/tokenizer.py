@@ -262,6 +262,8 @@ def make_analyzer(
     stop: bool = True,
     ngram: tuple[int, int] | None = None,
     edge_ngram: tuple[int, int] | None = None,
+    shingle: tuple[int, int] | None = None,
+    shingle_unigrams: bool = True,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -270,10 +272,19 @@ def make_analyzer(
     Returns a function with the same signature as :func:`analyze`:
     text -> (terms, positions). Order mirrors the reference chains:
     tokenize -> [fold] -> lowercase (inside tokenize) -> [stop] ->
-    [stem]; stop removal leaves position gaps regardless of later
-    filters (FilteringTokenFilter.java:49-57), and the stemmer/folder
-    are arity-preserving so positions are untouched.
-    """
+    [stem] -> [shingle]; stop removal leaves position gaps regardless
+    of later filters (FilteringTokenFilter.java:49-57), and the
+    stemmer/folder are arity-preserving so positions are untouched.
+
+    ``shingle=(min, max)`` wires ShingleFilter into the chain slot
+    (lucene/analysis/common/.../shingle/ShingleFilter.java): position
+    holes left by the stop filter become '_' FILLER tokens
+    (ShingleFilter.java:50,338-357); every position slot anchors the
+    size-min..max shingles that fit before the last real token, skipping
+    all-filler shingles (ShingleFilter.java:292-315); unigrams are
+    emitted for real tokens only (``shingle_unigrams``, outputUnigrams);
+    every output at a slot shares the slot's position (the first token
+    gets posIncrement 1, the rest 0 — ShingleFilter.java:317)."""
     fold_fn = stem_fn = gram_fn = None
     if fold:
         from .folding import fold_to_ascii as fold_fn
@@ -281,6 +292,12 @@ def make_analyzer(
         from .porter import porter_stem as stem_fn
     if ngram and edge_ngram:
         raise ValueError("ngram and edge_ngram are mutually exclusive")
+    if shingle is not None:
+        if ngram or edge_ngram:
+            raise ValueError("shingle cannot combine with ngram filters")
+        s_min, s_max = shingle
+        if s_min < 2 or s_min > s_max:
+            raise ValueError("shingle sizes need 2 <= min <= max")
     if ngram or edge_ngram:
         from .ngram import edge_ngram_tokens, ngram_tokens
 
@@ -311,6 +328,34 @@ def make_analyzer(
             else:
                 terms.append(tok)
                 positions.append(pos)
-        return terms, positions
+        if shingle is None:
+            return terms, positions
+        if not terms:
+            return [], []
+        # ShingleFilter over the surviving stream: '_' fillers occupy
+        # the stop-filter's position holes (incl. leading ones)
+        maxp = positions[-1]
+        slots = ["_"] * (maxp + 1)
+        for t, p in zip(terms, positions):
+            slots[p] = t
+        real = [False] * (maxp + 1)
+        for p in positions:
+            real[p] = True
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for s in range(maxp + 1):
+            if shingle_unigrams and real[s]:
+                out_t.append(slots[s])
+                out_p.append(s)
+            for size in range(s_min, s_max + 1):
+                e = s + size
+                if e > maxp + 1:
+                    break
+                window = slots[s:e]
+                if not any(real[s:e]):
+                    continue  # all-filler shingles are never emitted
+                out_t.append(" ".join(window))
+                out_p.append(s)
+        return out_t, out_p
 
     return run

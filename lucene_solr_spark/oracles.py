@@ -1153,6 +1153,39 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT {k}
 """.strip()
 
 
+def shingle_freq(k: int = 20, table: str = "documents") -> str:
+    """Bigram ShingleFilter twin (analyzer-slot gate): post-stop tokens
+    at raw positions, '_' fillers in the holes, bigrams anchored at
+    every slot up to the last real token, all-filler grams skipped
+    (vacuous for bigrams: a slot window always touches a real token via
+    the anchor-or-neighbor rule enforced by the NOT(...) guard)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  ) WHERE length(term) <= 255 AND term NOT IN ({STOP_LIST})
+),
+maxp AS (SELECT doc_id, max(pos) AS mp FROM base GROUP BY doc_id),
+slots AS (
+  SELECT doc_id, unnest(generate_series(1, mp - 1)) AS p FROM maxp
+),
+g2 AS (
+  SELECT s.doc_id,
+         coalesce(t1.term, '_') || ' ' || coalesce(t2.term, '_') AS gram,
+         t1.term IS NULL AND t2.term IS NULL AS all_filler
+  FROM slots s
+  LEFT JOIN base t1 ON t1.doc_id = s.doc_id AND t1.pos = s.p
+  LEFT JOIN base t2 ON t2.doc_id = s.doc_id AND t2.pos = s.p + 1
+)
+SELECT gram, count(*) AS cnt FROM g2 WHERE NOT all_filler
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
+""".strip()
+
+
 def text_quality(table: str = "documents") -> str:
     raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
     return f"""
@@ -1931,9 +1964,12 @@ def span_near_docs(
 ) -> str:
     """SpanNearQuery doc set (NearSpansOrdered/-Unordered over term
     spans): ordered needs strictly increasing positions in clause order
-    with (p_last - p_first) - (n-1) <= slop; unordered (2 clauses)
-    |p_a - p_b| - 1 <= slop. Positions are raw pre-stop counters —
-    differences are offset-invariant vs the engine's 0-based ones."""
+    with (p_last - p_first) - (n-1) <= slop; unordered (any N, distinct
+    terms) needs a one-position-per-clause window with
+    (max - min + 1) - n <= slop (NearSpansUnordered matchLength =
+    maxEnd - minStart vs totalLength = n for length-1 term spans).
+    Positions are raw pre-stop counters — differences are
+    offset-invariant vs the engine's 0-based ones."""
     n = len(terms)
     p_ctes = [
         f"p{i} AS (SELECT doc_id, pos AS v{i} FROM rawtok "
@@ -1946,10 +1982,15 @@ def span_near_docs(
         join += f" JOIN p{i} USING (doc_id)"
         if in_order:
             conds.append(f"v{i} > v{i-1}")
+    vs = ", ".join(f"v{i}" for i in range(n))
     if in_order:
         conds.append(f"(v{n-1} - v0) - {n-1} <= {slop}")
-    else:
+    elif n == 2:
         conds.append(f"abs(v1 - v0) - 1 <= {slop}")
+    else:
+        conds.append(
+            f"(greatest({vs}) - least({vs})) - {n - 1} <= {slop}"
+        )
     return f"""
 WITH {_rawtok(table)},
 {', '.join(p_ctes)}

@@ -52,13 +52,19 @@ def span_near(
 
     Ordered (NearSpansOrdered): positions strictly increasing in clause
     order with (p_last - p_first) - (n-1) <= slop.
-    Unordered (NearSpansUnordered, 2 clauses): |p_a - p_b| - 1 <= slop.
+    Unordered (NearSpansUnordered, any N distinct-term clauses): a
+    one-position-per-clause window with (max - min + 1) - n <= slop
+    (matchLength = maxEnd - minStart vs totalLength = n for length-1
+    term spans, NearSpansUnordered.java:157-176).
     """
     n = len(terms)
     if n < 2:
         raise ValueError("span_near needs >= 2 clauses")
-    if not in_order and n != 2:
-        raise NotImplementedError("unordered span_near: 2 clauses in v1")
+    if not in_order and len(set(terms)) != n:
+        raise NotImplementedError(
+            "unordered span_near with repeated terms (cell overlap "
+            "semantics) is out of scope"
+        )
     stats = searcher.index.term_stats(sorted(set(terms)))
     if any(t not in stats for t in terms):
         return searcher.index.spark.createDataFrame([], "doc_id long")
@@ -73,11 +79,8 @@ def span_near(
     if in_order:
         width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
     else:
-        width = (
-            F.greatest(F.col("p0"), F.col("p1"))
-            - F.least(F.col("p0"), F.col("p1"))
-            - F.lit(1)
-        )
+        cols = [F.col(f"p{i}") for i in range(n)]
+        width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
     return (
         cur.where(width <= F.lit(slop)).select("doc_id").distinct()
     )

@@ -106,3 +106,48 @@ def test_index_with_stemming_analyzer(spark, tiny_pdf):
     hits = {r["doc_id"] for r in s.search(TermQuery("fail"), 10).collect()}
     assert hits == {0, 1}
     assert idx.term_stats(["server"])["server"][0] == 2  # df across inflections
+
+
+def test_shingle_filter_in_analyzer_slot():
+    """ShingleFilter chain semantics (ShingleFilter.java): '_' fillers
+    occupy stop-filter holes, shingles anchor at every slot (incl.
+    filler slots) up to the last real token, all-filler grams skipped,
+    unigrams only for real tokens, outputs share the anchor position."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(shingle=(2, 2))
+    terms, positions = an("please divide this sentence into shingles")
+    # raw: please(0) divide(1) this(2)* sentence(3) into(4)* shingles(5)
+    assert list(zip(terms, positions)) == [
+        ("please", 0),
+        ("please divide", 0),
+        ("divide", 1),
+        ("divide _", 1),
+        ("_ sentence", 2),
+        ("sentence", 3),
+        ("sentence _", 3),
+        ("_ shingles", 4),
+        ("shingles", 5),
+    ]
+
+
+def test_shingle_chain_order_and_options():
+    """Chain order: stop THEN stem THEN shingle; unigram suppression;
+    min/max sizes; leading stop holes become leading fillers."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(stem=True, shingle=(2, 3), shingle_unigrams=False)
+    terms, positions = an("the servers failing")
+    # raw: the(0)* servers(1) failing(2); stems: server, fail
+    assert list(zip(terms, positions)) == [
+        ("_ server", 0),
+        ("_ server fail", 0),
+        ("server fail", 1),
+    ]
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_analyzer(shingle=(1, 2))
+    with _pytest.raises(ValueError):
+        make_analyzer(shingle=(2, 2), ngram=(2, 3))
