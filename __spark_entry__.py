@@ -790,6 +790,37 @@ def q_facet_lang(spark, sf_dir):
     )
 
 
+def q_facet_lang_mincount(spark, sf_dir):
+    """facet.field with facet.mincount=55 (SimpleFacets.java:205-423)
+    through the select handler: buckets under the floor drop out."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        facet_field=["lang"],
+        facet_limit=5,
+        facet_mincount=55,
+    )
+    return out["facets"]["lang"]
+
+
+def q_facet_lang_index(spark, sf_dir):
+    """facet.sort=index + facet.offset=1 + facet.limit=3 through the
+    select handler (lexicographic bucket paging)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        facet_field=["lang"],
+        facet_limit=3,
+        facet_offset=1,
+        facet_sort="index",
+    )
+    return out["facets"]["lang"]
+
+
 def q_facet_range(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (
@@ -1122,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_sloppy_rpts": q_bm25_phrase_sloppy_rpts,
         "span_near_unord3": q_span_near_unord3,
         "shingle_freq": q_shingle_freq,
+        "facet_lang_mincount": q_facet_lang_mincount,
+        "facet_lang_index": q_facet_lang_index,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1288,6 +1321,12 @@ def oracle_sql() -> dict[str, str]:
         "mlt": O.more_like_this(0, 10),
         "highlight": O.highlight_snippets("scan"),
         "facet_lang": O.facet_field("scan", "lang"),
+        "facet_lang_mincount": O.facet_field_opts(
+            "scan", "lang", k=5, mincount=55
+        ),
+        "facet_lang_index": O.facet_field_opts(
+            "scan", "lang", k=3, offset=1, sort="index"
+        ),
         "facet_range": O.facet_range_nchars(),
         "facet_pivot": O.facet_pivot(),
         "facet_taxonomy": O.taxonomy_facets("scan"),

@@ -899,6 +899,36 @@ GROUP BY d.{field} ORDER BY cnt DESC, {field} ASC LIMIT {k}
 """.strip()
 
 
+def facet_field_opts(
+    term: str,
+    field: str,
+    k: int = 5,
+    mincount: int = 0,
+    prefix: str | None = None,
+    offset: int = 0,
+    sort: str = "count",
+    table: str = "documents",
+) -> str:
+    """facet.field with mincount / prefix / offset / sort=index
+    (SimpleFacets.java:205-423) — twin of handler.select facet opts."""
+    conds = []
+    if prefix:
+        conds.append(f"d.{field} LIKE '{_sq(prefix)}%'")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    having = f" HAVING count(*) >= {mincount}" if mincount > 0 else ""
+    order = (
+        f"{field} ASC" if sort == "index" else f"cnt DESC, {field} ASC"
+    )
+    off = f" OFFSET {offset}" if offset else ""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT d.{field} AS {field}, count(*) AS cnt
+FROM {table} d JOIN matched USING (doc_id){where}
+GROUP BY d.{field}{having} ORDER BY {order} LIMIT {k}{off}
+""".strip()
+
+
 def facet_range_nchars(width: int = 100, table: str = "documents") -> str:
     return (
         f"SELECT (n_chars // {width}) * {width} AS bucket, count(*) AS cnt "

@@ -37,16 +37,38 @@ def select(
     fl: list[str] | None = None,
     facet_field: list[str] | None = None,
     facet_limit: int = 5,
+    facet_mincount: int = 0,
+    facet_prefix: str | None = None,
+    facet_offset: int = 0,
+    facet_sort: str = "count",
+    cursor_mark: tuple[float, int] | str | None = None,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
-    DataFrame}} (facet counts are over the full filtered match set, not
-    just the returned page — SimpleFacets semantics).
+    DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
+    filtered match set, not just the returned page — SimpleFacets
+    semantics).
 
     ``fq`` entries are SQL boolean expressions over doc-store columns
     (e.g. "lang = 'en'", "n_chars between 100 and 500") — the Solr
     filter-query role, evaluated as pushed-down scans, never scored.
     ``sort`` is "score desc" (default) or a SQL order spec over doc
     columns like "n_chars desc".
+
+    Paging. ``start`` windows the merged top-k INSIDE the plan
+    (GlobalLimit with offset — never a driver-side collect of
+    start+rows rows; Solr pays the same merge cost per shard,
+    QueryComponent.java:747-800). For sequential deep paging prefer
+    ``cursor_mark`` (Solr cursorMark, score-sorted requests): pass "*"
+    for the first page, then the returned ``next_cursor_mark`` — each
+    page is a searchAfter keyset predicate (IndexSearcher.searchAfter,
+    :225-247), so cost stays O(rows) per page at any depth instead of
+    O(start + rows).
+
+    Facet options (SimpleFacets.java:205-423): ``facet_mincount`` drops
+    buckets with fewer matches, ``facet_prefix`` keeps values starting
+    with the prefix, ``facet_offset`` skips leading buckets,
+    ``facet_sort`` is "count" (count desc, value asc — default) or
+    "index" (value asc).
     """
     query = parse_lucene(q)
     scored = searcher.score(query)
@@ -58,21 +80,48 @@ def select(
         filtered_ids = docs.select("doc_id")
         scored = scored.join(filtered_ids, "doc_id", "left_semi")
 
-    if sort is None or sort.strip().lower() in ("score desc", "score"):
-        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
-    else:
-        joined = scored.join(docs, "doc_id")
-        ordered = joined.orderBy(
-            *_sort_cols(sort), F.asc("doc_id")
-        ).select("doc_id", "score")
-    page = ordered.limit(start + rows)
-    if start:
-        # searchAfter-style window: driver-side offset on the merged
-        # top-(start+rows) — identical to Solr's shard merge + offset
-        rows_all = page.collect()[start : start + rows]
-        page = searcher.index.spark.createDataFrame(
-            rows_all, page.schema
+    score_sorted = sort is None or sort.strip().lower() in (
+        "score desc",
+        "score",
+    )
+    next_cursor = None
+    if cursor_mark is not None:
+        if not score_sorted:
+            raise ValueError(
+                "cursor_mark requires score sort (CursorMark.java "
+                "requires the uniqueKey tie-break sort)"
+            )
+        if start:
+            raise ValueError("cursor_mark and start are exclusive")
+        cur = scored
+        if cursor_mark != "*":
+            after_score, after_doc = cursor_mark
+            cur = cur.where(
+                (F.col("score") < F.lit(float(after_score)))
+                | (
+                    (F.col("score") == F.lit(float(after_score)))
+                    & (F.col("doc_id") > F.lit(int(after_doc)))
+                )
+            )
+        page = cur.orderBy(F.desc("score"), F.asc("doc_id")).limit(rows)
+        tail = page.collect()  # exactly `rows` rows — the page itself
+        page = searcher.index.spark.createDataFrame(tail, page.schema)
+        next_cursor = (
+            (float(tail[-1]["score"]), int(tail[-1]["doc_id"]))
+            if tail
+            else cursor_mark
         )
+    else:
+        if score_sorted:
+            ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        else:
+            joined = scored.join(docs, "doc_id")
+            ordered = joined.orderBy(
+                *_sort_cols(sort), F.asc("doc_id")
+            ).select("doc_id", "score")
+        # plan-side offset: the skip happens in the JVM's final limit
+        # stage, nothing is collected to the Python driver
+        page = (ordered.offset(start) if start else ordered).limit(rows)
     if fl:
         page = page.join(docs.select("doc_id", *fl), "doc_id").select(
             "doc_id", "score", *fl
@@ -82,14 +131,29 @@ def select(
     if facet_field:
         match_ids = scored.select("doc_id")
         for field in facet_field:
-            facets[field] = (
+            f = (
                 docs.join(match_ids, "doc_id")
                 .groupBy(field)
                 .agg(F.count(F.lit(1)).alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc(field))
-                .limit(facet_limit)
             )
-    return {"response": page, "facets": facets}
+            if facet_prefix:
+                f = f.where(
+                    F.col(field).cast("string").startswith(facet_prefix)
+                )
+            if facet_mincount > 0:
+                f = f.where(F.col("cnt") >= F.lit(facet_mincount))
+            if facet_sort == "index":
+                f = f.orderBy(F.asc(field))
+            else:
+                f = f.orderBy(F.desc("cnt"), F.asc(field))
+            if facet_offset:
+                f = f.offset(facet_offset)
+            facets[field] = f.limit(facet_limit)
+    return {
+        "response": page,
+        "facets": facets,
+        "next_cursor_mark": next_cursor,
+    }
 
 
 def facet_queries(

@@ -1,0 +1,82 @@
+"""Select-handler tests: cursorMark deep paging and facet options
+(mincount / prefix / offset / sort=index, SimpleFacets.java:205-423)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.search.executor import Searcher
+from lucene_solr_spark.search.handler import select
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return Searcher(tiny_index)
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in df.collect()]
+
+
+def test_cursor_pages_equal_offset_pages(searcher):
+    """Three cursorMark pages must equal the offset-windowed pages, and
+    each cursor page collects exactly `rows` rows (searchAfter keyset
+    predicate — O(rows) per page at any depth)."""
+    rows = 4
+    n_pages = 3
+    offset_pages = []
+    for p in range(n_pages):
+        out = select(searcher, q="error", start=p * rows, rows=rows)
+        offset_pages.append(_rows(out["response"]))
+    cursor_pages = []
+    mark = "*"
+    for _ in range(n_pages):
+        out = select(searcher, q="error", rows=rows, cursor_mark=mark)
+        cursor_pages.append(_rows(out["response"]))
+        mark = out["next_cursor_mark"]
+        assert mark is not None
+    assert cursor_pages == offset_pages
+    assert len(cursor_pages[0]) == rows, "fixture must fill page one"
+
+
+def test_start_offset_is_plan_side(searcher):
+    """start=N must window inside the plan (DataFrame.offset), matching
+    a full-order slice — no Python-side collect of start+rows rows."""
+    full = _rows(select(searcher, q="error", rows=100)["response"])
+    page = _rows(select(searcher, q="error", start=10, rows=5)["response"])
+    assert page == full[10:15]
+
+
+def test_cursor_requires_score_sort(searcher):
+    with pytest.raises(ValueError):
+        select(searcher, q="error", sort="n_chars desc", cursor_mark="*")
+    with pytest.raises(ValueError):
+        select(searcher, q="error", start=5, cursor_mark="*")
+
+
+def _facet(searcher, **kw):
+    out = select(searcher, q="error", facet_field=["role"], **kw)
+    return [(r["role"], int(r["cnt"])) for r in out["facets"]["role"].collect()]
+
+
+def test_facet_options(searcher):
+    base = dict(_facet(searcher, facet_limit=100))
+    assert len(base) >= 2
+    counts = sorted(base.values())
+    floor = counts[-1]  # keep only the top bucket(s)
+    got = _facet(searcher, facet_limit=100, facet_mincount=floor)
+    assert got and all(c >= floor for _, c in got)
+    assert dict(got) == {v: c for v, c in base.items() if c >= floor}
+    # sort=index: lexicographic by value regardless of count
+    idx = _facet(searcher, facet_limit=100, facet_sort="index")
+    assert [v for v, _ in idx] == sorted(base.keys())
+    # offset pages into the index-sorted buckets
+    off = _facet(
+        searcher, facet_limit=2, facet_offset=1, facet_sort="index"
+    )
+    assert off == idx[1:3]
+    # prefix keeps only matching values
+    pfx = sorted(base.keys())[0][0]  # first char of first value
+    got_p = _facet(searcher, facet_limit=100, facet_prefix=pfx)
+    assert got_p == [(v, c) for v, c in _facet(searcher, facet_limit=100)
+                     if str(v).startswith(pfx)]
