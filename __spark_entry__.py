@@ -441,6 +441,20 @@ def q_term_range(spark, sf_dir):
     return s.score(TermRangeQuery("sl", "so")).select("doc_id").distinct()
 
 
+def q_fielded_range(spark, sf_dir):
+    """Fielded range through the classic parser (QueryParser.jj range
+    grammar): n_chars:[200 TO 400] -> FieldRangeQuery -> Catalyst
+    predicate pushed into the scan; constant score."""
+    from lucene_solr_spark.search.qparser import parse_lucene
+
+    s = _searcher(spark, sf_dir)
+    return (
+        s.score(parse_lucene("n_chars:[200 TO 400]"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def q_numeric_range(spark, sf_dir):
     # NumericRangeQuery -> native Catalyst predicate (SURVEY.md §1.4)
     return (
@@ -1155,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_freq": q_shingle_freq,
         "facet_lang_mincount": q_facet_lang_mincount,
         "facet_lang_index": q_facet_lang_index,
+        "fielded_range": q_fielded_range,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1301,6 +1316,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_range": O.term_range_docs("sl", "so"),
         "numeric_range": O.numeric_range(200, 400),
+        "fielded_range": (
+            "SELECT doc_id FROM documents "
+            "WHERE CAST(n_chars AS DOUBLE) >= 200.0 "
+            "AND CAST(n_chars AS DOUBLE) <= 400.0 ORDER BY doc_id"
+        ),
         "span_first": O.span_first_docs("scan", 5),
         "span_near": O.span_near_docs(["scan", "merge"], 4, True),
         "span_near_unord": O.span_near_docs(["scan", "merge"], 3, False),

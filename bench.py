@@ -35,6 +35,9 @@ HEADLINE = [
     "bm25_dismax",
     "bm25_phrase",
     "bm25_phrase_sloppy",
+    "bm25_phrase_sloppy_rpts",
+    "bm25_fielded",
+    "edismax_qf",
     "tfidf_or",
     "prefix",
     "regexp",
@@ -69,6 +72,24 @@ def main() -> None:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = sf_name
+
+    # Host-capacity probe (shared-tenant VM: co-tenant bursts slow even
+    # single-thread work 1.5-4x for minutes — BENCH.md). Recorded in the
+    # output JSON so round-over-round suite numbers are comparable; a
+    # short gate waits for a quiet window but never blocks the driver
+    # for long.
+    probe_pre = probe_post = None
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from bench_scaling import probe_capacity, wait_for_capacity
+
+        probe_pre = wait_for_capacity(
+            int(cpus), factor=1.35, max_wait_sec=300.0
+        )
+    except Exception:
+        probe_capacity = None  # noqa: F841
 
     from lucene_solr_spark.session import get_spark
 
@@ -121,6 +142,11 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    try:
+        probe_post = probe_capacity(int(cpus))
+    except Exception:
+        probe_post = None
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -133,6 +159,8 @@ def main() -> None:
                 "bench_turns": n_turns,
                 "indexed_turns_per_sec": turns_per_sec,
                 "cpus": int(cpus),
+                "capacity_probe_pre": probe_pre,
+                "capacity_probe_post": probe_post,
             }
         )
     )

@@ -35,6 +35,7 @@ from .query import (
     BooleanClause,
     BooleanQuery,
     DisMaxQuery,
+    FieldRangeQuery,
     FieldTermQuery,
     FuzzyQuery,
     MatchAllQuery,
@@ -226,6 +227,40 @@ class Searcher:
             ),
         ):
             return self._score_multiterm(q)
+        if isinstance(q, FieldRangeQuery):
+            # fielded range (price:[10 TO 20]): Catalyst predicate on
+            # the stored column, constant score, pushed into the scan
+            def _num(s):
+                try:
+                    return float(s)
+                except (TypeError, ValueError):
+                    return None
+
+            numeric = all(
+                _num(b) is not None
+                for b in (q.lower, q.upper)
+                if b is not None
+            ) and (q.lower is not None or q.upper is not None)
+            col = (
+                F.col(q.field).cast("double")
+                if numeric
+                else F.col(q.field).cast("string")
+            )
+            cond = F.lit(True)
+            if q.lower is not None:
+                lo = F.lit(_num(q.lower) if numeric else q.lower)
+                cond = cond & (
+                    col >= lo if q.include_lower else col > lo
+                )
+            if q.upper is not None:
+                hi = F.lit(_num(q.upper) if numeric else q.upper)
+                cond = cond & (
+                    col <= hi if q.include_upper else col < hi
+                )
+            return self.index.docs.where(cond).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(float(q.boost)).cast(self._score_type).alias("score"),
+            )
         if isinstance(q, FieldTermQuery):
             # exact match on a stored column: constant-score predicate
             # pushed into the parquet scan by Catalyst
@@ -495,10 +530,22 @@ class Searcher:
         elif isinstance(q, WildcardQuery):
             import re as _re
 
-            rx = "^" + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in q.pattern
-            ) + "$"
+            # '\X' escapes make X literal (WildcardQuery.java:55-70
+            # WILDCARD_ESCAPE) — an escaped '*'/'?' never expands
+            parts: list[str] = []
+            i = 0
+            pat = q.pattern
+            while i < len(pat):
+                ch = pat[i]
+                if ch == "\\" and i + 1 < len(pat):
+                    parts.append(_re.escape(pat[i + 1]))
+                    i += 2
+                    continue
+                parts.append(
+                    ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                )
+                i += 1
+            rx = "^" + "".join(parts) + "$"
             matched = ts.where(F.col("term").rlike(rx))
         elif isinstance(q, FuzzyQuery):
             matched = ts.where(

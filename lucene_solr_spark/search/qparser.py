@@ -26,6 +26,7 @@ from .query import (
     BooleanClause,
     BooleanQuery,
     DisMaxQuery,
+    FieldRangeQuery,
     FieldTermQuery,
     FuzzyQuery,
     MatchAllQuery,
@@ -42,13 +43,17 @@ _TOKEN_RX = re.compile(
     \s*(?:
       (?P<lparen>\() |
       (?P<rparen>\)) |
-      (?P<range>\[\s*(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\s*\]) |
-      (?P<phrase>"(?P<phbody>[^"]*)"(?:~(?P<phslop>\d+))?) |
+      (?P<range>(?:(?P<rngfld>[A-Za-z_][A-Za-z0-9_]*):)?
+        (?P<rlb>[\[{])\s*(?P<rlo>\S+?)\s+TO\s+(?P<rhi>\S+?)\s*
+        (?P<rrb>[\]}])) |
+      (?P<phrase>"(?P<phbody>(?:\\.|[^"\\])*)"(?:~(?P<phslop>\d+))?) |
       (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
       (?P<plus>\+) | (?P<minus>-) |
       (?P<star>\*:\*) |
-      (?P<fielded>[A-Za-z_][A-Za-z0-9_]*):(?P<fval>[^\s():+\-"^]+) |
-      (?P<word>[^\s():+\-"^]+(?:-[^\s():+\-"^]+)*)
+      (?P<fielded>[A-Za-z_][A-Za-z0-9_]*):
+        (?P<fval>(?:\\.|[^\s():+\-"^\\])+) |
+      (?P<word>(?:\\.|[^\s():+\-"^\\])+
+               (?:-(?:\\.|[^\s():+\-"^\\])+)*)
     )(?:\^(?P<boost>[0-9.]+))?
     """,
     re.VERBOSE,
@@ -56,6 +61,16 @@ _TOKEN_RX = re.compile(
 # '-' is an operator only at a clause boundary (start/whitespace/'(');
 # mid-word hyphens stay in the token — classic QueryParser.jj behavior,
 # so 'well-known' analyzes to a phrase instead of 'well AND NOT known'.
+# Backslash escapes (QueryParserBase.discardEscapeChar): '\X' makes X a
+# literal everywhere a word/field-value/phrase character is read, so
+# '\+foo', 'sc\*n*' (literal-star prefix) and '"say \"hi\""' parse.
+# Ranges follow the full QueryParser.jj grammar: optional field prefix,
+# '['/']' inclusive vs '{'/'}' exclusive per end, '*' = open bound.
+
+
+def _unescape(s: str) -> str:
+    """discardEscapeChar: drop the backslash, keep the next char."""
+    return re.sub(r"\\(.)", r"\1", s)
 
 
 class QueryParseError(ValueError):
@@ -63,20 +78,22 @@ class QueryParseError(ValueError):
 
 
 def _word_query(word: str, boost: float) -> Query | None:
-    """One bare word -> Term/Prefix/Wildcard/Fuzzy query, analyzed."""
-    m = re.fullmatch(r"(?P<body>[^~]+)~(?P<edits>\d*)", word)
+    """One bare word -> Term/Prefix/Wildcard/Fuzzy query, analyzed.
+    Escaped specials ('\\*', '\\~', '\\?') are literals: they never
+    trigger the wildcard/fuzzy readings (QueryParser.jj escaping)."""
+    m = re.fullmatch(r"(?P<body>.+?)(?<!\\)~(?P<edits>\d*)", word)
     if m:
-        terms, _ = analyze(m.group("body"))
+        terms, _ = analyze(_unescape(m.group("body")))
         if not terms:
             return None
         edits = int(m.group("edits") or 2)
         return FuzzyQuery(terms[0], edits, boost)
-    if "*" in word or "?" in word:
+    if re.search(r"(?<!\\)[*?]", word):
         low = word.lower()
-        if re.fullmatch(r"[^*?]+\*", low):
-            return PrefixQuery(low[:-1], boost)
-        return WildcardQuery(low, boost)
-    terms, _ = analyze(word)
+        if re.fullmatch(r"(?:\\.|[^*?\\])+\*", low):
+            return PrefixQuery(_unescape(low[:-1]), boost)
+        return WildcardQuery(low, boost)  # executor honors '\' escapes
+    terms, _ = analyze(_unescape(word))
     if not terms:
         return None  # pure stopword -> dropped clause, like Lucene
     if len(terms) == 1:
@@ -129,13 +146,40 @@ def parse_lucene(q: str) -> Query:
                     raise QueryParseError("unbalanced )")
                 return _finish(clauses), i + 1
             if m.group("range"):
-                push(
-                    TermRangeQuery(
-                        m.group("rlo").lower(), m.group("rhi").lower(), True, True, boost
+                inc_lo = m.group("rlb") == "["
+                inc_hi = m.group("rrb") == "]"
+                raw_lo = m.group("rlo")
+                raw_hi = m.group("rhi")
+                fld = m.group("rngfld")
+                if fld and fld != "text":
+                    # fielded range over a stored column: keep the raw
+                    # literal case (column values are not analyzed)
+                    push(
+                        FieldRangeQuery(
+                            fld,
+                            None if raw_lo == "*" else _unescape(raw_lo),
+                            None if raw_hi == "*" else _unescape(raw_hi),
+                            inc_lo,
+                            inc_hi,
+                            boost,
+                        )
                     )
-                )
+                else:
+                    push(
+                        TermRangeQuery(
+                            None
+                            if raw_lo == "*"
+                            else _unescape(raw_lo).lower(),
+                            None
+                            if raw_hi == "*"
+                            else _unescape(raw_hi).lower(),
+                            inc_lo,
+                            inc_hi,
+                            boost,
+                        )
+                    )
             elif m.group("phrase"):
-                terms, _ = analyze(m.group("phbody"))
+                terms, _ = analyze(_unescape(m.group("phbody")))
                 slop = int(m.group("phslop") or 0)
                 if terms:
                     push(PhraseQuery(terms, slop, boost))
@@ -160,7 +204,7 @@ def parse_lucene(q: str) -> Query:
                 else:
                     # Solr fielded clause over a non-text column
                     # (StrField/TrieField exact match)
-                    push(FieldTermQuery(fld, fval, boost))
+                    push(FieldTermQuery(fld, _unescape(fval), boost))
             elif m.group("word"):
                 push(_word_query(m.group("word"), boost))
             i += 1

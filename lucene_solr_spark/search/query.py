@@ -130,6 +130,25 @@ class TermRangeQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class FieldRangeQuery(Query):
+    """Range over a non-text stored column — the Solr fielded-range
+    syntax ``price:[10 TO 20]`` (classic QueryParser.jj range grammar;
+    TrieField numeric / StrField lexicographic semantics). Bounds are
+    the raw query-string literals; numeric-looking bounds compare
+    numerically, otherwise lexicographically (Solr resolves this from
+    the schema field type — with schemaless columns the literal format
+    is the only signal). '*' (None) = open bound. Constant-score doc
+    set; Catalyst pushes the predicate into the parquet scan."""
+
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
 # ---- convenience constructors ----
 
 def And(*terms: str) -> BooleanQuery:

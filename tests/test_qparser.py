@@ -136,3 +136,71 @@ def test_single_term_sloppy_phrase_rewrites_to_term():
     # stopword-stripped '"the scan"~2' must not crash the sloppy walk
     q = rewrite(parse_lucene('"the scan"~2'))
     assert q == TermQuery("scan")
+
+
+def test_escaped_specials():
+    """QueryParser.jj escaping: '\\X' makes X literal everywhere."""
+    from lucene_solr_spark.search.qparser import parse_lucene
+    from lucene_solr_spark.search.query import (
+        PhraseQuery,
+        PrefixQuery,
+        TermQuery,
+        WildcardQuery,
+    )
+
+    # escaped '+' is part of the word, not a MUST operator
+    assert parse_lucene(r"\+scan") == TermQuery("scan")
+    # escaped '~' never reads as fuzzy; analyzer drops the tilde
+    assert parse_lucene(r"scan\~") == TermQuery("scan")
+    # escaped '*' inside a prefix stays literal in the prefix string
+    q = parse_lucene(r"sc\*n*")
+    assert q == PrefixQuery("sc*n")
+    # escaped '*' with an unescaped '?' -> wildcard keeping the escape
+    q = parse_lucene(r"sc\*?n")
+    assert isinstance(q, WildcardQuery) and q.pattern == r"sc\*?n"
+    # escaped quote inside a phrase body
+    q = parse_lucene(r'"say \"hello\" now"')
+    assert isinstance(q, PhraseQuery)
+    assert q.terms == ("say", "hello", "now")
+
+
+def test_fielded_and_exclusive_ranges():
+    """Full range grammar: field prefix, '{' exclusive ends, '*' open
+    bounds, ^boost combos."""
+    from lucene_solr_spark.search.qparser import parse_lucene
+    from lucene_solr_spark.search.query import (
+        FieldRangeQuery,
+        TermRangeQuery,
+    )
+
+    q = parse_lucene("n_chars:[200 TO 400]")
+    assert q == FieldRangeQuery("n_chars", "200", "400", True, True)
+    q = parse_lucene("price:{10 TO 20]")
+    assert q == FieldRangeQuery("price", "10", "20", False, True)
+    q = parse_lucene("price:[* TO 20}")
+    assert q == FieldRangeQuery("price", None, "20", True, False)
+    q = parse_lucene("n_chars:[200 TO 400]^2")
+    assert q == FieldRangeQuery("n_chars", "200", "400", True, True, 2.0)
+    # bare ranges stay lexicographic term ranges, now with excl bounds
+    q = parse_lucene("{sl TO so]")
+    assert q == TermRangeQuery("sl", "so", False, True)
+    q = parse_lucene("[sl TO *]")
+    assert q == TermRangeQuery("sl", None, True, True)
+
+
+def test_fielded_range_with_boost_in_boolean():
+    from lucene_solr_spark.search.qparser import parse_lucene
+    from lucene_solr_spark.search.query import (
+        BooleanQuery,
+        FieldRangeQuery,
+        TermQuery,
+    )
+
+    q = parse_lucene("+scan +n_chars:[200 TO 400]^3")
+    assert isinstance(q, BooleanQuery)
+    assert q.clauses[0].query == TermQuery("scan")
+    assert q.clauses[0].occur == "MUST"
+    assert q.clauses[1].query == FieldRangeQuery(
+        "n_chars", "200", "400", True, True, 3.0
+    )
+    assert q.clauses[1].occur == "MUST"
