@@ -986,6 +986,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """simhash near-dup pairs: 4x16-bit pigeonhole blocking must equal
+    the oracle's UNBLOCKED all-pairs hamming scan (lossless for
+    hamming <= 3 — some block is untouched)."""
+    from lucene_solr_spark.datapipe.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir)
     pairs = minhash_candidate_pairs(d)
@@ -1170,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_mincount": q_facet_lang_mincount,
         "facet_lang_index": q_facet_lang_index,
         "fielded_range": q_fielded_range,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1360,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": O.minhash_pairs(),
         "dedup_minhash_capped": O.minhash_pairs(bucket_cap=2),
         "dedup_simhash": O.simhash_sql(),
+        "dedup_simhash_pairs": O.simhash_pairs_sql(3),
         "jaccard": O.jaccard_topk(),
         "quality": O.text_quality(),
         "lang_id": O.lang_id(),

@@ -1113,8 +1113,8 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
-def simhash_sql(bits: int = 64, table: str = "documents") -> str:
-    """64-bit simhash twin of datapipe.dedup.simhash: term-hash bits
+def _simhash_ctes(bits: int = 64, table: str = "documents") -> str:
+    """Shared WITH-body computing (doc_id, simhash): term-hash bits
     0..59 come from md5 hex chars 1-15, bits 60..63 from the low 4 bits
     of chars 16-30 (same layout as the Arrow kernel). Bit 63's weight
     is emitted as the BIGINT minimum and ADDED LAST so every
@@ -1144,13 +1144,39 @@ def simhash_sql(bits: int = 64, table: str = "documents") -> str:
     ]
     sig = " + ".join(weight_terms)
     return f"""
-WITH {tok_ctes(table)},
+{tok_ctes(table)},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 h AS (SELECT doc_id, tf, {_hash60_sql('term')} AS ha,
              ({_hash60b_sql('term')} & 15) AS hb
       FROM tf),
-sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, {sig} AS simhash FROM sums ORDER BY doc_id
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {sig} AS simhash FROM sums)
+""".strip()
+
+
+def simhash_sql(bits: int = 64, table: str = "documents") -> str:
+    return (
+        f"WITH {_simhash_ctes(bits, table)} "
+        "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+    )
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 3, bits: int = 64, table: str = "documents"
+) -> str:
+    """Brute-force twin of simhash_near_pairs: ALL pairs with hamming
+    distance <= max_hamming over the 64-bit fingerprints. The engine
+    only materializes pairs sharing one of the 4 16-bit pigeonhole
+    blocks — lossless for hamming <= 3 (4 blocks, <= 3 differing bits:
+    some block is untouched), so the blocked engine must equal this
+    unblocked cross-join exactly."""
+    return f"""
+WITH {_simhash_ctes(bits, table)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
 """.strip()
 
 

@@ -26,6 +26,22 @@ from .executor import Searcher
 from .query import PhraseQuery
 
 
+def parse_qf(qf: str) -> dict[str, float]:
+    """Parse a Solr qf/pf spec string — 'title^2 body' ->
+    {'title': 2.0, 'body': 1.0} (SolrPluginUtils.parseFieldBoosts,
+    solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java)."""
+    out: dict[str, float] = {}
+    for part in qf.split():
+        if "^" in part:
+            name, boost = part.split("^", 1)
+            out[name] = float(boost)
+        else:
+            out[part] = 1.0
+    if not out:
+        raise ValueError("empty qf spec")
+    return out
+
+
 class FieldedSearcher:
     """Per-field Searchers over one FieldedIndex (PerFieldSimilarity
     analogue) plus the edismax main-query composition."""

@@ -133,3 +133,14 @@ def test_field_view_unknown_field(fielded):
     fidx, _ = fielded
     with pytest.raises(KeyError):
         fidx.field_view("nope")
+
+
+def test_parse_qf():
+    from lucene_solr_spark.search.fielded import parse_qf
+
+    assert parse_qf("title^2 body") == {"title": 2.0, "body": 1.0}
+    assert parse_qf("a^0.5 b^3 c") == {"a": 0.5, "b": 3.0, "c": 1.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_qf("   ")
