@@ -93,6 +93,54 @@ class FieldedIndex:
         )
 
 
+@dataclass
+class FieldedSegmentIndex:
+    """Per-field persisted segment stores — the PerFieldPostingsFormat
+    analogue (lucene/core/.../codecs/perfield/PerFieldPostingsFormat.java):
+    each field's postings live in their own block-encoded store, so a
+    fielded query prunes to its field's buckets only. Duck-compatible
+    with FieldedIndex for FieldedSearcher (fields + field_view)."""
+
+    stores: dict[str, object]  # field -> segments.SegmentIndex
+
+    @property
+    def fields(self) -> list[str]:
+        return list(self.stores.keys())
+
+    def field_view(self, field: str):
+        if field not in self.stores:
+            raise KeyError(f"unknown field {field!r}; have {self.fields}")
+        return self.stores[field]
+
+
+def write_fielded_segments(
+    index: FieldedIndex,
+    base_dir: str,
+    n_buckets: int = 16,
+    keep_positions: bool = True,
+) -> FieldedSegmentIndex:
+    """Persist every field of ``index`` as its own segment store under
+    ``base_dir/<field>/`` (delta-varint blocks, block-max metadata,
+    segments_N manifest, kill-and-resume — everything write_segments
+    gives the single-field path). With ``cache=True`` on the build, the
+    corpus was inverted once; each field's store writes from the cached
+    postings, field-pruned."""
+    import os
+
+    from .segments import write_segments
+
+    stores = {
+        f: write_segments(
+            index.field_view(f),
+            os.path.join(base_dir, f),
+            n_buckets=n_buckets,
+            keep_positions=keep_positions,
+        )
+        for f in index.fields
+    }
+    return FieldedSegmentIndex(stores)
+
+
 def _empty_fielded() -> pd.DataFrame:
     return pd.DataFrame(
         {

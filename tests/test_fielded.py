@@ -144,3 +144,28 @@ def test_parse_qf():
 
     with _pytest.raises(ValueError):
         parse_qf("   ")
+
+
+def test_fielded_segment_store_rank_identity(fielded, tmp_path_factory):
+    """edismax over per-field SEGMENT stores (PerFieldPostingsFormat
+    analogue: one block-encoded store per field) must equal the flat
+    fielded index exactly — codec round-trip per field."""
+    from lucene_solr_spark.index.fields import write_fielded_segments
+
+    fidx, fs = fielded
+    d = str(tmp_path_factory.mktemp("fseg"))
+    seg = write_fielded_segments(fidx, d, n_buckets=4)
+    fs_seg = FieldedSearcher(seg)
+    want = fs.search_edismax(
+        ["spark", "merge"], {"title": 2.0, "body": 1.0}, tie=0.3, k=10
+    ).collect()
+    got = fs_seg.search_edismax(
+        ["spark", "merge"], {"title": 2.0, "body": 1.0}, tie=0.3, k=10
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 10)) for r in got] == [
+        (r["doc_id"], round(r["score"], 10)) for r in want
+    ]
+    # per-field stores on disk, field-pruned bucket layout
+    import os
+
+    assert sorted(os.listdir(d)) == ["body", "title"]
