@@ -857,6 +857,50 @@ def q_facet_pivot(spark, sf_dir):
     )
 
 
+def q_facet_pivot3(spark, sf_dir):
+    """facet.pivot at 3 levels (PivotFacetProcessor, any depth — round
+    2 had only the flat 2-level cube): lang -> source -> n_chars
+    bucket, flattened to (level, path, cnt) tree nodes."""
+    from lucene_solr_spark.search.handler import pivot_facets
+
+    s = _searcher(spark, sf_dir)
+    docs = s.index.docs.withColumn(
+        "len_bucket",
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").cast("string"),
+    )
+    return pivot_facets(
+        s, "scan", ["lang", "source", "len_bucket"], docs=docs
+    )
+
+
+def q_text_clean(spark, sf_dir):
+    """Training-pipeline text normalization (control-char strip +
+    whitespace collapse + trim) as pure column expressions."""
+    from lucene_solr_spark.functions.text_analysis import with_clean_text
+
+    d = with_clean_text(_docs(spark, sf_dir).select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.col("n_chars_clean").cast("long").alias("n_chars_clean"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (replayable —
+    never rand()-based): split sizes over the corpus."""
+    from lucene_solr_spark.functions.text_analysis import (
+        with_split_assign,
+    )
+
+    d = with_split_assign(_docs(spark, sf_dir).select("doc_id"))
+    return (
+        d.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("split")
+    )
+
+
 def q_geofilt(spark, sf_dir):
     """Spatial {!geofilt}: bbox prune + haversine over deterministic
     doc_id-derived coordinates (driver tables carry none)."""
@@ -1180,6 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_index": q_facet_lang_index,
         "fielded_range": q_fielded_range,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "facet_pivot3": q_facet_pivot3,
+        "text_clean": q_text_clean,
+        "train_split": q_train_split,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1359,6 +1406,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_range": O.facet_range_nchars(),
         "facet_pivot": O.facet_pivot(),
+        "facet_pivot3": O.facet_pivot_nlevel("scan"),
+        "text_clean": O.text_clean(),
+        "train_split": O.split_assign(),
         "facet_taxonomy": O.taxonomy_facets("scan"),
         "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),
         "stats_nchars": O.stats_nchars("scan"),

@@ -112,3 +112,47 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = analyzed_tokens(F.col(text_col))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return df.withColumn("fingerprint", fp)
+
+
+def with_clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-pipeline text normalization, pure column expressions
+    (whole-stage codegen, no UDF): strip C0 control characters to
+    spaces, collapse whitespace runs to one space, trim. Adds
+    ``clean_text`` and ``n_chars_clean``. At 100 TB this is a
+    map-only pass — no shuffle, fully pushed through the scan."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), "[\\x00-\\x08\\x0b-\\x1f]", " "
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.withColumn("clean_text", cleaned).withColumn(
+        "n_chars_clean", F.length("clean_text")
+    )
+
+
+def with_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash of the document id: bucket = md5(id)[:4] as int % 100. Stable
+    across runs/partitionings (never rand()-based — resumable pipelines
+    need replayable splits), mirrors exactly in ANSI SQL, and at 10^12
+    docs is a map-only projection."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

@@ -929,6 +929,70 @@ GROUP BY d.{field}{having} ORDER BY {order} LIMIT {k}{off}
 """.strip()
 
 
+def facet_pivot_nlevel(
+    term: str,
+    mincount: int = 1,
+    table: str = "documents",
+) -> str:
+    """3-level hierarchical pivot twin (lang -> source -> len bucket)
+    of handler.pivot_facets: one grouped count per level, '/'-joined
+    paths, over the query's match set."""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}'),
+d AS (
+  SELECT t.lang, t.source,
+         CAST((t.n_chars // 100) * 100 AS VARCHAR) AS len_bucket
+  FROM {table} t JOIN matched USING (doc_id)
+),
+lv AS (
+  SELECT 1 AS level, lang AS path, count(*) AS cnt FROM d GROUP BY lang
+  UNION ALL
+  SELECT 2, lang || '/' || source, count(*) FROM d GROUP BY lang, source
+  UNION ALL
+  SELECT 3, lang || '/' || source || '/' || len_bucket, count(*)
+  FROM d GROUP BY lang, source, len_bucket
+)
+SELECT level, path, cnt FROM lv WHERE cnt >= {mincount}
+ORDER BY level, path
+""".strip()
+
+
+def text_clean(table: str = "documents") -> str:
+    """Twin of with_clean_text: control chars -> space, whitespace
+    collapse, trim; compared via md5 of the cleaned text."""
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text,
+              '[\\x00-\\x08\\x0b-\\x1f]', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS clean_text
+  FROM {table}
+)
+SELECT doc_id, CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       md5(clean_text) AS clean_md5
+FROM c ORDER BY doc_id
+""".strip()
+
+
+def split_assign(
+    train_pct: int = 80, val_pct: int = 10, table: str = "documents"
+) -> str:
+    """Twin of with_split_assign: md5(id)[:4] % 100 bucket split."""
+    hi = train_pct + val_pct
+    return f"""
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 AS bucket
+  FROM {table}
+)
+SELECT CASE WHEN bucket < {train_pct} THEN 'train'
+            WHEN bucket < {hi} THEN 'val' ELSE 'test' END AS split,
+       count(*) AS cnt
+FROM b GROUP BY 1 ORDER BY split
+""".strip()
+
+
 def facet_range_nchars(width: int = 100, table: str = "documents") -> str:
     return (
         f"SELECT (n_chars // {width}) * {width} AS bucket, count(*) AS cnt "

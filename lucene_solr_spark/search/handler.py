@@ -156,6 +156,47 @@ def select(
     }
 
 
+def pivot_facets(
+    searcher: Searcher,
+    q: str,
+    fields: list[str],
+    mincount: int = 1,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """facet.pivot=f1,f2,...: hierarchical counts to ANY depth
+    (solr/core/.../handler/component/PivotFacetProcessor.java — round 2
+    shipped only the flat 2-level cube). Solr returns a nested response;
+    the relational flattening here is one row per tree node:
+    (level, path, cnt) with path = '/'-joined field values — the same
+    shape as the taxonomy-facet gate. One groupBy per level over the
+    SAME filtered match set (Catalyst shares the scan; each level is a
+    partial+final agg)."""
+    ids = searcher.score(parse_lucene(q)).select("doc_id")
+    d = (docs if docs is not None else searcher.index.docs).join(
+        ids, "doc_id"
+    )
+    parts = []
+    for lvl in range(1, len(fields) + 1):
+        cols = fields[:lvl]
+        parts.append(
+            d.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(lvl).alias("level"),
+                F.concat_ws(
+                    "/", *[F.col(c).cast("string") for c in cols]
+                ).alias("path"),
+                "cnt",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("cnt") >= F.lit(mincount)).orderBy(
+        "level", "path"
+    )
+
+
 def facet_queries(
     searcher: Searcher,
     base_q: str,
