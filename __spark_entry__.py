@@ -538,6 +538,20 @@ def q_ngram_freq(spark, sf_dir):
     )
 
 
+def q_synonym_or(spark, sf_dir):
+    """Query-time SynonymFilter slot: TermQuery('scan') expanded
+    through a {scan, merge} group becomes the SHOULD-disjunction of the
+    variants (stacked-token classic-parser behavior)."""
+    from lucene_solr_spark.search.synonyms import (
+        build_synonym_map,
+        expand_query,
+    )
+
+    syn = build_synonym_map([["scan", "merge"]])
+    q = expand_query(TermQuery("scan"), syn)
+    return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
+
+
 def q_shingle_freq(spark, sf_dir):
     """ShingleFilter in the ANALYZER SLOT (not the standalone column
     fn): bigram shingles with '_' fillers in stop-filter holes
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot3": q_facet_pivot3,
         "text_clean": q_text_clean,
         "train_split": q_train_split,
+        "synonym_or": q_synonym_or,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1409,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_pivot3": O.facet_pivot_nlevel("scan"),
         "text_clean": O.text_clean(),
         "train_split": O.split_assign(),
+        "synonym_or": O.bm25_bool(must=[], should=["merge", "scan"]),
         "facet_taxonomy": O.taxonomy_facets("scan"),
         "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),
         "stats_nchars": O.stats_nchars("scan"),

@@ -80,3 +80,22 @@ def test_facet_options(searcher):
     got_p = _facet(searcher, facet_limit=100, facet_prefix=pfx)
     assert got_p == [(v, c) for v, c in _facet(searcher, facet_limit=100)
                      if str(v).startswith(pfx)]
+
+
+def test_pivot_facets_tree(searcher):
+    """pivot_facets: level-k node counts must roll up — each level-2
+    node's count sums to its level-1 parent's count."""
+    from lucene_solr_spark.search.handler import pivot_facets
+
+    out = pivot_facets(searcher, "error", ["role", "tool"])
+    rows = [(r["level"], r["path"], int(r["cnt"])) for r in out.collect()]
+    l1 = {p: c for lvl, p, c in rows if lvl == 1}
+    l2 = {p: c for lvl, p, c in rows if lvl == 2}
+    assert l1 and l2
+    # children sum to parents (every match has role and tool columns)
+    import collections
+
+    child_sums = collections.Counter()
+    for p, c in l2.items():
+        child_sums[p.rsplit("/", 1)[0]] += c
+    assert dict(child_sums) == l1
