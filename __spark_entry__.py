@@ -1175,6 +1175,17 @@ def q_multimodal_resize(spark, sf_dir):
 
 # ---------------- events (stream-shaped analytics, batch check) -------
 
+def q_sessions(spark, sf_dir):
+    """Gap-based session windows per user (native session_window — the
+    batch/stream-dual operator; the streaming side incl. the
+    applyInPandasWithState custom stateful operator is pinned by
+    tests/test_sessions.py)."""
+    from lucene_solr_spark.streaming.sessions import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(e).orderBy("user_id", "session_start")
+
+
 def q_events_hourly(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1242,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "train_split": q_train_split,
         "synonym_or": q_synonym_or,
+        "sessions": q_sessions,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1425,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "text_clean": O.text_clean(),
         "train_split": O.split_assign(),
         "synonym_or": O.bm25_bool(must=[], should=["merge", "scan"]),
+        "sessions": O.events_sessions(30),
         "facet_taxonomy": O.taxonomy_facets("scan"),
         "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),
         "stats_nchars": O.stats_nchars("scan"),

@@ -958,6 +958,37 @@ ORDER BY level, path
 """.strip()
 
 
+def events_sessions(
+    gap_minutes: int = 30, table: str = "events"
+) -> str:
+    """Gap-and-island twin of streaming.sessions.sessionize: a new
+    session starts when the gap to the previous event is >= gap (Spark
+    session windows are [start, last+gap) half-open, so an event AT
+    exactly prev+gap opens a new session); session_end = last + gap."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL {gap_minutes} MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""".strip()
+
+
 def text_clean(table: str = "documents") -> str:
     """Twin of with_clean_text: control chars -> space, whitespace
     collapse, trim; compared via md5 of the cleaned text."""
