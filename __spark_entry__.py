@@ -1112,6 +1112,17 @@ def q_knn_lsh(spark, sf_dir):
     return knn_cosine_lsh(emb, [float(x) for x in qv], k=5)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """ANN via IVF coarse quantization (Faiss IndexIVF shape): argmax-
+    cosine assignment to deterministic centroid seeds, nprobe nearest
+    inverted lists probed, exact rerank within them."""
+    from lucene_solr_spark.datapipe.similarity import knn_cosine_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_cosine_ivf(emb, [float(x) for x in qv], k=5)
+
+
 def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup: LSH same-bucket candidate pairs
     (8 tables x 8 planes, one Arrow signature pass, one (t,sig)
@@ -1254,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "synonym_or": q_synonym_or,
         "sessions": q_sessions,
+        "knn_ivf": q_knn_ivf,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1457,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": O.fingerprint(),
         "knn": O.knn_cosine(),
         "knn_lsh": O.knn_cosine_lsh(),
+        "knn_ivf": O.knn_cosine_ivf(),
         "dedup_embed": O.cosine_neardup(0.4),
         "multimodal_meta": O.multimodal_meta(),
         "multimodal_frames": O.multimodal_frames(),

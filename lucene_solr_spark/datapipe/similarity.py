@@ -346,3 +346,105 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
     return scored
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-by-cosine centroid (the Faiss IndexIVF 'coarse quantizer'
+    shape). Centroids here are the vectors with the ``n_centroids``
+    smallest ids — a deterministic stand-in for trained k-means
+    centroids, chosen so the DuckDB oracle can reproduce assignments
+    bit-for-bit; production plugs trained centroids into the same
+    signature. Ties break to the lower centroid id.
+
+    Scale shape: one map-only Arrow matmul (no shuffle); at 10^9+
+    vectors the assignment is persisted PARTITIONED BY centroid_id so
+    a query scans only nprobe/n_centroids of the data — partition
+    pruning does the inverted-list lookup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        (
+            (int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64))
+            for r in embeddings.where(
+                F.col(id_col) < n_centroids
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if len(cents) != n_centroids:
+        raise ValueError(
+            f"need ids 0..{n_centroids - 1} present as centroid seeds"
+        )
+    C = np.stack([v for _, v in cents])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = np.array([i for i, _ in cents], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sims = En @ Cn.T
+            # argmax returns the FIRST max -> lower centroid id on ties
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["centroid_id"] = cids[sims.argmax(axis=1)]
+            yield pdf
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, {vec_col} array<float>, centroid_id long"
+    )
+
+
+def knn_cosine_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN query: probe the ``nprobe`` centroids nearest the query,
+    exact-cosine rerank ONLY the vectors assigned to them (inverted
+    lists). nprobe == n_centroids degenerates to exact brute force —
+    pinned by tests. Returns (vec_id, cos) like knn_cosine_bruteforce.
+    """
+    import numpy as np
+
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    cents = sorted(
+        (
+            (int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64))
+            for r in embeddings.where(
+                F.col(id_col) < n_centroids
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    sims = [
+        (float(qn @ (v / np.linalg.norm(v))), i) for i, v in cents
+    ]
+    # nearest centroids first; ties to the LOWER centroid id
+    probe = [
+        i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))
+    ][:nprobe]
+    cand = assigned.where(F.col("centroid_id").isin(probe))
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), qv), 4).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)

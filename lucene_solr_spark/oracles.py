@@ -1443,6 +1443,78 @@ LIMIT {k}
 """.strip()
 
 
+def knn_cosine_ivf(
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """IVF twin of datapipe.similarity.knn_cosine_ivf: centroid seeds =
+    vec_ids < n_centroids, per-vector argmax-cosine assignment (ties to
+    lower centroid id), nprobe nearest centroids to the query, exact
+    rerank within the probed inverted lists. Same knife-edge caveat as
+    the LSH gates: numpy-vs-SQL summation order could flip a near-tie
+    argmax; the gate corpus keeps centroid margins far above ulp."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+ce AS (
+  SELECT cid, unnest(cv) AS c, generate_subscripts(cv, 1) AS i FROM cent
+),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, cid,
+         sum(CAST(v AS DOUBLE) * CAST(c AS DOUBLE)) AS d,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv,
+         sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS nc
+  FROM e JOIN ce USING (i) GROUP BY vec_id, cid
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY d / (sqrt(nv) * sqrt(nc)) DESC, cid ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           row_number() OVER (
+             ORDER BY d / (sqrt(nv) * sqrt(nc)) DESC, cid ASC) AS rn
+    FROM dots WHERE vec_id = {query_vec_id}
+  ) WHERE rn <= {nprobe}
+),
+cand AS (SELECT a.vec_id FROM asg a JOIN probe p USING (cid)),
+q AS (
+  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = {query_vec_id}
+),
+d2 AS (
+  SELECT e.vec_id,
+         sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS d,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+),
+nq AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS n FROM q)
+SELECT vec_id,
+       round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) AS cos
+FROM d2
+ORDER BY round(d / (sqrt(nv) * sqrt((SELECT n FROM nq))), 4) DESC,
+         vec_id ASC
+LIMIT {k}
+""".strip()
+
+
 def events_hourly() -> str:
     return """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

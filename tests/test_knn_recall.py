@@ -91,3 +91,84 @@ def test_projection_margin(spark):
     margin = float(np.abs(proj).min())
     print(f"min |projection| over corpus: {margin}")
     assert margin > 1e-9, margin
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_ivf_exact_when_probing_all_and_recall(spark):
+    """IVF sanity + quality: probing ALL inverted lists must equal
+    brute force exactly (the candidate set is the whole corpus), and
+    nprobe=4/16 recall@5 over 10 queries stays useful even on
+    near-random embeddings. Also pins the assignment argmax margin
+    (best-vs-second centroid cosine gap) far above double rounding
+    error — the knife-edge guard for the knn_ivf gate."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.datapipe.similarity import (
+        ivf_assign,
+        knn_cosine_bruteforce,
+        knn_cosine_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(10).collect()]
+    recalls = []
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        exact_rows = knn_cosine_bruteforce(emb, qv, k=5).collect()
+        all_probe = knn_cosine_ivf(
+            emb, qv, k=5, n_centroids=16, nprobe=16
+        ).collect()
+        assert [(r["vec_id"], r["cos"]) for r in all_probe] == [
+            (r["vec_id"], r["cos"]) for r in exact_rows
+        ]
+        approx = {
+            r["vec_id"]
+            for r in knn_cosine_ivf(emb, qv, k=5, nprobe=4).collect()
+        }
+        recalls.append(
+            len({r["vec_id"] for r in exact_rows} & approx) / 5.0
+        )
+    mean_recall = sum(recalls) / len(recalls)
+    print(f"IVF nprobe=4/16 recall@5: {mean_recall}")
+    # near-random embeddings are ANN's worst case; the probed lists
+    # hold ~25% of the corpus, so recall must beat that baseline well
+    assert mean_recall >= 0.5, recalls
+
+    # assignment margin: best-vs-second centroid gap >> ulp
+    cents = sorted(
+        (
+            (int(r["vec_id"]), np.asarray(r["embedding"], np.float64))
+            for r in emb.where(F.col("vec_id") < 16).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    C = np.stack([v for _, v in cents])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    E = np.stack(
+        [
+            np.asarray(r["embedding"], np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = np.sort(En @ Cn.T, axis=1)
+    margin = float((sims[:, -1] - sims[:, -2]).min())
+    print(f"IVF assignment margin: {margin}")
+    assert margin > 1e-9
+    # and the distributed assignment agrees with the local argmax
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, 16).collect()
+    }
+    want_cid = (En @ Cn.T).argmax(axis=1)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for vid, cid in zip(ids, want_cid):
+        assert got[vid] == cid
