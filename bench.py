@@ -58,6 +58,8 @@ HEADLINE = [
     "fingerprint",
     "knn",
     "knn_lsh",
+    "knn_ivf",
+    "sessions",
     "events_hourly",
     "events_stats",
 ]

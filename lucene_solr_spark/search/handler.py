@@ -170,7 +170,12 @@ def pivot_facets(
     (level, path, cnt) with path = '/'-joined field values — the same
     shape as the taxonomy-facet gate. One groupBy per level over the
     SAME filtered match set (Catalyst shares the scan; each level is a
-    partial+final agg)."""
+    partial+final agg).
+
+    Null field values: concat_ws skips NULLs, so a null level-k value
+    yields the parent's path string at level k (Solr would report it
+    under facet.missing instead) — callers faceting nullable columns
+    should coalesce to a sentinel first."""
     ids = searcher.score(parse_lucene(q)).select("doc_id")
     d = (docs if docs is not None else searcher.index.docs).join(
         ids, "doc_id"
