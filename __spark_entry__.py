@@ -647,6 +647,21 @@ def q_func_boost(spark, sf_dir):
     )
 
 
+def q_select_bf(spark, sf_dir):
+    """edismax bf additive boost function through the select handler:
+    score' = score + recip(n_chars,1,1000,1000), the expression parsed
+    by the ValueSource parser (search/funcquery.py)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        bf="recip(n_chars,1,1000,1000)",
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
 def q_span_first(spark, sf_dir):
     """SpanFirstQuery analogue (lucene/core/.../search/spans/
     SpanFirstQuery.java): docs where the term occurs within the first n
@@ -1266,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_or": q_synonym_or,
         "sessions": q_sessions,
         "knn_ivf": q_knn_ivf,
+        "select_bf": q_select_bf,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1402,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
             must=[], should=["scan", "merge"], fq="d.lang = 'en'"
         ),
         "func_boost": O.func_boost("scan"),
+        "select_bf": O.select_bf("scan"),
         "prefix": O.prefix_docs("sc"),
         "prefix_broad": O.prefix_docs("s"),
         "wildcard": O.wildcard_docs("s?an"),

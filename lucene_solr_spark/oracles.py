@@ -1678,6 +1678,23 @@ ORDER BY doc_id
 """.strip()
 
 
+def select_bf(term: str, k: int = 10, table: str = "documents") -> str:
+    """bf additive boost twin: score + recip(n_chars,1,1000,1000) =
+    score + 1000/(1*n_chars+1000), mirrored in funcquery arithmetic
+    order (a / (m*x + b))."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+agg AS (SELECT doc_id, sum(score) AS score FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id,
+         a.score + 1000.0 / (1.0 * CAST(d.n_chars AS DOUBLE) + 1000.0)
+           AS score
+  FROM agg a JOIN {table} d USING (doc_id)
+)
+{_topk('boosted', k)}
+""".strip()
+
+
 def func_boost(term: str, k: int = 10, table: str = "documents") -> str:
     """BM25 * recip(n_chars,1,1000,1000) function query
     (ReciprocalFloatFunction semantics) — same arithmetic text as the

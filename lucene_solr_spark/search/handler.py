@@ -42,6 +42,8 @@ def select(
     facet_offset: int = 0,
     facet_sort: str = "count",
     cursor_mark: tuple[float, int] | str | None = None,
+    bf: str | None = None,
+    boost: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
     DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
@@ -69,6 +71,12 @@ def select(
     with the prefix, ``facet_offset`` skips leading buckets,
     ``facet_sort`` is "count" (count desc, value asc — default) or
     "index" (value asc).
+
+    Boost functions (edismax bf/boost params, ExtendedDismaxQParser):
+    ``bf`` is a ValueSource expression ADDED to the relevance score,
+    ``boost`` MULTIPLIES it — both parsed by search.funcquery into
+    Catalyst expressions (score' = score * boost + bf). Membership
+    (facets, counts) is unaffected; only ranking changes.
     """
     query = parse_lucene(q)
     scored = searcher.score(query)
@@ -79,6 +87,18 @@ def select(
             docs = docs.where(F.expr(expr))
         filtered_ids = docs.select("doc_id")
         scored = scored.join(filtered_ids, "doc_id", "left_semi")
+
+    if bf or boost:
+        from .funcquery import parse_func
+
+        sexpr = F.col("score")
+        if boost:
+            sexpr = sexpr * parse_func(boost)
+        if bf:
+            sexpr = sexpr + parse_func(bf)
+        scored = scored.join(searcher.index.docs, "doc_id").select(
+            "doc_id", sexpr.alias("score")
+        )
 
     score_sorted = sort is None or sort.strip().lower() in (
         "score desc",
