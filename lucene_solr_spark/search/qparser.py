@@ -230,8 +230,57 @@ def _finish(clauses: list[BooleanClause]) -> Query:
     return BooleanQuery(clauses)
 
 
+def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:
+    """Solr mm spec grammar — transliterated from
+    solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java:533-569
+    (calculateMinShouldMatch): plain int, negative int (n fewer than
+    all), percentage (float32 product, truncated toward zero; negative
+    percentages subtract), and space-separated conditional clauses
+    'bound<spec' applied for optionalClauseCount > bound."""
+    import numpy as np
+
+    result = optional_clause_count
+    spec = spec.strip()
+    if "<" in spec:
+        spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
+        for s in spec.split(" "):
+            parts = s.split("<")
+            upper_bound = int(parts[0])
+            if optional_clause_count <= upper_bound:
+                return result
+            result = calculate_min_should_match(
+                optional_clause_count, parts[1]
+            )
+        return result
+    if "%" in spec:
+        percent = int(spec[: spec.index("%")])
+        calc = float(
+            np.float32(result * percent) * (np.float32(1) / np.float32(100))
+        )
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    return (
+        optional_clause_count
+        if optional_clause_count < result
+        else (0 if result < 0 else result)
+    )
+
+
+def _resolve_mm(mm: int | str, q: Query) -> int:
+    if isinstance(mm, int):
+        return mm
+    n_opt = (
+        sum(1 for c in q.clauses if c.occur == "SHOULD")
+        if isinstance(q, BooleanQuery)
+        else 0
+    )
+    return calculate_min_should_match(n_opt, mm)
+
+
 def parse_edismax(
-    user_query: str, tie: float = 0.0, mm: int = 0
+    user_query: str, tie: float = 0.0, mm: int | str = 0
 ) -> Query:
     """ExtendedDismaxQParserPlugin.java behavior subset: full lucene
     syntax (incl. fielded clauses ``field:value``, boosts, phrases,
@@ -245,12 +294,12 @@ def parse_edismax(
             re.sub(r'[()+\-"^\[\]]', " ", user_query), tie, mm
         )
     if mm and isinstance(q, BooleanQuery) and q.min_should_match == 0:
-        q = BooleanQuery(q.clauses, min_should_match=mm)
+        q = BooleanQuery(q.clauses, min_should_match=_resolve_mm(mm, q))
     return q
 
 
 def parse_dismax(
-    user_query: str, tie: float = 0.0, mm: int = 0
+    user_query: str, tie: float = 0.0, mm: int | str = 0
 ) -> Query:
     """DisMaxQParser.java: each whitespace-separated word becomes a
     DisMax over the query fields (we have one indexed field, so the
@@ -263,5 +312,10 @@ def parse_dismax(
         if terms:
             per_word.append(DisMaxQuery([TermQuery(terms[0])], tie))
     return BooleanQuery(
-        [BooleanClause(q, "SHOULD") for q in per_word], min_should_match=mm
+        [BooleanClause(q, "SHOULD") for q in per_word],
+        min_should_match=(
+            mm
+            if isinstance(mm, int)
+            else calculate_min_should_match(len(per_word), mm)
+        ),
     )

@@ -204,3 +204,39 @@ def test_fielded_range_with_boost_in_boolean():
         "n_chars", "200", "400", True, True, 3.0
     )
     assert q.clauses[1].occur == "MUST"
+
+
+def test_mm_spec_grammar():
+    """SolrPluginUtils.calculateMinShouldMatch transliteration goldens
+    (values cross-checked against the reference implementation's
+    documented examples in SolrPluginUtils.java)."""
+    from lucene_solr_spark.search.qparser import (
+        calculate_min_should_match as mm,
+    )
+
+    assert mm(4, "3") == 3
+    assert mm(4, "-1") == 3
+    assert mm(4, "-5") == 0
+    assert mm(4, "5") == 4  # capped at optional count
+    assert mm(4, "75%") == 3
+    assert mm(4, "-25%") == 3
+    assert mm(3, "75%") == 2  # truncation toward zero (2.25 -> 2)
+    assert mm(10, "33%") == 3
+    # conditional: <=2 clauses -> all; 3-9 -> -25%; 10+ -> 3
+    spec = "2<-25% 9<3"
+    assert mm(2, spec) == 2
+    assert mm(4, spec) == 3
+    assert mm(12, spec) == 3
+    # spec with spaces around '<'
+    assert mm(4, "2 < -25% 9 < 3") == 3
+
+
+def test_edismax_mm_string(spark=None):
+    from lucene_solr_spark.search.qparser import parse_edismax
+    from lucene_solr_spark.search.query import BooleanQuery
+
+    q = parse_edismax("scan merge key hash", mm="75%")
+    assert isinstance(q, BooleanQuery) and q.min_should_match == 3
+    # conditional: at or below the bound, ALL optional clauses required
+    q = parse_edismax("scan merge", mm="2<-25%")
+    assert q.min_should_match == 2
