@@ -647,6 +647,22 @@ def q_func_boost(spark, sf_dir):
     )
 
 
+def q_select_mm(spark, sf_dir):
+    """defType=edismax + Solr mm spec through the select handler:
+    'scan merge key' with mm='2<75%' resolves to msm=2 for 3 optional
+    clauses (SolrPluginUtils.calculateMinShouldMatch)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan merge key",
+        def_type="edismax",
+        mm="2<75%",
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
 def q_select_bf(spark, sf_dir):
     """edismax bf additive boost function through the select handler:
     score' = score + recip(n_chars,1,1000,1000), the expression parsed
@@ -1282,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "knn_ivf": q_knn_ivf,
         "select_bf": q_select_bf,
+        "select_mm": q_select_mm,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1419,6 +1436,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "func_boost": O.func_boost("scan"),
         "select_bf": O.select_bf("scan"),
+        "select_mm": O.bm25_bool(
+            must=[], should=["scan", "merge", "key"], msm=2
+        ),
         "prefix": O.prefix_docs("sc"),
         "prefix_broad": O.prefix_docs("s"),
         "wildcard": O.wildcard_docs("s?an"),

@@ -44,6 +44,9 @@ def select(
     cursor_mark: tuple[float, int] | str | None = None,
     bf: str | None = None,
     boost: str | None = None,
+    def_type: str = "lucene",
+    mm: int | str = 0,
+    tie: float = 0.0,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
     DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
@@ -77,8 +80,25 @@ def select(
     ``boost`` MULTIPLIES it — both parsed by search.funcquery into
     Catalyst expressions (score' = score * boost + bf). Membership
     (facets, counts) is unaffected; only ranking changes.
+
+    ``def_type`` routes the q string through the QParserPlugin registry
+    (lucene | dismax | edismax — SearchHandler defType param); ``mm``
+    accepts the full Solr minimum-should-match spec grammar (int,
+    negative, percentage, conditional 'bound<spec') and ``tie`` the
+    dismax tie-breaker.
     """
-    query = parse_lucene(q)
+    if def_type == "lucene":
+        query = parse_lucene(q)
+    elif def_type == "edismax":
+        from .qparser import parse_edismax
+
+        query = parse_edismax(q, tie=tie, mm=mm)
+    elif def_type == "dismax":
+        from .qparser import parse_dismax
+
+        query = parse_dismax(q, tie=tie, mm=mm)
+    else:
+        raise ValueError(f"unknown defType {def_type!r}")
     scored = searcher.score(query)
 
     docs = searcher.index.docs
