@@ -468,6 +468,19 @@ def q_spellcheck(spark, sf_dir):
     return spell_suggest(_index(spark, sf_dir).terms_stats, "qery", 2, 5)
 
 
+def q_spellcheck_collate(spark, sf_dir):
+    """spellcheck.collate (SpellCheckCollator.java): absent query terms
+    replaced by their top suggestion, corrected conjunction re-run,
+    returning (collation, hits)."""
+    from lucene_solr_spark.search.spellcheck import collate
+
+    s = _searcher(spark, sf_dir)
+    collation, hits = collate(s, ["qery", "scan"])
+    return spark.createDataFrame(
+        [(collation, hits)], "collation string, hits long"
+    )
+
+
 def q_mlt(spark, sf_dir):
     # runs against the SEGMENT store: proves doc-major term extraction
     # (stored-text re-analysis) — never a full postings decode
@@ -1299,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "select_bf": q_select_bf,
         "select_mm": q_select_mm,
+        "spellcheck_collate": q_spellcheck_collate,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1463,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "span_not": O.span_not_docs("scan", "merge"),
         "stats_by_lang": O.stats_by_facet("scan", "lang"),
         "spellcheck": O.spellcheck("qery", 2, 5),
+        "spellcheck_collate": O.spellcheck_collate("qery", "scan"),
         "elevation": O.query_elevation("scan", [490, 7]),
         "suggest": O.suggest_lookup("s", 8),
         "collector_hist": O.score_histogram("scan", 0.1),

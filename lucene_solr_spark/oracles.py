@@ -1678,6 +1678,39 @@ ORDER BY doc_id
 """.strip()
 
 
+def spellcheck_collate(
+    misspelled: str,
+    good_term: str,
+    max_edits: int = 2,
+    table: str = "documents",
+) -> str:
+    """Collation twin: top suggestion for the absent term (dist asc,
+    df desc, term asc; first-char prefix like DirectSpellChecker
+    minPrefix=1) joined with the present term, plus the conjunction's
+    hit count."""
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+corr AS (
+  SELECT term FROM dfs
+  WHERE term <> '{_sq(misspelled)}'
+    AND term LIKE '{_sq(misspelled[:1])}%'
+    AND levenshtein(term, '{_sq(misspelled)}') <= {max_edits}
+  ORDER BY levenshtein(term, '{_sq(misspelled)}') ASC, df DESC, term ASC
+  LIMIT 1
+),
+hits AS (
+  SELECT count(*) AS hits FROM (
+    SELECT doc_id FROM tok WHERE term = (SELECT term FROM corr)
+    INTERSECT
+    SELECT doc_id FROM tok WHERE term = '{_sq(good_term)}'
+  )
+)
+SELECT (SELECT term FROM corr) || ' {_sq(good_term)}' AS collation,
+       (SELECT hits FROM hits) AS hits
+""".strip()
+
+
 def select_bf(term: str, k: int = 10, table: str = "documents") -> str:
     """bf additive boost twin: score + recip(n_chars,1,1000,1000) =
     score + 1000/(1*n_chars+1000), mirrored in funcquery arithmetic

@@ -46,3 +46,35 @@ def suggest(
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def collate(
+    searcher,
+    query_terms: list[str],
+    max_edits: int = 2,
+) -> tuple[str, int]:
+    """spellcheck.collate (solr/core/src/java/org/apache/solr/spelling/
+    SpellCheckCollator.java): replace each query term ABSENT from the
+    index with its top suggestion (suggest() order), re-run the
+    corrected query as a conjunction, and return
+    (collation string, hits). Terms already in the dictionary are kept;
+    terms with no suggestion within max_edits are kept verbatim (they
+    contribute zero hits, like Solr's failed collation attempts)."""
+    from .query import And
+
+    ts = searcher.index.terms_stats
+    present = {
+        r["term"]
+        for r in ts.where(
+            F.col("term").isin(list(set(query_terms)))
+        ).collect()
+    }
+    corrected: list[str] = []
+    for t in query_terms:
+        if t in present:
+            corrected.append(t)
+            continue
+        top = suggest(ts, t, max_edits=max_edits, k=1).collect()
+        corrected.append(top[0]["term"] if top else t)
+    hits = searcher.score(And(*corrected)).count()
+    return " ".join(corrected), int(hits)
