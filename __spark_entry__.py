@@ -915,6 +915,36 @@ def q_facet_pivot(spark, sf_dir):
     )
 
 
+def q_facet_range_opts(spark, sf_dir):
+    """facet.range with explicit start/end/gap + other=all (before and
+    after rows) over the query match set (SimpleFacets
+    getFacetRangeCounts)."""
+    from lucene_solr_spark.search.handler import facet_range
+
+    return facet_range(
+        _searcher(spark, sf_dir),
+        "scan",
+        "n_chars",
+        start=150.0,
+        end=600.0,
+        gap=150.0,
+        other=True,
+    )
+
+
+def q_frange(spark, sf_dir):
+    """{!frange} filter: docs where recip(n_chars,1,1000,1000) lies in
+    [0.7, 0.9] — a ValueSource-range doc set, fully codegen."""
+    from lucene_solr_spark.search.handler import frange
+
+    return frange(
+        _searcher(spark, sf_dir),
+        "recip(n_chars,1,1000,1000)",
+        0.7,
+        0.9,
+    )
+
+
 def q_facet_pivot3(spark, sf_dir):
     """facet.pivot at 3 levels (PivotFacetProcessor, any depth — round
     2 had only the flat 2-level cube): lang -> source -> n_chars
@@ -1313,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_bf": q_select_bf,
         "select_mm": q_select_mm,
         "spellcheck_collate": q_spellcheck_collate,
+        "facet_range_opts": q_facet_range_opts,
+        "frange": q_frange,
         # --- never driver-checked (r1/r2 window overflow) ---
         "facet_taxonomy": q_facet_taxonomy,
         "geofilt": q_geofilt,
@@ -1496,6 +1528,8 @@ def oracle_sql() -> dict[str, str]:
             "scan", "lang", k=3, offset=1, sort="index"
         ),
         "facet_range": O.facet_range_nchars(),
+        "facet_range_opts": O.facet_range_opts("scan", 150.0, 600.0, 150.0),
+        "frange": O.frange_docs(0.7, 0.9),
         "facet_pivot": O.facet_pivot(),
         "facet_pivot3": O.facet_pivot_nlevel("scan"),
         "text_clean": O.text_clean(),

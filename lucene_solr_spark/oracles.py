@@ -1024,6 +1024,48 @@ FROM b GROUP BY 1 ORDER BY split
 """.strip()
 
 
+def facet_range_opts(
+    term: str,
+    start: float,
+    end: float,
+    gap: float,
+    table: str = "documents",
+) -> str:
+    """facet.range with start/end/gap + other=all twin of
+    handler.facet_range: [start+i*gap, start+(i+1)*gap) buckets over
+    the match set, plus 'before' (< start) and 'after' (>= end)."""
+    x = "CAST(n_chars AS DOUBLE)"
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}'),
+d AS (SELECT t.n_chars FROM {table} t JOIN matched USING (doc_id)),
+inside AS (
+  SELECT CAST(CAST({start!r} + floor(({x} - {start!r}) / {gap!r})
+                   * {gap!r} AS BIGINT) AS VARCHAR) AS bucket,
+         count(*) AS cnt
+  FROM d WHERE {x} >= {start!r} AND {x} < {end!r} GROUP BY 1
+),
+b AS (SELECT 'before' AS bucket, count(*) AS cnt FROM d
+      WHERE {x} < {start!r}),
+a AS (SELECT 'after' AS bucket, count(*) AS cnt FROM d
+      WHERE {x} >= {end!r})
+SELECT * FROM inside UNION ALL SELECT * FROM b UNION ALL SELECT * FROM a
+ORDER BY bucket
+""".strip()
+
+
+def frange_docs(
+    lower: float, upper: float, table: str = "documents"
+) -> str:
+    """{!frange} twin: recip(n_chars,1,1000,1000) in [l, u] — the
+    funcquery arithmetic order (a / (m*x + b)) mirrored textually."""
+    v = "1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 1000.0)"
+    return (
+        f"SELECT doc_id FROM {table} "
+        f"WHERE {v} >= {lower!r} AND {v} <= {upper!r} ORDER BY doc_id"
+    )
+
+
 def facet_range_nchars(width: int = 100, table: str = "documents") -> str:
     return (
         f"SELECT (n_chars // {width}) * {width} AS bucket, count(*) AS cnt "

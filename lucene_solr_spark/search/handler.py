@@ -242,6 +242,73 @@ def pivot_facets(
     )
 
 
+def facet_range(
+    searcher: Searcher,
+    q: str,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    other: bool = False,
+) -> DataFrame:
+    """facet.range with explicit start/end/gap
+    (SimpleFacets.getFacetRangeCounts, RangeEndpointCalculator): buckets
+    [start + i*gap, start + (i+1)*gap) over the query match set;
+    ``other`` adds Solr's facet.range.other=all rows — 'before'
+    (< start) and 'after' (>= end). Returns (bucket, cnt) with bucket =
+    the range lower bound as string, 'before'/'after' for the other
+    rows. Pure Catalyst: one filtered scan + groupBy."""
+    ids = searcher.score(parse_lucene(q)).select("doc_id")
+    d = searcher.index.docs.join(ids, "doc_id")
+    col = F.col(field).cast("double")
+    inside = (
+        d.where((col >= F.lit(start)) & (col < F.lit(end)))
+        .groupBy(
+            (
+                F.lit(start)
+                + F.floor((col - F.lit(start)) / F.lit(gap)) * F.lit(gap)
+            )
+            .cast("long")
+            .cast("string")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if not other:
+        return inside.orderBy("bucket")
+    before = d.where(col < F.lit(start)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("before").alias("bucket"), "cnt")
+    after = d.where(col >= F.lit(end)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("after").alias("bucket"), "cnt")
+    return inside.unionByName(before).unionByName(after).orderBy(
+        "bucket"
+    )
+
+
+def frange(
+    searcher: Searcher,
+    func_expr: str,
+    lower: float | None = None,
+    upper: float | None = None,
+) -> DataFrame:
+    """{!frange} filter query (solr/core/.../search/
+    FunctionRangeQParserPlugin.java + FunctionRangeQuery): the doc set
+    where a ValueSource expression falls in [l, u] — the expression is
+    compiled to a Catalyst Column by search.funcquery, so the whole
+    filter stays in whole-stage codegen."""
+    from .funcquery import parse_func
+
+    col = parse_func(func_expr)
+    d = searcher.index.docs
+    if lower is not None:
+        d = d.where(col >= F.lit(float(lower)))
+    if upper is not None:
+        d = d.where(col <= F.lit(float(upper)))
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def facet_queries(
     searcher: Searcher,
     base_q: str,
