@@ -301,6 +301,16 @@ def q_bm25_wand(spark, sf_dir):
     )
 
 
+def q_bm25_and_wand(spark, sf_dir):
+    """Block-max pruned conjunction — must equal the exhaustive AND
+    oracle (ConjunctionScorer leapfrog via split metadata, wand.py)."""
+    from lucene_solr_spark.search.wand import wand_and_search
+
+    return _topk_rounded(
+        wand_and_search(_seg_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
+
+
 def q_bm25_stream(spark, sf_dir):
     """Incremental (3-delta + compaction) index: equals the batch oracle."""
     s = Searcher(_stream_reader(spark, sf_dir))
@@ -1323,7 +1333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2's 26 unchecked gates + this round's new gates lead; the 50
     # gates already green in the r2 driver record trail.
     return {
-        # --- new this round ---
+        # --- new in round 4 ---
+        "bm25_and_wand": q_bm25_and_wand,
+        # --- new in round 3 ---
         "bm25_fielded": q_bm25_fielded,
         "edismax_qf": q_edismax_qf,
         "edismax_pf": q_edismax_pf,
@@ -1461,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
+        "bm25_and_wand": O.bm25_bool(must=["scan", "merge"]),
         "bm25_stream": O.bm25_term("scan"),
         "bm25_update": O.bm25_scored_all("scan"),
         "bm25_delete": O.bm25_scored_all(

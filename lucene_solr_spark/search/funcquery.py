@@ -9,12 +9,29 @@ queries/function/valuesource/* for the semantics of each function:
   div(a,b), sum(..), product(..) DivFloatFunction / SumFloatFunction /
                                  ProductFloatFunction
   log(x) base 10, sqrt(x), abs(x), pow(a,b)  (math value sources)
+  ms(a,b)        date diff in milliseconds (ValueSourceParser.java:561;
+                 args are date-math strings or timestamp fields)
+  if(c,a,b)      c treated as boolean (numeric != 0 / non-null) —
+                 ValueSourceParser.java:759 + IfFunction.java
+  def(x,d)       x, or d where x is missing/null
+                 (ValueSourceParser.java:770, DefFunction)
+  scale(x,l,u)   min-max rescale of x into [l,u] over ALL docs
+                 (ValueSourceParser.java:161, ScaleFloatFunction.java —
+                 createWeight scans every value for min/max; here that
+                 is one tiny Spark agg collected as two literals)
+  query('q')     the relevance score of an embedded query, 0 for
+                 non-matching docs (ValueSourceParser.java:266,
+                 QueryValueSource.java defVal=0)
   constants and bare field names
 
 Everything compiles to a Catalyst Column (whole-stage codegen — this is
 why the engine needs no ValueSource class hierarchy: Spark expressions
-ARE the value sources). Used by handler.select's bf (additive boost)
-and boost (multiplicative) params, mirroring edismax
+ARE the value sources). ``query()`` is the one source that cannot be a
+pure column: it compiles to a reference to a scored-frame attachment the
+caller left-joins in (``compile_func`` returns those frames).
+
+Used by handler.select's bf (additive boost), boost (multiplicative)
+and sort=func(...) params, mirroring edismax
 (ExtendedDismaxQParser bf/boost handling).
 """
 
@@ -23,9 +40,17 @@ from __future__ import annotations
 import re
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
-_TOK = re.compile(r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<name>[A-Za-z_][A-Za-z0-9_]*)|(?P<ch>[(),]))")
+_TOK = re.compile(
+    r"\s*(?:"
+    r"(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<str>'[^']*')"
+    r"|(?P<dm>NOW[A-Za-z0-9+\-/]*|\d{4}-\d{2}-\d{2}T[0-9:.]+Z[A-Za-z0-9+\-/]*)"
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<ch>[(),])"
+    r")"
+)
 
 
 class FuncParseError(ValueError):
@@ -46,52 +71,164 @@ def _tokens(s: str):
     return out
 
 
-def parse_func(expr: str) -> Column:
-    """Parse a ValueSource expression string into a Catalyst Column.
-    All arithmetic is double-precision (matching FloatFunction-via-
-    double gate semantics and the SQL oracle twins)."""
+# ---------------- AST ----------------
+# nodes: ("num", float) | ("field", name) | ("dm", expr) |
+#        ("str", text) | ("call", name, [nodes])
+
+
+def parse_ast(expr: str):
     toks = _tokens(expr)
 
-    def parse(i: int) -> tuple[Column, int]:
-        if i >= len(toks):
+    def tok(j):
+        # every token read is bounds-checked so a truncated expression
+        # like 'sum(' surfaces as FuncParseError, never IndexError
+        if j >= len(toks):
             raise FuncParseError("unexpected end of expression")
-        m = toks[i]
+        return toks[j]
+
+    def parse(i: int):
+        m = tok(i)
         if m.group("num"):
-            return F.lit(float(m.group("num"))), i + 1
+            return ("num", float(m.group("num"))), i + 1
+        if m.group("str"):
+            return ("str", m.group("str")[1:-1]), i + 1
+        if m.group("dm"):
+            return ("dm", m.group("dm")), i + 1
         if not m.group("name"):
             raise FuncParseError(f"unexpected token {m.group(0)!r}")
         name = m.group("name")
-        # function call?
         if i + 1 < len(toks) and toks[i + 1].group("ch") == "(":
-            args: list[Column] = []
+            args = []
             j = i + 2
-            if toks[j].group("ch") == ")":
+            if tok(j).group("ch") == ")":
                 j += 1
             else:
                 while True:
                     a, j = parse(j)
                     args.append(a)
-                    ch = toks[j].group("ch")
+                    ch = tok(j).group("ch")
                     j += 1
                     if ch == ")":
                         break
                     if ch != ",":
                         raise FuncParseError("expected ',' or ')'")
-            return _apply(name, args), j
-        # bare field reference
-        return F.col(name).cast("double"), i + 1
+            return ("call", name, args), j
+        return ("field", name), i + 1
 
-    col, i = parse(0)
+    node, i = parse(0)
     if i != len(toks):
         raise FuncParseError("trailing tokens")
-    return col
+    return node
 
 
-def _apply(name: str, args: list[Column]) -> Column:
+class _Ctx:
+    """Compile context: deterministic NOW anchor, searcher/docs for the
+    sources that need a data pass (scale) or an embedded query."""
+
+    def __init__(self, now=None, searcher=None, docs=None):
+        self.now = now
+        self.searcher = searcher
+        self.docs = docs
+        self.attachments: list[tuple[str, DataFrame]] = []
+
+
+def _epoch_ms(dm_expr: str, ctx: _Ctx) -> int:
+    from ..functions.datemath import parse_date_math
+
+    dt = parse_date_math(dm_expr, ctx.now)
+    return int(dt.timestamp() * 1000)
+
+
+def _ms_arg(node, ctx: _Ctx) -> Column:
+    """An ms() argument: date-math string -> epoch-ms literal;
+    field -> unix_millis of the timestamp column; else a numeric
+    value-source already in ms."""
+    if node[0] == "dm":
+        return F.lit(float(_epoch_ms(node[1], ctx)))
+    if node[0] == "field":
+        return F.unix_millis(
+            F.col(node[1]).cast("timestamp")
+        ).cast("double")
+    return _compile(node, ctx)
+
+
+def _compile(node, ctx: _Ctx) -> Column:
+    kind = node[0]
+    if kind == "num":
+        return F.lit(node[1])
+    if kind == "field":
+        return F.col(node[1]).cast("double")
+    if kind == "dm":
+        return F.lit(float(_epoch_ms(node[1], ctx)))
+    if kind == "str":
+        raise FuncParseError(
+            "quoted string only valid as a query(...) argument"
+        )
+    name, raw_args = node[1], node[2]
+
     def need(n: int):
-        if len(args) != n:
-            raise FuncParseError(f"{name} takes {n} args, got {len(args)}")
+        if len(raw_args) != n:
+            raise FuncParseError(
+                f"{name} takes {n} args, got {len(raw_args)}"
+            )
 
+    # --- sources needing raw-arg access -------------------------------
+    if name == "ms":
+        # ms() = NOW anchor; ms(a) = epoch ms of a; ms(a,b) = a - b
+        # (ValueSourceParser.java:561 DualFloatFunction "ms")
+        if len(raw_args) == 0:
+            return F.lit(float(_epoch_ms("NOW", ctx)))
+        if len(raw_args) == 1:
+            return _ms_arg(raw_args[0], ctx)
+        need(2)
+        return _ms_arg(raw_args[0], ctx) - _ms_arg(raw_args[1], ctx)
+    if name == "def":
+        # DefFunction: first source's value, default where missing/null
+        need(2)
+        return F.coalesce(
+            _compile(raw_args[0], ctx), _compile(raw_args[1], ctx)
+        )
+    if name == "query":
+        # QueryValueSource: the embedded query's relevance score per
+        # doc, defVal=0 for non-matches. Compiles to a column over an
+        # attachment frame (doc_id, __fq{i}) the caller joins in.
+        need(1)
+        if raw_args[0][0] != "str":
+            raise FuncParseError("query(...) takes a quoted query string")
+        if ctx.searcher is None:
+            raise FuncParseError(
+                "query(...) needs a searcher context (use compile_func)"
+            )
+        from .qparser import parse_lucene
+
+        alias = f"__fq{len(ctx.attachments)}"
+        scored = (
+            ctx.searcher.score(parse_lucene(raw_args[0][1]))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias(alias))
+        )
+        ctx.attachments.append((alias, scored))
+        return F.coalesce(F.col(alias).cast("double"), F.lit(0.0))
+    if name == "scale":
+        # ScaleFloatFunction: (x - minS) * (u - l)/(maxS - minS) + l,
+        # min/max over EVERY doc (createWeight scans all values —
+        # here one Spark agg collected as two literals)
+        need(3)
+        if ctx.docs is None:
+            raise FuncParseError(
+                "scale(...) needs a docs context (use compile_func)"
+            )
+        x = _compile(raw_args[0], ctx)
+        lo = _compile(raw_args[1], ctx)
+        hi = _compile(raw_args[2], ctx)
+        row = ctx.docs.agg(
+            F.min(x).alias("mn"), F.max(x).alias("mx")
+        ).collect()[0]
+        mn, mx = float(row["mn"]), float(row["mx"])
+        span = (mx - mn) or 1.0  # all-equal column: Lucene emits l
+        return (x - F.lit(mn)) * ((hi - lo) / F.lit(span)) + lo
+
+    args = [_compile(a, ctx) for a in raw_args]
     if name == "recip":  # ReciprocalFloatFunction: a/(m*x+b)
         need(4)
         x, m, a, b = args
@@ -100,6 +237,11 @@ def _apply(name: str, args: list[Column]) -> Column:
         need(3)
         x, m, c = args
         return m * x + c
+    if name == "if":  # IfFunction: numeric cond false iff 0/NULL
+        need(3)
+        return F.when(
+            F.coalesce(args[0], F.lit(0.0)) != F.lit(0.0), args[1]
+        ).otherwise(args[2])
     if name == "div":
         need(2)
         return args[0] / args[1]
@@ -126,3 +268,28 @@ def _apply(name: str, args: list[Column]) -> Column:
         need(2)
         return F.pow(args[0], args[1])
     raise FuncParseError(f"unknown function {name!r}")
+
+
+def parse_func(expr: str, now=None) -> Column:
+    """Parse a context-free ValueSource expression into a Catalyst
+    Column. All arithmetic is double-precision (matching FloatFunction-
+    via-double gate semantics and the SQL oracle twins). Expressions
+    using query()/scale() need ``compile_func``."""
+    ctx = _Ctx(now=now)
+    return _compile(parse_ast(expr), ctx)
+
+
+def compile_func(
+    expr: str,
+    searcher=None,
+    docs: DataFrame | None = None,
+    now=None,
+) -> tuple[Column, list[tuple[str, DataFrame]]]:
+    """Full-context compile: returns (column, attachments) where each
+    attachment is (alias, DataFrame(doc_id, alias)) the caller must
+    left-join onto the doc frame before evaluating the column — the
+    query() score frames. scale() resolves its min/max against
+    ``docs`` at compile time (two literals, one tiny agg)."""
+    ctx = _Ctx(now=now, searcher=searcher, docs=docs)
+    col = _compile(parse_ast(expr), ctx)
+    return col, ctx.attachments

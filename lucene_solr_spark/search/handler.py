@@ -47,6 +47,7 @@ def select(
     def_type: str = "lucene",
     mm: int | str = 0,
     tie: float = 0.0,
+    func_now=None,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
     DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
@@ -109,16 +110,29 @@ def select(
         scored = scored.join(filtered_ids, "doc_id", "left_semi")
 
     if bf or boost:
-        from .funcquery import parse_func
+        from .funcquery import compile_func
 
+        base = searcher.index.docs
+        attachments: list = []
         sexpr = F.col("score")
         if boost:
-            sexpr = sexpr * parse_func(boost)
+            c, att = compile_func(
+                boost, searcher=searcher, docs=base, now=func_now
+            )
+            sexpr = sexpr * c
+            attachments += att
         if bf:
-            sexpr = sexpr + parse_func(bf)
-        scored = scored.join(searcher.index.docs, "doc_id").select(
-            "doc_id", sexpr.alias("score")
-        )
+            c, att = compile_func(
+                bf, searcher=searcher, docs=base, now=func_now
+            )
+            sexpr = sexpr + c
+            attachments += att
+        joined = scored.join(base, "doc_id")
+        # query(...) score frames: left-join so non-matching docs keep
+        # the QueryValueSource default 0 (coalesce in the column)
+        for alias, frame in attachments:
+            joined = joined.join(frame, "doc_id", "left")
+        scored = joined.select("doc_id", sexpr.alias("score"))
 
     score_sorted = sort is None or sort.strip().lower() in (
         "score desc",
@@ -157,7 +171,7 @@ def select(
         else:
             joined = scored.join(docs, "doc_id")
             ordered = joined.orderBy(
-                *_sort_cols(sort), F.asc("doc_id")
+                *_sort_cols(sort, now=func_now), F.asc("doc_id")
             ).select("doc_id", "score")
         # plan-side offset: the skip happens in the JVM's final limit
         # stage, nothing is collected to the Python driver
@@ -379,11 +393,41 @@ def elevate(
     ).limit(rows)
 
 
-def _sort_cols(sort: str):
+def _split_sort_spec(sort: str) -> list[str]:
+    """Split a sort spec on commas OUTSIDE parentheses, so
+    'recip(n_chars,1,1000,1000) asc, n_chars desc' yields two parts."""
+    parts, depth, cur = [], 0, []
+    for ch in sort:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def _sort_cols(sort: str, now=None):
+    """sort= spec -> Catalyst sort columns. Each part is either a doc
+    column ('n_chars desc') or a ValueSource function expression
+    ('recip(n_chars,1,1000,1000) asc' — Solr sort-by-function,
+    solr/core/.../search/SortSpecParsing / FunctionQParser sort)."""
     out = []
-    for part in sort.split(","):
-        bits = part.strip().split()
-        col = bits[0]
+    for part in _split_sort_spec(sort):
+        bits = part.rsplit(None, 1)
         desc = len(bits) > 1 and bits[1].lower() == "desc"
+        expr = bits[0] if (
+            len(bits) > 1 and bits[1].lower() in ("asc", "desc")
+        ) else part
+        if "(" in expr:
+            from .funcquery import parse_func
+
+            col = parse_func(expr, now=now)
+        else:
+            col = F.col(expr)
         out.append(F.desc(col) if desc else F.asc(col))
     return out

@@ -150,3 +150,161 @@ def wand_or_search(
             seed_rows, "doc_id long, score double"
         ).select("doc_id", F.col("score").cast(searcher._score_type))
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_and_search(
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Block-max pruned top-k for AND(terms) — rank-identical to
+    ``searcher.search(BooleanQuery(MUST terms), k)``.
+
+    The exhaustive conjunction decodes every posting of every MUST term
+    before the groupBy can reject docs missing a term — on a
+    common∧common query that is both full postings lists. Here the
+    per-(term, split) block metadata (max_tf / min_nb, segments.py)
+    prunes at the SPLIT level before any decode, mirroring
+    ConjunctionScorer.doNext leapfrogging
+    (lucene/core/src/java/org/apache/lucene/search/ConjunctionScorer.java:56-101)
+    and the skip lists that make it cheap
+    (lucene40/Lucene40SkipListWriter.java:53-93):
+
+      1. presence prune: a split missing ANY must term cannot contain a
+         conjunction match — dropped on metadata alone (the leapfrog:
+         the rarest term's split set gates everything).
+      2. score bound: over the surviving splits,
+         tot[v] = Σ_t w_t * max_tf/(max_tf + cache[min_nb]) upper-bounds
+         any doc's conjunction score inside v. Seed the threshold θ by
+         exactly scoring the best-bounded split; drop every other split
+         with tot[v] < θ; decode only the survivors.
+
+    ``stats_out`` (optional dict) receives ``splits_any`` (splits where
+    at least one term appears), ``splits_all`` (presence-surviving) and
+    ``splits_decoded`` — the pytest hook proving decode work shrank.
+    """
+    index = searcher.index
+    if not isinstance(index, SegmentIndex):
+        raise TypeError("wand_and_search needs a SegmentIndex")
+    musts = sorted(set(terms))
+    if len(musts) != len(terms):
+        raise ValueError("duplicate MUST terms are redundant in AND")
+    n = len(musts)
+    term_stats = index.term_stats(musts)
+    if any(t not in term_stats for t in musts):
+        # a df=0 MUST term empties the whole conjunction
+        if stats_out is not None:
+            stats_out.update(
+                splits_any=0, splits_all=0, splits_decoded=0
+            )
+        return index.spark.createDataFrame(
+            [], f"doc_id long, score {searcher._score_type}"
+        )
+    weights = {
+        t: searcher._term_weight_value(t, term_stats, 1.0) for t in musts
+    }
+
+    # -- 1. metadata pass: per-split presence + score upper bound --------
+    meta = index.blocks.where(
+        F.col("bucket").isin(index.buckets_of(musts))
+        & F.col("term").isin(musts)
+    )
+    cache_arr = F.array(
+        *[F.lit(float(v)) for v in searcher.cache64.tolist()]
+    )
+    tfq = F.col("max_tf").cast("double")
+    meta = meta.select(
+        "term",
+        (F.col("first_doc") / F.lit(index.split_range))
+        .cast("long")
+        .alias("split"),
+        (tfq / (tfq + F.element_at(cache_arr, F.col("min_nb") + 1)))
+        .alias("ub_factor"),
+    )
+    wmap = F.create_map(
+        *[x for t in musts for x in (F.lit(t), F.lit(weights[t]))]
+    )
+    per_split = (
+        meta.groupBy("split", "term")
+        .agg(F.max("ub_factor").alias("ub"))
+        .select(
+            "split",
+            "term",
+            (F.col("ub") * wmap[F.col("term")]).alias("wub"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("term").alias("nt"),
+            F.sum("wub").alias("tot"),
+        )
+        .collect()
+    )
+    splits_any = len(per_split)
+    candidates = sorted(
+        (r for r in per_split if r["nt"] == n), key=lambda r: -r["tot"]
+    )
+    if stats_out is not None:
+        stats_out.update(
+            splits_any=splits_any,
+            splits_all=len(candidates),
+            splits_decoded=0,
+        )
+    if not candidates:
+        return index.spark.createDataFrame(
+            [], f"doc_id long, score {searcher._score_type}"
+        )
+
+    def score_splits(split_ids: list[int]) -> DataFrame:
+        pruned = index.blocks.where(
+            F.col("bucket").isin(index.buckets_of(musts))
+            & F.col("term").isin(musts)
+            & (F.col("first_doc") / F.lit(index.split_range))
+            .cast("long")
+            .isin(split_ids)
+        )
+        decoded = pruned.mapInPandas(
+            _decode_partitions(False), DECODED_SCHEMA
+        ).select("term", "doc_id", "tf", "norm_byte")
+        scored = searcher._apply_score_col(decoded, weights)
+        return (
+            scored.groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.countDistinct("term").alias("nt"),
+            )
+            .where(F.col("nt") == F.lit(n))
+            .select("doc_id", "score")
+        )
+
+    # -- 2. seed threshold from the best-bounded split --------------------
+    seed_split = int(candidates[0]["split"])
+    seed_rows = (
+        score_splits([seed_split])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    theta = (
+        float(seed_rows[-1]["score"]) if len(seed_rows) == k else float("-inf")
+    )
+
+    # -- 3. prune + decode only survivors ---------------------------------
+    # same safety inflation as the OR path (float32 half-ulp headroom)
+    survivors = [
+        int(r["split"])
+        for r in candidates
+        if r["split"] != seed_split
+        and float(r["tot"]) * (1.0 + 1e-6) + 1e-12 >= theta
+    ]
+    if stats_out is not None:
+        stats_out["splits_decoded"] = 1 + len(survivors)
+    seed_df = index.spark.createDataFrame(
+        seed_rows, "doc_id long, score double"
+    ).select("doc_id", F.col("score").cast(searcher._score_type))
+    merged = (
+        score_splits(survivors).unionByName(seed_df)
+        if survivors
+        else seed_df
+    )
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

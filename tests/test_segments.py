@@ -455,3 +455,80 @@ def test_terms_stats_side_parts_equal_postings_metadata(
     assert seg.stats.sum_total_term_freq == sum(
         v[1] for v in want.values()
     )
+
+
+def test_wand_and_rank_identical_to_exhaustive(seg_index_splits):
+    """Conjunction block-max pruning is score-safe: identical docIDs and
+    scores to the exhaustive AND path for common∧common, rare∧common and
+    3-way conjunctions."""
+    from lucene_solr_spark.search.wand import wand_and_search
+
+    s = Searcher(seg_index_splits)
+    for terms in [
+        ["error", "timeout"],
+        ["cache", "retry"],
+        ["shard", "merge", "commit"],
+        ["zzzabsent", "error"],
+    ]:
+        want = s.search(And(*terms), 10).collect()
+        got = wand_and_search(s, terms, 10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) <= 1e-9 * max(
+                1.0, abs(w["score"])
+            )
+
+
+def test_wand_and_prunes_splits_on_skewed_corpus(spark, tmp_path):
+    """On a corpus where both terms are common everywhere but only one
+    doc-range has high-tf/short docs, the conjunction must (a) drop
+    splits missing a MUST term on metadata alone and (b) decode fewer
+    splits than the exhaustive path touches — the ConjunctionScorer
+    leapfrog analogue the r3 verdict prescribed."""
+    import pandas as pd
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.wand import wand_and_search
+
+    rows = []
+    for i in range(2000):
+        if i < 100:
+            # hot split: both terms with high tf, short docs
+            text = "alpha beta " * 8
+        elif 1000 <= i < 1100:
+            # a split where 'beta' is entirely absent
+            text = "alpha filler" + " pad" * 30
+        else:
+            # both terms present once, long docs -> low score bound
+            text = "alpha beta" + " pad" * 40
+        rows.append((i, text))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    idx = build_index(spark, spark.createDataFrame(pdf), cache=True)
+    seg = write_segments(
+        idx, str(tmp_path / "skewseg"), n_buckets=4, split_range=100
+    )
+    s = Searcher(seg)
+    stats: dict = {}
+    got = wand_and_search(s, ["alpha", "beta"], 10, stats_out=stats).collect()
+    want = s.search(And("alpha", "beta"), 10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) <= 1e-9 * max(1.0, abs(w["score"]))
+    # 'alpha' spans 20 splits; the beta-free split must fall at the
+    # presence prune, and the θ bound must prune the low-tf splits
+    assert stats["splits_any"] == 20
+    assert stats["splits_all"] == 19  # one split has no 'beta'
+    assert stats["splits_decoded"] < stats["splits_all"], stats
+    # the hot split alone should satisfy top-10 here
+    assert stats["splits_decoded"] == 1, stats
+
+
+def test_wand_and_absent_term_empty(seg_index_splits):
+    from lucene_solr_spark.search.wand import wand_and_search
+
+    s = Searcher(seg_index_splits)
+    stats: dict = {}
+    got = wand_and_search(
+        s, ["zzznope", "error"], 10, stats_out=stats
+    ).collect()
+    assert got == [] and stats["splits_decoded"] == 0
