@@ -701,6 +701,156 @@ def q_select_bf(spark, sf_dir):
     return _topk_rounded(out["response"])
 
 
+def q_func_ms_recency(spark, sf_dir):
+    """recip(ms(NOW/DAY,ts),3.16e-11,1,1) over events — the canonical
+    Solr boost-by-recency (ValueSourceParser.java:561 ms + recip),
+    anchored at the deterministic _DM_NOW; compiled to one Catalyst
+    expression, pushed through whole-stage codegen."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    col = parse_func(
+        "recip(ms(NOW/DAY,ts),3.16e-11,1,1)", now=_DM_NOW
+    )
+    return e.select(
+        "event_id", F.round(col, 4).alias("boost")
+    ).orderBy("event_id")
+
+
+def q_func_if_def(spark, sf_dir):
+    """if() + def() value sources (ValueSourceParser.java:759,770):
+    def(opt,-1) over a nullable derived column plus an if() on a
+    numeric condition (false iff 0/NULL)."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    d = _docs(spark, sf_dir).withColumn(
+        "opt",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.col("n_chars")),
+    )
+    col = parse_func("sum(def(opt,-1),if(linear(n_chars,1,-300),1,2))")
+    return d.select("doc_id", F.round(col, 4).alias("val")).orderBy(
+        "doc_id"
+    )
+
+
+def q_func_scale(spark, sf_dir):
+    """scale(n_chars,0,1) (ValueSourceParser.java:161,
+    ScaleFloatFunction): min-max over ALL docs resolved at compile time
+    as two literals (one tiny agg — the createWeight scan analogue)."""
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    d = _docs(spark, sf_dir)
+    col, _ = compile_func("scale(n_chars,0,1)", docs=d)
+    return d.select("doc_id", F.round(col, 4).alias("scaled")).orderBy(
+        "doc_id"
+    )
+
+
+def q_sort_by_func(spark, sf_dir):
+    """sort=func(...) through the select handler (Solr sort-by-function):
+    ranking by recip(n_chars,1,1000,1000) asc, BM25 scores unchanged."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        sort="recip(n_chars,1,1000,1000) asc",
+        rows=10,
+    )
+    return out["response"].select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def q_func_query_bf(spark, sf_dir):
+    """query('merge') as a ValueSource (QueryValueSource,
+    ValueSourceParser.java:266): bf adds the embedded query's BM25
+    score, 0 for docs not matching it — equivalent to
+    must=[scan] should=[merge]."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir), q="scan", bf="query('merge')", rows=10
+    )
+    return _topk_rounded(out["response"])
+
+
+def q_join_scored(spark, sf_dir):
+    """JoinUtil with ScoreMode.Avg (JoinUtil.java:47-51): customers
+    scored by the average from-side score of their qualifying orders
+    (from-query score = o_totalprice/100000, a function-query score)."""
+    from lucene_solr_spark.search.joins import join_scored
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from_scored = o.where(F.col("o_totalprice") > 300000.0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("score"),
+    )
+    out = join_scored(
+        from_scored, "c_custkey", c, "c_custkey", score_mode="avg"
+    )
+    return out.select(
+        "c_custkey", "c_name", F.round("score", 4).alias("score")
+    )
+
+
+def q_block_join_scored(spark, sf_dir):
+    """Scored ToParentBlockJoin (ToParentBlockJoinQuery ScoreMode.Max):
+    child = documents scored by BM25('scan'), parent = source; each
+    parent scores the max of its children's BM25 scores."""
+    from lucene_solr_spark.search.joins import block_join_parent_scores
+
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    d = _index(spark, sf_dir).docs.select("doc_id", "source")
+    parents = block_join_parent_scores(
+        scored.join(d, "doc_id").select("source", "score"),
+        "source",
+        score_mode="max",
+    )
+    return parents.select(
+        "source", F.round("score", 4).alias("score")
+    ).orderBy("source")
+
+
+def q_group_topk_ngroups(spark, sf_dir):
+    """Grouping with group.ngroups=true (Grouping.java:581): the
+    per-group top-2 page, every row carrying the total matching-group
+    count via a broadcast single-row cross join."""
+    from lucene_solr_spark.search.grouping import grouped_topk
+
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    d = _index(spark, sf_dir).docs
+    return grouped_topk(scored, d, "lang", per_group=2, ngroups=True)
+
+
+def q_group_facet(spark, sf_dir):
+    """group.facet=true (grouped SimpleFacets): per source value, the
+    count of DISTINCT lang groups among 'scan' matches."""
+    from lucene_solr_spark.search.grouping import group_facet
+
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    return group_facet(scored, _index(spark, sf_dir).docs, "lang", "source")
+
+
+def q_span_near_unord_rpts(spark, sf_dir):
+    """Unordered SpanNear with a REPEATED term ('scan scan merge'~6):
+    same-term clauses must occupy distinct positions
+    (NearSpansUnordered.java:157-176 cell-overlap rule) — the r3
+    declared-out gap, now implemented via per-clause ascending joins."""
+    from lucene_solr_spark.search.spans import span_near
+
+    return span_near(
+        _searcher(spark, sf_dir),
+        ["scan", "scan", "merge"],
+        6,
+        in_order=False,
+    )
+
+
 def q_span_first(spark, sf_dir):
     """SpanFirstQuery analogue (lucene/core/.../search/spans/
     SpanFirstQuery.java): docs where the term occurs within the first n
@@ -838,6 +988,12 @@ def _dm_bounds():
     lo = parse_date_math("NOW/DAY-20DAYS", _DM_NOW)
     hi = parse_date_math("NOW/DAY", _DM_NOW)
     return sql_ts(lo), sql_ts(hi)
+
+
+def _nowday_ms() -> int:
+    from lucene_solr_spark.functions.datemath import parse_date_math
+
+    return int(parse_date_math("NOW/DAY", _DM_NOW).timestamp() * 1000)
 
 
 def q_datemath(spark, sf_dir):
@@ -1138,10 +1294,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_jaccard(spark, sf_dir):
+    """Candidate generation + exact verify share ONE checkpointed
+    shingle frame — one tokenize pass for the whole dedup pipeline
+    (localCheckpoint blocks are dropped by the ContextCleaner when the
+    frame is GC'd)."""
+    from lucene_solr_spark.datapipe.dedup import distinct_shingle_rows
+
     d = _docs(spark, sf_dir)
-    pairs = minhash_candidate_pairs(d)
+    sh = distinct_shingle_rows(d).localCheckpoint(eager=False)
+    pairs = minhash_candidate_pairs(d, shingles=sh)
     return (
-        jaccard_pairs(d, pairs)
+        jaccard_pairs(d, pairs, shingles=sh)
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
@@ -1335,6 +1498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 4 ---
         "bm25_and_wand": q_bm25_and_wand,
+        "func_ms_recency": q_func_ms_recency,
+        "func_if_def": q_func_if_def,
+        "func_scale": q_func_scale,
+        "sort_by_func": q_sort_by_func,
+        "func_query_bf": q_func_query_bf,
+        "join_scored": q_join_scored,
+        "block_join_scored": q_block_join_scored,
+        "group_topk_ngroups": q_group_topk_ngroups,
+        "group_facet": q_group_facet,
+        "span_near_unord_rpts": q_span_near_unord_rpts,
         # --- new in round 3 ---
         "bm25_fielded": q_bm25_fielded,
         "edismax_qf": q_edismax_qf,
@@ -1474,6 +1647,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_and_wand": O.bm25_bool(must=["scan", "merge"]),
+        "func_ms_recency": O.func_ms_recency(_nowday_ms()),
+        "func_if_def": O.func_if_def(),
+        "func_scale": O.func_scale(),
+        "sort_by_func": O.sort_by_func("scan"),
+        "func_query_bf": O.bm25_bool(must=["scan"], should=["merge"]),
+        "join_scored": O.join_scored_customers(300000.0, "avg"),
+        "block_join_scored": O.block_join_scored("scan", "max"),
+        "group_topk_ngroups": O.group_topk_ngroups("scan", "lang", 2),
+        "group_facet": O.group_facet_counts("scan", "lang", "source"),
+        "span_near_unord_rpts": O.span_near_docs(
+            ["scan", "scan", "merge"], 6, False
+        ),
         "bm25_stream": O.bm25_term("scan"),
         "bm25_update": O.bm25_scored_all("scan"),
         "bm25_delete": O.bm25_scored_all(

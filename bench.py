@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "bm25_term",
     "bm25_and",
+    "bm25_and_wand",
     "bm25_and3",
     "bm25_or",
     "bm25_or_msm",
@@ -42,12 +43,19 @@ HEADLINE = [
     "prefix",
     "regexp",
     "span_near",
+    "span_near_unord_rpts",
     "facet_lang",
+    "facet_query",
     "stats_nchars",
     "group_topk",
+    "group_topk_ngroups",
     "terms_enum",
     "join_semi",
+    "join_scored",
     "block_join",
+    "block_join_scored",
+    "func_ms_recency",
+    "sort_by_func",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

@@ -348,11 +348,48 @@ def cosine_neardup_pairs(
     return scored
 
 
+def _collect_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, "object"]]:
+    """One driver collect of the centroid seed vectors (ids 0..n-1),
+    shared by ivf_assign and knn_cosine_ivf so the query path never
+    scans the table twice for the same 16 rows."""
+    import numpy as np
+
+    cents = sorted(
+        (
+            (int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64))
+            for r in embeddings.where(
+                F.col(id_col) < n_centroids
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if len(cents) != n_centroids:
+        raise ValueError(
+            f"need ids 0..{n_centroids - 1} present as centroid seeds"
+        )
+    return cents
+
+
+def _safe_norm(a, axis=None, keepdims=False):
+    """L2 norms with zeros replaced by 1 so a zero vector yields cosine
+    0 instead of NaN (which would silently drop or misrank)."""
+    import numpy as np
+
+    n = np.linalg.norm(a, axis=axis, keepdims=keepdims)
+    return np.where(n == 0, 1.0, n)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
     nearest-by-cosine centroid (the Faiss IndexIVF 'coarse quantizer'
@@ -368,23 +405,11 @@ def ivf_assign(
     pruning does the inverted-list lookup.
     """
     import numpy as np
-    import pandas as pd
 
-    cents = sorted(
-        (
-            (int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64))
-            for r in embeddings.where(
-                F.col(id_col) < n_centroids
-            ).collect()
-        ),
-        key=lambda t: t[0],
-    )
-    if len(cents) != n_centroids:
-        raise ValueError(
-            f"need ids 0..{n_centroids - 1} present as centroid seeds"
-        )
+    if cents is None:
+        cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     C = np.stack([v for _, v in cents])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / _safe_norm(C, axis=1, keepdims=True)
     cids = np.array([i for i, _ in cents], dtype=np.int64)
 
     def run(batches):
@@ -394,7 +419,7 @@ def ivf_assign(
             E = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            En = E / _safe_norm(E, axis=1, keepdims=True)
             sims = En @ Cn.T
             # argmax returns the FIRST max -> lower centroid id on ties
             pdf = pdf[[id_col, vec_col]].copy()
@@ -422,21 +447,13 @@ def knn_cosine_ivf(
     """
     import numpy as np
 
-    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cents = sorted(
-        (
-            (int(r[id_col]), np.asarray(r[vec_col], dtype=np.float64))
-            for r in embeddings.where(
-                F.col(id_col) < n_centroids
-            ).collect()
-        ),
-        key=lambda t: t[0],
+    cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, cents=cents
     )
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    sims = [
-        (float(qn @ (v / np.linalg.norm(v))), i) for i, v in cents
-    ]
+    qn = q / _safe_norm(q)
+    sims = [(float(qn @ (v / _safe_norm(v))), i) for i, v in cents]
     # nearest centroids first; ties to the LOWER centroid id
     probe = [
         i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))

@@ -913,7 +913,9 @@ def facet_field_opts(
     (SimpleFacets.java:205-423) — twin of handler.select facet opts."""
     conds = []
     if prefix:
-        conds.append(f"d.{field} LIKE '{_sq(prefix)}%'")
+        # literal startswith (the engine/Solr semantics) — LIKE would
+        # treat '%'/'_' in the prefix as metacharacters and diverge
+        conds.append(f"starts_with(d.{field}, '{_sq(prefix)}')")
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     having = f" HAVING count(*) >= {mincount}" if mincount > 0 else ""
     order = (
@@ -2279,10 +2281,12 @@ def span_near_docs(
 ) -> str:
     """SpanNearQuery doc set (NearSpansOrdered/-Unordered over term
     spans): ordered needs strictly increasing positions in clause order
-    with (p_last - p_first) - (n-1) <= slop; unordered (any N, distinct
-    terms) needs a one-position-per-clause window with
+    with (p_last - p_first) - (n-1) <= slop; unordered (any N, repeats
+    allowed) needs a one-position-per-clause window with
     (max - min + 1) - n <= slop (NearSpansUnordered matchLength =
-    maxEnd - minStart vs totalLength = n for length-1 term spans).
+    maxEnd - minStart vs totalLength = n for length-1 term spans), and
+    clauses sharing a term take strictly ascending (hence distinct)
+    positions — the cell-overlap rule of NearSpansUnordered.java:157-176.
     Positions are raw pre-stop counters — differences are
     offset-invariant vs the engine's 0-based ones."""
     n = len(terms)
@@ -2297,6 +2301,13 @@ def span_near_docs(
         join += f" JOIN p{i} USING (doc_id)"
         if in_order:
             conds.append(f"v{i} > v{i-1}")
+    if not in_order:
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            by_term.setdefault(t, []).append(i)
+        for idxs in by_term.values():
+            for prev, i in zip(idxs, idxs[1:]):
+                conds.append(f"v{i} > v{prev}")
     vs = ", ".join(f"v{i}" for i in range(n))
     if in_order:
         conds.append(f"(v{n-1} - v0) - {n-1} <= {slop}")
@@ -2346,4 +2357,130 @@ SELECT d.{facet},
        round(avg(d.n_chars), 4) AS mean_v
 FROM {table} d JOIN matched USING (doc_id)
 GROUP BY d.{facet} ORDER BY d.{facet}
+""".strip()
+
+
+# ---------------- round-4 oracles ----------------
+
+def func_ms_recency(now_ms: int) -> str:
+    """recip(ms(<anchor>,ts),3.16e-11,1,1) over events — the canonical
+    Solr recency boost (ValueSourceParser.java:561 'ms' +
+    ReciprocalFloatFunction). Arithmetic order mirrors funcquery's
+    a/(m*x+b) with x = anchor_ms - epoch_ms(ts), all doubles."""
+    return (
+        "SELECT event_id, "
+        f"round(1.0 / (3.16e-11 * (CAST({now_ms} AS DOUBLE) "
+        "- CAST(epoch_ms(ts) AS DOUBLE)) + 1.0), 4) AS boost "
+        "FROM events ORDER BY event_id"
+    )
+
+
+def func_if_def(table: str = "documents") -> str:
+    """sum(def(opt,-1), if(linear(n_chars,1,-300),1,2)) where opt =
+    n_chars when doc_id%3=0 else NULL — twin of the engine's
+    DefFunction (coalesce) + IfFunction (numeric false iff 0/NULL)."""
+    return (
+        "SELECT doc_id, round("
+        "coalesce(CASE WHEN doc_id % 3 = 0 "
+        "THEN CAST(n_chars AS DOUBLE) END, -1.0) "
+        "+ (CASE WHEN coalesce(1.0 * CAST(n_chars AS DOUBLE) "
+        "+ (-300.0), 0.0) <> 0.0 THEN 1.0 ELSE 2.0 END), 4) AS val "
+        f"FROM {table} ORDER BY doc_id"
+    )
+
+
+def func_scale(table: str = "documents") -> str:
+    """scale(n_chars,0,1) — ScaleFloatFunction's
+    (x - minS) * ((u - l)/(maxS - minS)) + l with min/max over ALL docs,
+    the same op order funcquery compiles."""
+    return (
+        "WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn, "
+        f"max(CAST(n_chars AS DOUBLE)) AS mx FROM {table}) "
+        "SELECT doc_id, round((CAST(n_chars AS DOUBLE) - mn) "
+        "* ((1.0 - 0.0) / (mx - mn)) + 0.0, 4) AS scaled "
+        f"FROM {table}, mm ORDER BY doc_id"
+    )
+
+
+def sort_by_func(term: str, k: int = 10, table: str = "documents") -> str:
+    """sort=recip(n_chars,1,1000,1000) asc — Solr sort-by-function:
+    BM25 membership and scores unchanged, ordering by the ValueSource."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN {table} d USING (doc_id)
+ORDER BY 1000.0 / (1.0 * CAST(d.n_chars AS DOUBLE) + 1000.0) ASC,
+         s.doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def join_scored_customers(
+    min_total: float = 300000.0, mode: str = "avg"
+) -> str:
+    """JoinUtil score-mode twin: from = qualifying orders scored
+    o_totalprice/100000, grouped per custkey with the mode aggregate,
+    joined onto customers (JoinUtil.java:47-51)."""
+    agg = {"avg": "avg", "max": "max", "total": "sum"}[mode]
+    return f"""
+WITH per_key AS (
+  SELECT o_custkey AS c_custkey,
+         {agg}(o_totalprice / 100000.0) AS score
+  FROM orders WHERE o_totalprice > {min_total!r} GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, round(p.score, 4) AS score
+FROM customer c JOIN per_key p USING (c_custkey)
+ORDER BY c.c_custkey
+""".strip()
+
+
+def block_join_scored(
+    term: str = "scan", mode: str = "max", table: str = "documents"
+) -> str:
+    """Scored ToParentBlockJoin twin: child = documents scored by BM25,
+    parent = source, parent score = mode-aggregate of child scores."""
+    agg = {"avg": "avg", "max": "max", "total": "sum"}[mode]
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT d.source AS source, round({agg}(s.score), 4) AS score
+FROM scored s JOIN {table} d USING (doc_id)
+GROUP BY d.source ORDER BY source
+""".strip()
+
+
+def group_topk_ngroups(
+    term: str, field: str, per_group: int = 2, table: str = "documents"
+) -> str:
+    """group_topk page + group.ngroups total (Grouping.java:581)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+j AS (SELECT d.{field} AS {field}, s.doc_id, s.score
+      FROM scored s JOIN {table} d USING (doc_id)),
+ng AS (SELECT CAST(count(DISTINCT {field}) AS BIGINT) AS ngroups FROM j)
+SELECT {field}, doc_id, round(score, 4) AS score, ng.ngroups
+FROM (
+  SELECT {field}, doc_id, score,
+         row_number() OVER (
+           PARTITION BY {field} ORDER BY score DESC, doc_id ASC
+         ) AS rn
+  FROM j
+) t, ng WHERE rn <= {per_group} ORDER BY {field}, score DESC, doc_id
+""".strip()
+
+
+def group_facet_counts(
+    term: str,
+    group_field: str,
+    facet_field: str,
+    table: str = "documents",
+) -> str:
+    """group.facet=true twin: count of DISTINCT groups per facet value
+    among the query matches."""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT d.{facet_field} AS {facet_field},
+       CAST(count(DISTINCT d.{group_field}) AS BIGINT) AS cnt
+FROM {table} d JOIN matched USING (doc_id)
+GROUP BY d.{facet_field} ORDER BY {facet_field}
 """.strip()

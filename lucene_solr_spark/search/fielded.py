@@ -72,8 +72,16 @@ class FieldedSearcher:
     ) -> DataFrame:
         """All matching docs for the edismax main query:
         sum over terms of dismax over fields, msm >= mm, plus optional
-        pf phrase boosts added to already-matching docs."""
-        all_terms = sorted(set(terms))
+        pf phrase boosts added to already-matching docs.
+
+        A repeated user term builds one SHOULD clause per occurrence in
+        edismax, so a duplicate scores (and counts toward mm) once per
+        occurrence: the distinct-term dismax score is weighted by the
+        term's clause multiplicity and n_terms sums multiplicities."""
+        from collections import Counter
+
+        mult = Counter(terms)
+        all_terms = sorted(mult)
         parts: list[DataFrame] = []
         for field, boost in qf.items():
             s = self.searchers[field]
@@ -91,9 +99,18 @@ class FieldedSearcher:
                 + F.lit(float(tie)) * (F.sum("score") - F.max("score"))
             ).alias("score")
         )
+        mmap = F.create_map(
+            *[
+                x
+                for t in all_terms
+                for x in (F.lit(t), F.lit(float(mult[t])))
+            ]
+        )
         agg = per_term.groupBy("doc_id").agg(
-            F.sum("score").cast(self._score_type).alias("score"),
-            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("score") * mmap[F.col("term")])
+            .cast(self._score_type)
+            .alias("score"),
+            F.sum(mmap[F.col("term")]).cast("long").alias("n_terms"),
         )
         out = agg.where(F.col("n_terms") >= F.lit(int(mm))).select(
             "doc_id", "score"

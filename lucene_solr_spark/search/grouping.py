@@ -1,0 +1,73 @@
+"""Grouping extras — ngroups and group.facet (SURVEY.md §2.5; the r3
+verdict's missing-feature #3).
+
+References:
+  - solr/core/src/java/org/apache/solr/search/Grouping.java:581
+    (``ngroups``: the TOTAL number of matching groups returned alongside
+    the per-group page when group.ngroups=true).
+  - group.facet (SimpleFacets grouped faceting): facet counts computed
+    by GROUP instead of by document — a facet value's count is the
+    number of distinct groups containing at least one matching doc with
+    that value.
+
+Spark shape: the grouped page is the ordinary Window row_number top-k;
+ngroups is a countDistinct over the same joined frame, attached via a
+broadcast single-row cross join (no second scan of the match set —
+Catalyst reuses the exchange). group.facet is one
+select(facet, group).distinct().groupBy(facet).count() — two hash
+aggs, no window.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def grouped_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    group_field: str,
+    per_group: int = 2,
+    ngroups: bool = False,
+) -> DataFrame:
+    """Field-collapse page: top ``per_group`` docs per group by
+    (score desc, doc_id asc). With ``ngroups`` every row also carries
+    the total matching-group count (Grouping.java:581)."""
+    joined = scored.join(docs.select("doc_id", group_field), "doc_id")
+    w = Window.partitionBy(group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    page = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_group)
+        .select(
+            group_field, "doc_id", F.round("score", 4).alias("score")
+        )
+    )
+    if not ngroups:
+        return page
+    ng = joined.agg(
+        F.countDistinct(group_field).cast("long").alias("ngroups")
+    )
+    return page.crossJoin(F.broadcast(ng))
+
+
+def group_facet(
+    scored: DataFrame,
+    docs: DataFrame,
+    group_field: str,
+    facet_field: str,
+) -> DataFrame:
+    """group.facet=true: per facet value, the count of DISTINCT groups
+    (not docs) among the query's matches."""
+    joined = scored.select("doc_id").join(
+        docs.select("doc_id", group_field, facet_field), "doc_id"
+    )
+    return (
+        joined.select(facet_field, group_field)
+        .distinct()
+        .groupBy(facet_field)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(facet_field)
+    )

@@ -52,33 +52,44 @@ def span_near(
 
     Ordered (NearSpansOrdered): positions strictly increasing in clause
     order with (p_last - p_first) - (n-1) <= slop.
-    Unordered (NearSpansUnordered, any N distinct-term clauses): a
+    Unordered (NearSpansUnordered, any N clauses, repeats allowed): a
     one-position-per-clause window with (max - min + 1) - n <= slop
     (matchLength = maxEnd - minStart vs totalLength = n for length-1
-    term spans, NearSpansUnordered.java:157-176).
+    term spans). Clauses sharing a term must occupy DISTINCT positions
+    — the SpansCell overlap resolution of
+    NearSpansUnordered.java:157-176; enforced here by joining a
+    repeated term's position list once per clause with strictly
+    ascending positions (an assignment of m distinct positions exists
+    iff the ascending one does, and the window width is permutation-
+    invariant). Different-term length-1 spans can never overlap (one
+    term per position), so no cross-term constraint is needed.
     """
     n = len(terms)
     if n < 2:
         raise ValueError("span_near needs >= 2 clauses")
-    if not in_order and len(set(terms)) != n:
-        raise NotImplementedError(
-            "unordered span_near with repeated terms (cell overlap "
-            "semantics) is out of scope"
-        )
     stats = searcher.index.term_stats(sorted(set(terms)))
     if any(t not in stats for t in terms):
         return searcher.index.spark.createDataFrame([], "doc_id long")
-    cur = _positions(searcher, terms[0], "p0")
-    for i in range(1, n):
-        nxt = _positions(searcher, terms[i], f"p{i}")
-        if in_order:
+    if in_order:
+        cur = _positions(searcher, terms[0], "p0")
+        for i in range(1, n):
+            nxt = _positions(searcher, terms[i], f"p{i}")
             cond = F.col(f"p{i}") > F.col(f"p{i-1}")
             cur = cur.join(nxt, on="doc_id").where(cond)
-        else:
-            cur = cur.join(nxt, on="doc_id")
-    if in_order:
         width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
     else:
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            by_term.setdefault(t, []).append(i)
+        cur = None
+        for t, idxs in by_term.items():
+            grp = _positions(searcher, t, f"p{idxs[0]}")
+            for prev, i in zip(idxs, idxs[1:]):
+                nxt = _positions(searcher, t, f"p{i}")
+                grp = grp.join(nxt, on="doc_id").where(
+                    F.col(f"p{i}") > F.col(f"p{prev}")
+                )
+            cur = grp if cur is None else cur.join(grp, on="doc_id")
         cols = [F.col(f"p{i}") for i in range(n)]
         width = F.greatest(*cols) - F.least(*cols) - F.lit(n - 1)
     return (

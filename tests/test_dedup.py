@@ -154,3 +154,28 @@ def test_simhash_near_pairs_jittered_duplicates(spark):
     for (a, b), ham in got.items():
         true_ham = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
         assert ham == true_ham <= 3
+
+
+def test_simhash_carry_across_tiny_arrow_batches(spark, texts_df):
+    """The bit accumulator carries a doc's partial sums across Arrow
+    batch boundaries: forcing 3-row batches must give identical
+    fingerprints to the default batching."""
+    from lucene_solr_spark.datapipe.dedup import simhash
+
+    want = {
+        r["doc_id"]: r["simhash"] for r in simhash(texts_df).collect()
+    }
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(texts_df).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == want and len(want) > 0

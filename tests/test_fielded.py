@@ -169,3 +169,38 @@ def test_fielded_segment_store_rank_identity(fielded, tmp_path_factory):
     import os
 
     assert sorted(os.listdir(d)) == ["body", "title"]
+
+
+def test_edismax_repeated_term_scores_per_occurrence(fielded):
+    """edismax builds one SHOULD clause per user-term occurrence: a
+    duplicated term scores twice and counts toward mm twice (r3 advice
+    #2 — the dedup'd composition scored it once)."""
+    fidx, fs = fielded
+    qf = {"title": 2.0, "body": 1.0}
+    single = {
+        r["doc_id"]: r["score"]
+        for r in fs.score_edismax(["spark"], qf, tie=0.3).collect()
+    }
+    doubled = {
+        r["doc_id"]: r["score"]
+        for r in fs.score_edismax(
+            ["spark", "spark"], qf, tie=0.3, mm=2
+        ).collect()
+    }
+    # same match set (dup counts toward mm=2), exactly doubled scores
+    assert set(doubled) == set(single)
+    for doc, sc in single.items():
+        assert doubled[doc] == pytest.approx(2 * sc, rel=1e-12)
+    mixed = {
+        r["doc_id"]: r["score"]
+        for r in fs.score_edismax(
+            ["spark", "spark", "merge"], qf, tie=0.3
+        ).collect()
+    }
+    merge_only = {
+        r["doc_id"]: r["score"]
+        for r in fs.score_edismax(["merge"], qf, tie=0.3).collect()
+    }
+    for doc in mixed:
+        want = 2 * single.get(doc, 0.0) + merge_only.get(doc, 0.0)
+        assert mixed[doc] == pytest.approx(want, rel=1e-12)

@@ -37,3 +37,64 @@ def test_parse_errors():
     for bad in ("recip(n_chars,1,1000)", "nope(1)", "sum(1,", "1 2"):
         with pytest.raises(FuncParseError):
             parse_func(bad)
+
+
+def test_truncated_call_raises_funcparseerror():
+    """A truncated call like 'sum(' must surface as FuncParseError,
+    never a raw IndexError (r3 advice #3)."""
+    for bad in ("sum(", "recip(", "if(1,", "ms(NOW,", "recip(n_chars"):
+        with pytest.raises(FuncParseError):
+            parse_func(bad)
+
+
+def test_scientific_notation(spark):
+    assert _eval(spark, "product(2.5e2, 1e-1)") == pytest.approx(25.0)
+    assert _eval(spark, "linear(n_chars,3.16e-11,0)") == pytest.approx(
+        250 * 3.16e-11
+    )
+
+
+def test_ms_datemath_vs_field(spark):
+    """ms(NOW/DAY, tscol) = anchor epoch ms - column epoch ms
+    (ValueSourceParser.java:561)."""
+    df = spark.createDataFrame([("2024-01-20 00:00:00",)], "ts string")
+    col = parse_func("ms(NOW/DAY,ts)", now="2024-01-25T13:11:00Z")
+    v = df.select(col.alias("v")).collect()[0]["v"]
+    assert v == pytest.approx(5 * 86400000.0)
+    # ms() with no args = the anchor itself
+    v0 = df.select(
+        parse_func("ms()", now="1970-01-02T00:00:00Z").alias("v")
+    ).collect()[0]["v"]
+    assert v0 == pytest.approx(86400000.0)
+
+
+def test_if_def_semantics(spark):
+    """def() fills NULLs; if() treats numeric 0/NULL as false
+    (ValueSourceParser.java:759,770)."""
+    df = spark.createDataFrame(
+        [(None, 7), (3, 8)], "opt int, x int"
+    )
+    rows = df.select(
+        parse_func("def(opt,-1)").alias("d"),
+        parse_func("if(linear(x,1,-7),5,6)").alias("i"),
+    ).orderBy("x").collect()
+    assert [r["d"] for r in rows] == [-1.0, 3.0]
+    # x=7 -> cond 0 -> else branch; x=8 -> cond 1 -> then branch
+    assert [r["i"] for r in rows] == [6.0, 5.0]
+
+
+def test_scale_minmax_over_all_docs(spark):
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    df = spark.createDataFrame([(10,), (20,), (30,)], "v long")
+    col, att = compile_func("scale(v,0,100)", docs=df)
+    assert att == []
+    vals = sorted(r["s"] for r in df.select(col.alias("s")).collect())
+    assert vals == [0.0, 50.0, 100.0]
+
+
+def test_query_source_needs_context():
+    with pytest.raises(FuncParseError):
+        parse_func("query('merge')")
+    with pytest.raises(FuncParseError):
+        parse_func("scale(n_chars,0,1)")

@@ -99,3 +99,41 @@ def test_pivot_facets_tree(searcher):
     for p, c in l2.items():
         child_sums[p.rsplit("/", 1)[0]] += c
     assert dict(child_sums) == l1
+
+
+def test_facet_range_fractional_gap_and_order(searcher):
+    """Fractional start/gap must keep distinct buckets (the r4 advice
+    fix: grouping on the numeric bound, not a long-cast label) and
+    rows come back in range order: before, buckets ascending, after."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.handler import facet_range
+
+    s = searcher
+    docs = s.index.docs
+    # derive a fractional column both buckets land on: dl/2 offsets
+    s.index.docs = docs.withColumn(
+        "frac", (F.col("doc_id") % 4).cast("double") / 2.0
+    )
+    try:
+        out = facet_range(
+            s, "error", "frac", start=0.0, end=2.0, gap=0.5, other=True
+        ).collect()
+    finally:
+        s.index.docs = docs
+    buckets = [r["bucket"] for r in out]
+    # 0.5-wide buckets stay distinct ('0', '0.5', '1', '1.5'), never
+    # merged into '0'/'1'; structural order: before first, after last
+    assert buckets[0] == "before" and buckets[-1] == "after"
+    inner = buckets[1:-1]
+    assert "0.5" in inner and "1.5" in inner, buckets
+    assert inner == sorted(inner, key=float)
+
+
+def test_sort_spec_splits_outside_parens():
+    from lucene_solr_spark.search.handler import _split_sort_spec
+
+    assert _split_sort_spec(
+        "recip(n_chars,1,1000,1000) asc, n_chars desc"
+    ) == ["recip(n_chars,1,1000,1000) asc", "n_chars desc"]
+    assert _split_sort_spec("score desc") == ["score desc"]

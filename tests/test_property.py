@@ -71,3 +71,52 @@ def test_random_corpus_rank_identity(spark, docs, seed):
     and_docs = {r["doc_id"] for r in s.score(And(*terms[:2])).collect()}
     or_docs = {r["doc_id"] for r in s.score(Or(*terms[:2])).collect()}
     assert and_docs <= or_docs
+
+
+def test_span_near_unordered_repeated_terms_bruteforce(spark):
+    """Unordered SpanNear with a repeated term vs a brute-force position
+    enumeration (NearSpansUnordered.java:157-176: same-term clauses must
+    occupy distinct positions)."""
+    from itertools import permutations
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.spans import span_near
+
+    rows = [
+        (0, "x y x"),          # x at 0,2; y at 1 -> window width 3
+        (1, "x y z y"),        # only one x -> no double-x match
+        (2, "x x q q q y"),    # x at 0,1; y at 5 -> width 6
+        (3, "y q x q x"),      # x at 2,4; y at 0 -> width 5
+        (4, "x q q x"),        # no y
+    ]
+    pdf = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(spark, pdf, cache=True)
+    s = Searcher(idx)
+
+    def brute(slop):
+        import re
+
+        out = set()
+        for doc_id, text in rows:
+            toks = text.split()
+            px = [i for i, t in enumerate(toks) if t == "x"]
+            py = [i for i, t in enumerate(toks) if t == "y"]
+            for a in px:
+                for b in px:
+                    if a >= b:
+                        continue
+                    for c in py:
+                        w = max(a, b, c) - min(a, b, c) - 2
+                        if w <= slop:
+                            out.add(doc_id)
+        return out
+
+    for slop in (0, 1, 2, 3, 4, 6):
+        got = {
+            r["doc_id"]
+            for r in span_near(
+                s, ["x", "x", "y"], slop, in_order=False
+            ).collect()
+        }
+        assert got == brute(slop), (slop, got, brute(slop))
