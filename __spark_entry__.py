@@ -311,6 +311,18 @@ def q_bm25_and_wand(spark, sf_dir):
     )
 
 
+def q_bm25_phrase_wand(spark, sf_dir):
+    """Split-pruned phrase — must equal the exhaustive phrase oracle
+    (presence + block-max bound pruning over the segment store)."""
+    from lucene_solr_spark.search.wand import wand_phrase_search
+
+    return _topk_rounded(
+        wand_phrase_search(
+            _seg_searcher(spark, sf_dir), ["key", "order"], 0, 10
+        )
+    )
+
+
 def q_bm25_stream(spark, sf_dir):
     """Incremental (3-delta + compaction) index: equals the batch oracle."""
     s = Searcher(_stream_reader(spark, sf_dir))
@@ -1498,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 4 ---
         "bm25_and_wand": q_bm25_and_wand,
+        "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
         "func_if_def": q_func_if_def,
         "func_scale": q_func_scale,
@@ -1647,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_and_wand": O.bm25_bool(must=["scan", "merge"]),
+        "bm25_phrase_wand": O.bm25_phrase(["key", "order"]),
         "func_ms_recency": O.func_ms_recency(_nowday_ms()),
         "func_if_def": O.func_if_def(),
         "func_scale": O.func_scale(),

@@ -35,6 +35,7 @@ HEADLINE = [
     "bm25_not",
     "bm25_dismax",
     "bm25_phrase",
+    "bm25_phrase_wand",
     "bm25_phrase_sloppy",
     "bm25_phrase_sloppy_rpts",
     "bm25_fielded",

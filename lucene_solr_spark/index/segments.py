@@ -1094,14 +1094,26 @@ class SegmentIndex:
         )
 
     def postings_for_terms(
-        self, terms: list[str], want_positions: bool = False
+        self,
+        terms: list[str],
+        want_positions: bool = False,
+        splits: list[int] | None = None,
     ) -> DataFrame:
         """Pruned decode: bucket partition pruning + term row-group
-        pruning happen BEFORE decode (the .tip/FST lookup analogue)."""
+        pruning happen BEFORE decode (the .tip/FST lookup analogue).
+        ``splits``: optionally restrict to the given doc-range splits
+        (first_doc // split_range) — the skip-list analogue the WAND
+        paths use to decode only bound-surviving splits."""
         pruned = self.blocks.where(
             F.col("bucket").isin(self.buckets_of(terms))
             & F.col("term").isin(list(terms))
         )
+        if splits is not None:
+            pruned = pruned.where(
+                (F.col("first_doc") / F.lit(self.split_range))
+                .cast("long")
+                .isin(list(splits))
+            )
         return pruned.mapInPandas(
             _decode_partitions(
                 want_positions and self.manifest["keep_positions"]

@@ -22,6 +22,12 @@ queries/function/valuesource/* for the semantics of each function:
   query('q')     the relevance score of an embedded query, 0 for
                  non-matching docs (ValueSourceParser.java:266,
                  QueryValueSource.java defVal=0)
+  map(x,l,u,t[,d])  RangeMapFloatFunction; sub, mod, max(..), min(..)
+  ln/exp/sin/cos/tan/asin/acos/atan/sinh/cosh/tanh/cbrt/rad/deg/
+  floor/ceil/rint/atan2/hypot  (the DoubleValueSource math registry)
+  docfreq(f,t), totaltermfreq(f,t)/ttf, idf(f,t), maxdoc(), numdocs()
+                 index-stat sources bound to literals at compile time
+                 from the live collection stats (needs searcher ctx)
   constants and bare field names
 
 Everything compiles to a Catalyst Column (whole-stage codegen — this is
@@ -228,7 +234,84 @@ def _compile(node, ctx: _Ctx) -> Column:
         span = (mx - mn) or 1.0  # all-equal column: Lucene emits l
         return (x - F.lit(mn)) * ((hi - lo) / F.lit(span)) + lo
 
+    if name in ("docfreq", "totaltermfreq", "ttf", "idf"):
+        # index-stat sources (ValueSourceParser.java "docfreq"/
+        # "totaltermfreq"/"idf"): resolved to literals from the live
+        # collection stats at compile time, like Lucene binds them in
+        # createWeight. Signature docfreq(field, term) — the field arg
+        # is accepted for parity and ignored (single text field here).
+        if ctx.searcher is None:
+            raise FuncParseError(f"{name}(...) needs a searcher context")
+        term_node = raw_args[-1]
+        if term_node[0] not in ("str", "field"):
+            raise FuncParseError(f"{name} takes a term argument")
+        term = term_node[1]
+        st = ctx.searcher.index.term_stats([term]).get(term, (0, 0))
+        if name == "docfreq":
+            return F.lit(float(st[0]))
+        if name in ("totaltermfreq", "ttf"):
+            return F.lit(float(st[1]))
+        import math
+
+        n = ctx.searcher.index.stats.max_doc
+        return F.lit(math.log(1 + (n - st[0] + 0.5) / (st[0] + 0.5)))
+    if name in ("maxdoc", "numdocs"):
+        if ctx.searcher is None:
+            raise FuncParseError(f"{name}() needs a searcher context")
+        if raw_args:
+            raise FuncParseError(f"{name} takes no args")
+        return F.lit(float(ctx.searcher.index.stats.max_doc))
+
     args = [_compile(a, ctx) for a in raw_args]
+    if name == "map":
+        # RangeMapFloatFunction: min<=x<=max -> target, else def or x
+        if len(raw_args) not in (4, 5):
+            raise FuncParseError("map takes 4 or 5 args")
+        x, lo, hi, target = args[:4]
+        fallback = args[4] if len(args) == 5 else x
+        return F.when((x >= lo) & (x <= hi), target).otherwise(fallback)
+    if name == "sub":
+        need(2)
+        return args[0] - args[1]
+    if name == "mod":
+        need(2)
+        return args[0] % args[1]
+    if name == "max":  # MaxFloatFunction (variadic)
+        if not args:
+            raise FuncParseError("max needs args")
+        return args[0] if len(args) == 1 else F.greatest(*args)
+    if name == "min":  # MinFloatFunction (variadic)
+        if not args:
+            raise FuncParseError("min needs args")
+        return args[0] if len(args) == 1 else F.least(*args)
+    _MATH1 = {
+        "ln": F.log,  # natural log (Math.log)
+        "exp": F.exp,
+        "sin": F.sin,
+        "cos": F.cos,
+        "tan": F.tan,
+        "asin": F.asin,
+        "acos": F.acos,
+        "atan": F.atan,
+        "sinh": F.sinh,
+        "cosh": F.cosh,
+        "tanh": F.tanh,
+        "cbrt": F.cbrt,
+        "rad": F.radians,
+        "deg": F.degrees,
+        "floor": lambda c: F.floor(c).cast("double"),
+        "ceil": lambda c: F.ceil(c).cast("double"),
+        "rint": lambda c: F.rint(c),
+    }
+    if name in _MATH1:  # DoubleValueSource math registry
+        need(1)
+        return _MATH1[name](args[0])
+    if name == "atan2":
+        need(2)
+        return F.atan2(args[0], args[1])
+    if name == "hypot":
+        need(2)
+        return F.hypot(args[0], args[1])
     if name == "recip":  # ReciprocalFloatFunction: a/(m*x+b)
         need(4)
         x, m, a, b = args

@@ -308,3 +308,164 @@ def wand_and_search(
         else seed_df
     )
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class _SplitView:
+    """Read-only facade over a SegmentIndex restricted to a split set:
+    postings decode only the given splits, while collection/term stats
+    stay GLOBAL so BM25 weights are identical to the full index. Splits
+    are self-contained scoring units (every posting of doc d lives in
+    split d // split_range for every term), so phrase/conjunction
+    scoring inside the view is exact for the view's docs."""
+
+    def __init__(self, seg: SegmentIndex, splits: list[int]):
+        self._seg = seg
+        self._splits = list(splits)
+        self.spark = seg.spark
+        self.docs = seg.docs
+        self.stats = seg.stats
+        self.terms_stats = seg.terms_stats
+
+    def postings_for_terms(
+        self, terms: list[str], want_positions: bool = False
+    ):
+        return self._seg.postings_for_terms(
+            terms, want_positions, splits=self._splits
+        )
+
+    def term_stats(self, terms: list[str]):
+        return self._seg.term_stats(terms)
+
+
+def wand_phrase_search(
+    searcher: Searcher,
+    terms: list[str],
+    slop: int = 0,
+    k: int = 10,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Block-max pruned top-k for a PhraseQuery — rank-identical to
+    ``searcher.search(PhraseQuery(terms, slop), k)``.
+
+    The exhaustive phrase path decodes positions for every split any
+    constituent term touches. Metadata prunes twice before any decode:
+
+      1. presence: a split missing ANY constituent term cannot contain
+         the phrase (ExactPhraseScorer/SloppyPhraseScorer advance via
+         ConjunctionScorer-style leapfrogging — same presence logic).
+      2. score bound: phrase freq in a doc <= min term tf <= min over
+         terms of the split's max_tf, and the slop factor adds <= 1 per
+         match, so weight * tf_ub/(tf_ub + cache[min_nb]) upper-bounds
+         any doc's phrase score in the split (weight = boost * Σidf *
+         (k1+1), BM25Similarity.idfExplain:185-196). Seed θ from the
+         best split, decode only survivors.
+
+    Scoring restricted splits goes through the ordinary phrase scorer
+    over a _SplitView, so exact/sloppy/hasRpts semantics are inherited
+    unchanged.
+    """
+    import math
+
+    from .query import PhraseQuery
+
+    index = searcher.index
+    if not isinstance(index, SegmentIndex):
+        raise TypeError("wand_phrase_search needs a SegmentIndex")
+    if not index.manifest["keep_positions"]:
+        raise ValueError("phrase search needs a positions-bearing store")
+    distinct = sorted(set(terms))
+    n = len(distinct)
+    term_stats = index.term_stats(distinct)
+    if any(t not in term_stats for t in distinct):
+        if stats_out is not None:
+            stats_out.update(splits_any=0, splits_all=0, splits_decoded=0)
+        return index.spark.createDataFrame(
+            [], f"doc_id long, score {searcher._score_type}"
+        )
+
+    # summed-idf weight, double path (mirrors _score_phrase_freqs)
+    w = 0.0
+    for t in terms:
+        df_ = term_stats[t][0]
+        w += math.log(
+            1 + (index.stats.max_doc - df_ + 0.5) / (df_ + 0.5)
+        )
+    weight = w * (1.2 + 1)
+
+    meta = index.blocks.where(
+        F.col("bucket").isin(index.buckets_of(distinct))
+        & F.col("term").isin(distinct)
+    ).select(
+        "term",
+        (F.col("first_doc") / F.lit(index.split_range))
+        .cast("long")
+        .alias("split"),
+        "max_tf",
+        "min_nb",
+    )
+    per_split = (
+        meta.groupBy("split", "term")
+        .agg(
+            F.max("max_tf").alias("tmax"),
+            F.min("min_nb").alias("nbmin"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("term").alias("nt"),
+            F.min("tmax").alias("tf_ub"),
+            F.min("nbmin").alias("nb_min"),
+        )
+        .collect()
+    )
+    cache64 = searcher.cache64
+    candidates = []
+    for r in per_split:
+        if r["nt"] != n:
+            continue
+        tf_ub = float(r["tf_ub"])
+        ub = weight * tf_ub / (tf_ub + float(cache64[int(r["nb_min"])]))
+        candidates.append((int(r["split"]), ub))
+    candidates.sort(key=lambda t: -t[1])
+    if stats_out is not None:
+        stats_out.update(
+            splits_any=len(per_split),
+            splits_all=len(candidates),
+            splits_decoded=0,
+        )
+    if not candidates:
+        return index.spark.createDataFrame(
+            [], f"doc_id long, score {searcher._score_type}"
+        )
+
+    q = PhraseQuery(list(terms), slop=slop)
+
+    def score_splits(split_ids: list[int]) -> DataFrame:
+        view = _SplitView(index, split_ids)
+        return Searcher(view, searcher.exact).score(q)
+
+    seed_split = candidates[0][0]
+    seed_rows = (
+        score_splits([seed_split])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    theta = (
+        float(seed_rows[-1]["score"]) if len(seed_rows) == k else float("-inf")
+    )
+    survivors = [
+        s
+        for s, ub in candidates
+        if s != seed_split and ub * (1.0 + 1e-6) + 1e-12 >= theta
+    ]
+    if stats_out is not None:
+        stats_out["splits_decoded"] = 1 + len(survivors)
+    seed_df = index.spark.createDataFrame(
+        seed_rows, "doc_id long, score double"
+    ).select("doc_id", F.col("score").cast(searcher._score_type))
+    merged = (
+        score_splits(survivors).unionByName(seed_df)
+        if survivors
+        else seed_df
+    )
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

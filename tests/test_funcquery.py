@@ -98,3 +98,52 @@ def test_query_source_needs_context():
         parse_func("query('merge')")
     with pytest.raises(FuncParseError):
         parse_func("scale(n_chars,0,1)")
+
+
+def test_math_registry_breadth(spark):
+    import math
+
+    assert _eval(spark, "map(n_chars,200,300,1,0)") == 1.0
+    assert _eval(spark, "map(n_chars,0,100,1)") == 250.0  # def=x
+    assert _eval(spark, "sub(n_chars,50)") == 200.0
+    assert _eval(spark, "mod(n_chars,7)") == pytest.approx(250 % 7)
+    assert _eval(spark, "max(n_chars,300,1)") == 300.0
+    assert _eval(spark, "min(n_chars,300,1)") == 1.0
+    assert _eval(spark, "ln(n_chars)") == pytest.approx(math.log(250))
+    assert _eval(spark, "exp(1)") == pytest.approx(math.e)
+    assert _eval(spark, "floor(div(n_chars,3))") == 83.0
+    assert _eval(spark, "ceil(div(n_chars,3))") == 84.0
+    assert _eval(spark, "rint(div(n_chars,4))") == 62.0
+    assert _eval(spark, "atan2(1,1)") == pytest.approx(math.pi / 4)
+    assert _eval(spark, "hypot(3,4)") == 5.0
+    assert _eval(spark, "cbrt(27)") == pytest.approx(3.0)
+
+
+def test_index_stat_sources_need_searcher():
+    for expr in ("docfreq(text,'scan')", "maxdoc()", "idf(text,'scan')"):
+        with pytest.raises(FuncParseError):
+            parse_func(expr)
+
+
+def test_index_stat_sources_bind_literals(spark, tiny_index):
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    s = Searcher(tiny_index)
+    df = spark.range(1)
+    col, att = compile_func("docfreq(text,'error')", searcher=s)
+    got_df = df.select(col.alias("v")).collect()[0]["v"]
+    assert got_df == float(s.index.term_stats(["error"])["error"][0])
+    col2, _ = compile_func("maxdoc()", searcher=s)
+    assert (
+        df.select(col2.alias("v")).collect()[0]["v"]
+        == float(s.index.stats.max_doc)
+    )
+    import math
+
+    n = s.index.stats.max_doc
+    dfreq = s.index.term_stats(["error"])["error"][0]
+    col3, _ = compile_func("idf(text,'error')", searcher=s)
+    assert df.select(col3.alias("v")).collect()[0]["v"] == pytest.approx(
+        math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5)), rel=1e-12
+    )

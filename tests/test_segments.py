@@ -532,3 +532,59 @@ def test_wand_and_absent_term_empty(seg_index_splits):
         s, ["zzznope", "error"], 10, stats_out=stats
     ).collect()
     assert got == [] and stats["splits_decoded"] == 0
+
+
+def test_wand_phrase_rank_identical_to_unpruned(seg_index_splits):
+    """Phrase split pruning is score-safe: identical docIDs and scores
+    to the exhaustive phrase path, exact and sloppy."""
+    from lucene_solr_spark.search.wand import wand_phrase_search
+
+    s = Searcher(seg_index_splits)
+    for terms, slop in [
+        (["merge", "commit"], 0),
+        (["error", "timeout"], 2),
+        (["cache", "retry"], 4),
+    ]:
+        want = s.search(PhraseQuery(terms, slop=slop), 10).collect()
+        got = wand_phrase_search(s, terms, slop, 10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], terms
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) <= 1e-9 * max(
+                1.0, abs(w["score"])
+            )
+
+
+def test_wand_phrase_prunes_splits(spark, tmp_path):
+    """Presence pruning: splits where either phrase term is absent are
+    never decoded; the θ bound prunes low-tf splits."""
+    import pandas as pd
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.wand import wand_phrase_search
+
+    rows = []
+    for i in range(2000):
+        if i < 100:
+            text = "alpha beta " * 6          # hot: phrase tf 6, short
+        elif 1000 <= i < 1100:
+            text = "alpha filler" + " pad" * 30   # no 'beta'
+        else:
+            text = "alpha beta" + " pad" * 40     # phrase tf 1, long
+        rows.append((i, text))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    idx = build_index(spark, spark.createDataFrame(pdf), cache=True)
+    seg = write_segments(
+        idx, str(tmp_path / "phrseg"), n_buckets=4, split_range=100
+    )
+    s = Searcher(seg)
+    stats: dict = {}
+    got = wand_phrase_search(
+        s, ["alpha", "beta"], 0, 10, stats_out=stats
+    ).collect()
+    want = s.search(PhraseQuery(["alpha", "beta"]), 10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) <= 1e-9 * max(1.0, abs(w["score"]))
+    assert stats["splits_any"] == 20
+    assert stats["splits_all"] == 19     # the beta-free split dropped
+    assert stats["splits_decoded"] == 1, stats
