@@ -108,12 +108,70 @@ class Searcher:
 
     # ---------- public API ----------
 
-    def search(self, q: Query, k: int = 10) -> DataFrame:
-        """TopDocs analogue: top-k (doc_id, score), HitQueue tie-break."""
+    def search(self, q: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """TopDocs analogue: top-k (doc_id, score), HitQueue tie-break.
+
+        On a segment store, pure term conjunctions/disjunctions and
+        phrases route to the block-max split-pruned paths (wand.py) BY
+        DEFAULT — top-k over 10^12 docs must never decode postings the
+        bound already excludes, exactly as Lucene's default collectors
+        lean on skip lists. Pruning is rank-identical (score-safe);
+        ``prune=False`` forces the exhaustive plan (used by tests to
+        prove the identity)."""
+        if prune:
+            routed = self._wand_route(q, k)
+            if routed is not None:
+                return routed
         scored = self.score(q)
         return scored.orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
+
+    def _wand_route(self, q: Query, k: int) -> DataFrame | None:
+        """Route top-k shapes the split-bound machinery covers to the
+        pruned paths; anything else returns None (exhaustive plan).
+        Covered: unboosted pure-SHOULD / pure-MUST term booleans within
+        default msm semantics, single terms, and phrases."""
+        from ..index.segments import SegmentIndex
+
+        if not isinstance(self.index, SegmentIndex):
+            return None
+        from . import wand as W
+
+        q = rewrite(q)
+        if isinstance(q, TermQuery) and q.boost == 1.0:
+            return W.wand_or_search(self, [q.term], k)
+        if (
+            isinstance(q, PhraseQuery)
+            and q.boost == 1.0
+            and self.index.manifest.get("keep_positions", False)
+        ):
+            return W.wand_phrase_search(self, list(q.terms), q.slop, k)
+        if isinstance(q, BooleanQuery):
+            if any(
+                not isinstance(c.query, TermQuery)
+                or c.query.boost != 1.0
+                for c in q.clauses
+            ):
+                return None
+            must = [c.query.term for c in q.clauses if c.occur == "MUST"]
+            must_not = [c for c in q.clauses if c.occur == "MUST_NOT"]
+            should = [
+                c.query.term for c in q.clauses if c.occur == "SHOULD"
+            ]
+            if must_not:
+                return None
+            if (
+                must
+                and not should
+                and q.min_should_match == 0
+                and len(set(must)) == len(must)
+                and len(must) >= 2
+            ):
+                return W.wand_and_search(self, must, k)
+            if should and not must and q.min_should_match <= 1:
+                return W.wand_or_search(self, should, k)
+        return None
 
     def search_after(
         self, q: Query, after_score: float, after_doc: int, k: int = 10

@@ -173,7 +173,14 @@ def rewrite(q: Query) -> Query:
         clauses = tuple(
             BooleanClause(rewrite(c.query), c.occur) for c in q.clauses
         )
-        if len(clauses) == 1 and clauses[0].occur in ("MUST", "SHOULD"):
+        # collapse only when msm cannot change semantics: a single
+        # SHOULD needs msm <= 1, a single MUST needs msm == 0 (an
+        # unsatisfiable msm must keep matching nothing, BooleanQuery
+        # minNrShouldMatch semantics)
+        if len(clauses) == 1 and (
+            (clauses[0].occur == "SHOULD" and q.min_should_match <= 1)
+            or (clauses[0].occur == "MUST" and q.min_should_match == 0)
+        ):
             return clauses[0].query
         return BooleanQuery(clauses, q.min_should_match)
     return q

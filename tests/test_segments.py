@@ -237,7 +237,7 @@ def test_wand_rank_identical_to_unpruned(seg_index_splits, small_oracle):
         ["shard", "merge", "commit", "latency"],
         ["zzzabsent", "error"],
     ]:
-        want = s.search(Or(*terms), 10).collect()
+        want = s.search(Or(*terms), 10, prune=False).collect()
         got = wand_or_search(s, terms, 10).collect()
         assert [(r["doc_id"]) for r in got] == [(r["doc_id"]) for r in want]
         for g, w in zip(got, want):
@@ -275,7 +275,7 @@ def test_wand_duplicate_terms_match_or(seg_index_splits):
 
     s = Searcher(seg_index_splits)
     terms = ["error", "error", "timeout"]
-    want = s.search(Or(*terms), 10).collect()
+    want = s.search(Or(*terms), 10, prune=False).collect()
     got = wand_or_search(s, terms, 10).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
@@ -300,7 +300,7 @@ def test_wand_prunes_splits(seg_index_splits):
     from lucene_solr_spark.search.wand import wand_or_search
 
     got = wand_or_search(s, [rare], 10).collect()
-    want = s.search(TermQuery(rare), 10).collect()
+    want = s.search(TermQuery(rare), 10, prune=False).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     # a df=1 term occupies exactly one split; WAND must visit just it
     assert n_splits_total > 1
@@ -470,7 +470,7 @@ def test_wand_and_rank_identical_to_exhaustive(seg_index_splits):
         ["shard", "merge", "commit"],
         ["zzzabsent", "error"],
     ]:
-        want = s.search(And(*terms), 10).collect()
+        want = s.search(And(*terms), 10, prune=False).collect()
         got = wand_and_search(s, terms, 10).collect()
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
         for g, w in zip(got, want):
@@ -510,7 +510,7 @@ def test_wand_and_prunes_splits_on_skewed_corpus(spark, tmp_path):
     s = Searcher(seg)
     stats: dict = {}
     got = wand_and_search(s, ["alpha", "beta"], 10, stats_out=stats).collect()
-    want = s.search(And("alpha", "beta"), 10).collect()
+    want = s.search(And("alpha", "beta"), 10, prune=False).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
         assert abs(g["score"] - w["score"]) <= 1e-9 * max(1.0, abs(w["score"]))
@@ -545,7 +545,7 @@ def test_wand_phrase_rank_identical_to_unpruned(seg_index_splits):
         (["error", "timeout"], 2),
         (["cache", "retry"], 4),
     ]:
-        want = s.search(PhraseQuery(terms, slop=slop), 10).collect()
+        want = s.search(PhraseQuery(terms, slop=slop), 10, prune=False).collect()
         got = wand_phrase_search(s, terms, slop, 10).collect()
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], terms
         for g, w in zip(got, want):
@@ -581,10 +581,40 @@ def test_wand_phrase_prunes_splits(spark, tmp_path):
     got = wand_phrase_search(
         s, ["alpha", "beta"], 0, 10, stats_out=stats
     ).collect()
-    want = s.search(PhraseQuery(["alpha", "beta"]), 10).collect()
+    want = s.search(PhraseQuery(["alpha", "beta"]), 10, prune=False).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
         assert abs(g["score"] - w["score"]) <= 1e-9 * max(1.0, abs(w["score"]))
     assert stats["splits_any"] == 20
     assert stats["splits_all"] == 19     # the beta-free split dropped
     assert stats["splits_decoded"] == 1, stats
+
+
+def test_search_auto_routes_to_wand_on_segment_store(seg_index_splits):
+    """searcher.search() on a segment store must take the pruned path
+    for OR/AND/phrase/term shapes by default and stay rank-identical to
+    the exhaustive plan (prune=False)."""
+    from lucene_solr_spark.search import wand as W
+
+    s = Searcher(seg_index_splits)
+    for q in [
+        Or("error", "timeout"),
+        And("error", "timeout"),
+        PhraseQuery(["merge", "commit"]),
+        TermQuery("error"),
+    ]:
+        want = s.search(q, 10, prune=False).collect()
+        got = s.search(q, 10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) <= 1e-9 * max(
+                1.0, abs(w["score"])
+            )
+    # shapes the bounds don't cover fall back to the exhaustive plan
+    assert s._wand_route(Or("error", min_should_match=2), 10) is None
+    assert s._wand_route(TermQuery("error", boost=2.0), 10) is None
+
+
+def test_flat_index_never_routes(small_index):
+    s = Searcher(small_index)
+    assert s._wand_route(Or("error", "timeout"), 10) is None
