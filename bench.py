@@ -116,6 +116,13 @@ def main() -> None:
     E._index(spark, sf_dir)
     timings["index_build_docs"] = round(time.perf_counter() - t0, 3)
 
+    # -- segment store over the same corpus (feeds the *_wand / seg
+    # queries) — timed as a build, not inside the first query that
+    # happens to trigger it --
+    t0 = time.perf_counter()
+    E._seg_searcher(spark, sf_dir)
+    timings["index_build_segments"] = round(time.perf_counter() - t0, 3)
+
     # -- north-rule corpus: distributed generation, then the timed
     # single-pass segment build (same path as tools/index_job.py) -------
     import shutil

@@ -127,6 +127,14 @@ class Searcher:
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
 
+    # Route to split pruning only when the store has enough splits for
+    # the bound to skip real work: below this the 3-job WAND shape
+    # (metadata agg + seed + survivors) costs more than one exhaustive
+    # scan — the same reason Lucene consults skip lists only on long
+    # postings lists (skipInterval=16, Lucene40PostingsWriter.java:66).
+    # At the default 2^20-wide splits this means >= ~8M docs.
+    MIN_ROUTE_SPLITS = 8
+
     def _wand_route(self, q: Query, k: int) -> DataFrame | None:
         """Route top-k shapes the split-bound machinery covers to the
         pruned paths; anything else returns None (exhaustive plan).
@@ -135,6 +143,9 @@ class Searcher:
         from ..index.segments import SegmentIndex
 
         if not isinstance(self.index, SegmentIndex):
+            return None
+        n_splits = self.index.stats.max_doc // self.index.split_range + 1
+        if n_splits < self.MIN_ROUTE_SPLITS:
             return None
         from . import wand as W
 
