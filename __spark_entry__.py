@@ -1382,6 +1382,28 @@ def q_knn_ivf(spark, sf_dir):
     return knn_cosine_ivf(emb, [float(x) for x in qv], k=5)
 
 
+def q_knn_ivf_kmeans(spark, sf_dir):
+    """IVF with spherical-k-means-TRAINED coarse centroids (Faiss
+    IndexIVF train() analogue — the r3 verdict's named production
+    upgrade over first-N seeds). Each Lloyd iteration is one map-only
+    Arrow partial pass (count, Σ normalized vec per centroid) + a tiny
+    driver combine. Genuinely iterative — no SQL twin, so this gate
+    takes the driver's rows-only check; the training math is pinned
+    bit-for-bit vs a numpy reference in tests/test_knn_recall.py, and
+    nprobe==n_centroids ≡ brute force is pinned there too."""
+    from lucene_solr_spark.datapipe.similarity import (
+        ivf_train_kmeans,
+        knn_cosine_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = ivf_train_kmeans(emb, n_centroids=16, n_iter=3)
+    return knn_cosine_ivf(
+        emb, [float(x) for x in qv], k=5, n_centroids=16, cents=cents
+    )
+
+
 def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup: LSH same-bucket candidate pairs
     (8 tables x 8 planes, one Arrow signature pass, one (t,sig)
@@ -1521,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topk_ngroups": q_group_topk_ngroups,
         "group_facet": q_group_facet,
         "span_near_unord_rpts": q_span_near_unord_rpts,
+        "knn_ivf_kmeans": q_knn_ivf_kmeans,
         # --- new in round 3 ---
         "bm25_fielded": q_bm25_fielded,
         "edismax_qf": q_edismax_qf,

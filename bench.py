@@ -123,6 +123,11 @@ def main() -> None:
     E._seg_searcher(spark, sf_dir)
     timings["index_build_segments"] = round(time.perf_counter() - t0, 3)
 
+    # -- fielded (multi-field) index build (feeds bm25_fielded/edismax) --
+    t0 = time.perf_counter()
+    E._fielded(spark, sf_dir)
+    timings["index_build_fielded"] = round(time.perf_counter() - t0, 3)
+
     # -- north-rule corpus: distributed generation, then the timed
     # single-pass segment build (same path as tools/index_job.py) -------
     import shutil

@@ -431,6 +431,72 @@ def ivf_assign(
     )
 
 
+def ivf_train_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Spherical k-means training for the IVF coarse quantizer — the
+    production upgrade the r3 verdict noted over first-N seed vectors
+    (Faiss IndexIVF train()). Deterministic: init = the first-N seeds,
+    assignment ties to the lower centroid id, empty clusters keep
+    their previous centroid.
+
+    Scale shape per Lloyd iteration: ONE map-only Arrow pass computes
+    per-partition partial (count, Σ normalized-vector) per centroid —
+    no shuffle — and the driver combines k × dim partials (16×N floats,
+    trivially small at any corpus size). Centroids are re-normalized
+    each round (spherical k-means, the right objective for cosine).
+    Returns [(centroid_id, np.float64 vector)] for knn_cosine_ivf's
+    ``cents`` parameter."""
+    import numpy as np
+    import pandas as pd
+
+    seed = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    C = np.stack([v for _, v in seed]).astype(np.float64)
+    C = C / _safe_norm(C, axis=1, keepdims=True)
+    src = embeddings.select(id_col, vec_col)
+    for _ in range(n_iter):
+        Cn = C
+
+        def partials(batches, Cn=Cn):
+            sums = np.zeros_like(Cn)
+            counts = np.zeros(len(Cn), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                E = np.stack(
+                    [np.asarray(v, np.float64) for v in pdf[vec_col]]
+                )
+                En = E / _safe_norm(E, axis=1, keepdims=True)
+                a = (En @ Cn.T).argmax(axis=1)  # first max -> low id
+                np.add.at(sums, a, En)
+                np.add.at(counts, a, 1)
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(len(Cn), dtype=np.int64),
+                    "cnt": counts,
+                    "vsum": [row.tolist() for row in sums],
+                }
+            )
+
+        rows = src.mapInPandas(
+            partials, "cid long, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for r in rows:
+            sums[int(r["cid"])] += np.asarray(r["vsum"], np.float64)
+            counts[int(r["cid"])] += int(r["cnt"])
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]
+        C = C / _safe_norm(C, axis=1, keepdims=True)
+    return [(i, C[i]) for i in range(len(C))]
+
+
 def knn_cosine_ivf(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -439,6 +505,7 @@ def knn_cosine_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list | None = None,
 ) -> DataFrame:
     """IVF ANN query: probe the ``nprobe`` centroids nearest the query,
     exact-cosine rerank ONLY the vectors assigned to them (inverted
@@ -447,7 +514,8 @@ def knn_cosine_ivf(
     """
     import numpy as np
 
-    cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
     assigned = ivf_assign(
         embeddings, n_centroids, id_col, vec_col, cents=cents
     )

@@ -172,3 +172,81 @@ def test_ivf_exact_when_probing_all_and_recall(spark):
     ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
     for vid, cid in zip(ids, want_cid):
         assert got[vid] == cid
+
+
+def test_ivf_kmeans_matches_numpy_reference(spark):
+    """Distributed spherical k-means (one Arrow partial pass per Lloyd
+    iteration + driver combine) must reproduce a straight numpy
+    implementation bit-for-bit on a single partition (same op order)."""
+    import numpy as np
+
+    from lucene_solr_spark.datapipe.similarity import ivf_train_kmeans
+
+    # deterministic vectors, no RNG: 3 loose clusters on a circle
+    rows = []
+    for i in range(60):
+        base = i % 3
+        ang = base * 2.1 + (i // 3) * 0.01
+        rows.append(
+            (i, [float(np.cos(ang)), float(np.sin(ang)), float(base)])
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(1)
+    k, iters = 3, 4
+    got = ivf_train_kmeans(emb, n_centroids=k, n_iter=iters)
+
+    # numpy reference — identical normalization/assignment/update rules
+    V = np.stack(
+        [np.asarray(v, np.float64) for _, v in sorted(rows)]
+    )
+    # note: float32 storage round-trip (array<float>) must be mirrored
+    V32 = np.stack(
+        [np.asarray(np.asarray(v, np.float32), np.float64) for _, v in rows]
+    )
+    Vn = V32 / np.linalg.norm(V32, axis=1, keepdims=True)
+    C = Vn[:k].copy()
+    for _ in range(iters):
+        a = (Vn @ C.T).argmax(axis=1)
+        newC = C.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                newC[c] = Vn[m].sum(axis=0) / m.sum()
+        C = newC / np.linalg.norm(newC, axis=1, keepdims=True)
+    for (cid, vec), want in zip(got, C):
+        assert np.allclose(vec, want, rtol=0, atol=1e-12), (cid, vec, want)
+
+
+def test_ivf_kmeans_probe_all_equals_bruteforce(spark):
+    """With trained centroids and nprobe == n_centroids, IVF must
+    degenerate to exact brute force (lossless inverted lists)."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.datapipe.similarity import (
+        ivf_train_kmeans,
+        knn_cosine_bruteforce,
+        knn_cosine_ivf,
+    )
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 3)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    cents = ivf_train_kmeans(emb, n_centroids=8, n_iter=2)
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in knn_cosine_bruteforce(emb, qv, k=5).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cos"])
+        for r in knn_cosine_ivf(
+            emb, qv, k=5, n_centroids=8, nprobe=8, cents=cents
+        ).collect()
+    ]
+    assert got == exact

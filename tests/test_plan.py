@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions — the properties that matter at
+100 TB must be visible in `.explain`, not just fast on 60k rows:
+
+  - the segment store's block scan is PARTITION-pruned on bucket and
+    row-group-pruned on term (PushedFilters) before any decode;
+  - doc-store predicates (fq / numeric range) reach the parquet scan
+    as PushedFilters with pruned ReadSchema;
+  - top-k compiles to TakeOrderedAndProject (bounded heap + single
+    merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.search.executor import Searcher
+
+
+@pytest.fixture(scope="module")
+def seg(small_index, tmp_path_factory):
+    from lucene_solr_spark.index.segments import write_segments
+
+    d = str(tmp_path_factory.mktemp("planseg"))
+    return write_segments(small_index, d, n_buckets=8, split_range=256)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_block_scan_is_bucket_and_term_pruned(seg):
+    pruned = seg.postings_for_terms(["error"])
+    plan = _plan(pruned)
+    # partition pruning on the bucket directory column
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # term equality/IN reaches the parquet row-group stats
+    pf = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pf and "term" in pf[0], plan
+
+
+def test_doc_store_predicate_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pyspark.sql.functions as F
+
+    q = docs.where(F.col("n_chars").between(200, 400)).select(
+        "doc_id", "n_chars"
+    )
+    plan = _plan(q)
+    pf = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pf and "n_chars" in pf[0], plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # column pruning: only the 2 projected columns are read
+    assert rs and "text" not in rs[0], plan
+
+
+def test_topk_is_take_ordered_not_global_sort(seg):
+    s = Searcher(seg)
+    from lucene_solr_spark.search.query import Or
+
+    top = s.search(Or("error", "timeout"), 10, prune=False)
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan, plan
