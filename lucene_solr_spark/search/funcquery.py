@@ -23,6 +23,8 @@ queries/function/valuesource/* for the semantics of each function:
                  non-matching docs (ValueSourceParser.java:266,
                  QueryValueSource.java defVal=0)
   map(x,l,u,t[,d])  RangeMapFloatFunction; sub, mod, max(..), min(..)
+  exists(f), not/and/or/xor  (ExistsValueSource + BoolFunction family,
+                 emitted as 1.0/0.0 so they compose with if()/math)
   ln/exp/sin/cos/tan/asin/acos/atan/sinh/cosh/tanh/cbrt/rad/deg/
   floor/ceil/rint/atan2/hypot  (the DoubleValueSource math registry)
   docfreq(f,t), totaltermfreq(f,t)/ttf, idf(f,t), maxdoc(), numdocs()
@@ -262,7 +264,30 @@ def _compile(node, ctx: _Ctx) -> Column:
             raise FuncParseError(f"{name} takes no args")
         return F.lit(float(ctx.searcher.index.stats.max_doc))
 
+    if name == "exists":
+        # ExistsValueSource / exists(field): true iff the doc has a
+        # value — emitted as 1.0/0.0 so it composes with if() and math
+        need(1)
+        if raw_args[0][0] == "field":
+            return (
+                F.col(raw_args[0][1]).isNotNull().cast("double")
+            )
+        return F.lit(1.0)  # constants/functions always exist
+
     args = [_compile(a, ctx) for a in raw_args]
+    _truth = lambda c: F.coalesce(c, F.lit(0.0)) != F.lit(0.0)  # noqa: E731
+    if name == "not":  # BoolFunction family (SimpleBoolFunction)
+        need(1)
+        return (~_truth(args[0])).cast("double")
+    if name == "and":
+        need(2)
+        return (_truth(args[0]) & _truth(args[1])).cast("double")
+    if name == "or":
+        need(2)
+        return (_truth(args[0]) | _truth(args[1])).cast("double")
+    if name == "xor":
+        need(2)
+        return (_truth(args[0]) != _truth(args[1])).cast("double")
     if name == "map":
         # RangeMapFloatFunction: min<=x<=max -> target, else def or x
         if len(raw_args) not in (4, 5):

@@ -147,3 +147,23 @@ def test_index_stat_sources_bind_literals(spark, tiny_index):
     assert df.select(col3.alias("v")).collect()[0]["v"] == pytest.approx(
         math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5)), rel=1e-12
     )
+
+
+def test_bool_sources(spark):
+    df = spark.createDataFrame([(None, 7), (3, 0)], "opt int, x int")
+    rows = df.select(
+        parse_func("exists(opt)").alias("e"),
+        parse_func("not(x)").alias("n"),
+        parse_func("and(x,1)").alias("a"),
+        parse_func("or(x,0)").alias("o"),
+        parse_func("xor(x,1)").alias("xr"),
+        parse_func("if(exists(opt),def(opt,0),-1)").alias("c"),
+    ).orderBy("n").collect()
+    # row x=7 (truthy) sorts first on not(x)=0
+    r7, r0 = rows
+    assert (r7["e"], r7["n"], r7["a"], r7["o"], r7["xr"], r7["c"]) == (
+        0.0, 0.0, 1.0, 1.0, 0.0, -1.0
+    )
+    assert (r0["e"], r0["n"], r0["a"], r0["o"], r0["xr"], r0["c"]) == (
+        1.0, 1.0, 0.0, 0.0, 1.0, 3.0
+    )
