@@ -745,6 +745,26 @@ def q_func_if_def(spark, sf_dir):
     )
 
 
+def q_func_bool(spark, sf_dir):
+    """Boolean value sources (ExistsValueSource + the SimpleBoolFunction
+    family, ValueSourceParser.java exists/not/and/or/xor): composed as
+    2*exists(opt) + and(1,n_chars) + or(0,not(linear(n_chars,1,-300)))
+    + xor(exists(opt),1) over a nullable derived column."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    d = _docs(spark, sf_dir).withColumn(
+        "opt",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.col("n_chars")),
+    )
+    col = parse_func(
+        "sum(product(exists(opt),2),and(1,n_chars),"
+        "or(0,not(linear(n_chars,1,-300))),xor(exists(opt),1))"
+    )
+    return d.select("doc_id", F.round(col, 4).alias("val")).orderBy(
+        "doc_id"
+    )
+
+
 def q_func_scale(spark, sf_dir):
     """scale(n_chars,0,1) (ValueSourceParser.java:161,
     ScaleFloatFunction): min-max over ALL docs resolved at compile time
@@ -1536,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "func_ms_recency": q_func_ms_recency,
         "func_if_def": q_func_if_def,
         "func_scale": q_func_scale,
+        "func_bool": q_func_bool,
         "sort_by_func": q_sort_by_func,
         "func_query_bf": q_func_query_bf,
         "join_scored": q_join_scored,
@@ -1687,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "func_ms_recency": O.func_ms_recency(_nowday_ms()),
         "func_if_def": O.func_if_def(),
         "func_scale": O.func_scale(),
+        "func_bool": O.func_bool(),
         "sort_by_func": O.sort_by_func("scan"),
         "func_query_bf": O.bm25_bool(must=["scan"], should=["merge"]),
         "join_scored": O.join_scored_customers(300000.0, "avg"),

@@ -2402,6 +2402,24 @@ def func_scale(table: str = "documents") -> str:
     )
 
 
+def func_bool(table: str = "documents") -> str:
+    """Twin of the engine's exists/not/and/or/xor bool sources over
+    opt = n_chars when doc_id%3=0 else NULL: each emitted as 1.0/0.0
+    with truthiness coalesce(x,0)<>0, composed exactly as q_func_bool."""
+    return (
+        "WITH b AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS e, "
+        "CASE WHEN coalesce(CAST(n_chars AS DOUBLE), 0.0) <> 0.0 "
+        "THEN 1.0 ELSE 0.0 END AS tn, "
+        "CASE WHEN coalesce(1.0 * CAST(n_chars AS DOUBLE) - 300.0, 0.0) "
+        f"<> 0.0 THEN 0.0 ELSE 1.0 END AS nlin FROM {table}) "
+        "SELECT doc_id, round(e * 2.0 + tn "
+        "+ (CASE WHEN nlin <> 0.0 THEN 1.0 ELSE 0.0 END) "
+        "+ (CASE WHEN (e <> 0.0) <> TRUE THEN 1.0 ELSE 0.0 END), "
+        "4) AS val FROM b ORDER BY doc_id"
+    )
+
+
 def sort_by_func(term: str, k: int = 10, table: str = "documents") -> str:
     """sort=recip(n_chars,1,1000,1000) asc — Solr sort-by-function:
     BM25 membership and scores unchanged, ordering by the ValueSource."""
