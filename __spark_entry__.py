@@ -765,6 +765,52 @@ def q_func_bool(spark, sf_dir):
     )
 
 
+def q_func_termfreq(spark, sf_dir):
+    """termfreq(f,t) + tf(f,t) per-doc relevance sources
+    (TermFreqValueSource / TFValueSource, classic sqrt tf): attachment
+    frame left-joined onto all docs, 0 for non-matches."""
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    s = _searcher(spark, sf_dir)
+    base = _docs(spark, sf_dir).select("doc_id")
+    c1, att1 = compile_func("termfreq(text,'scan')", searcher=s)
+    c2, att2 = compile_func("tf(text,'scan')", searcher=s)
+    joined = base
+    for alias, frame in att1 + att2:
+        joined = joined.join(frame, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        c1.alias("freq"),
+        F.round(c2, 4).alias("tfv"),
+    ).orderBy("doc_id")
+
+
+def q_func_strdist(spark, sf_dir):
+    """strdist(field,'literal','edit') (StrDistanceFunction): Levenshtein
+    similarity 1 - dist/maxLen over the lang column."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    d = _docs(spark, sf_dir)
+    col = parse_func("strdist(lang,'en','edit')")
+    return d.select("doc_id", F.round(col, 4).alias("sim")).orderBy(
+        "doc_id"
+    )
+
+
+def q_func_geodist(spark, sf_dir):
+    """geodist(latf,lonf,lat,lon) (HaversineConstFunction): km from a
+    constant point over the deterministic doc_id-derived coordinates
+    geofilt uses."""
+    from lucene_solr_spark.search.funcquery import parse_func
+    from lucene_solr_spark.search.spatial import with_synthetic_coords
+
+    pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
+    col = parse_func("geodist(lat,lon,12.5,40.0)")
+    return pts.select("doc_id", F.round(col, 4).alias("dist_km")).orderBy(
+        "doc_id"
+    )
+
+
 def q_func_scale(spark, sf_dir):
     """scale(n_chars,0,1) (ValueSourceParser.java:161,
     ScaleFloatFunction): min-max over ALL docs resolved at compile time
@@ -1557,6 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "func_if_def": q_func_if_def,
         "func_scale": q_func_scale,
         "func_bool": q_func_bool,
+        "func_termfreq": q_func_termfreq,
+        "func_strdist": q_func_strdist,
+        "func_geodist": q_func_geodist,
         "sort_by_func": q_sort_by_func,
         "func_query_bf": q_func_query_bf,
         "join_scored": q_join_scored,
@@ -1709,6 +1758,9 @@ def oracle_sql() -> dict[str, str]:
         "func_if_def": O.func_if_def(),
         "func_scale": O.func_scale(),
         "func_bool": O.func_bool(),
+        "func_termfreq": O.func_termfreq("scan"),
+        "func_strdist": O.func_strdist("en"),
+        "func_geodist": O.func_geodist(12.5, 40.0),
         "sort_by_func": O.sort_by_func("scan"),
         "func_query_bf": O.bm25_bool(must=["scan"], should=["merge"]),
         "join_scored": O.join_scored_customers(300000.0, "avg"),

@@ -2420,6 +2420,60 @@ def func_bool(table: str = "documents") -> str:
     )
 
 
+def func_termfreq(term: str, table: str = "documents") -> str:
+    """termfreq/tf twin: per-doc post-stop token count of the term via
+    the shared tokenizer CTE, left-joined so non-matches read 0;
+    tf = sqrt(freq) (classic DefaultSimilarity)."""
+    return f"""
+WITH {tok_ctes(table)},
+tfq AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS c FROM tok
+  WHERE term = '{_sq(term)}' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(c, 0.0) AS freq,
+       round(sqrt(coalesce(c, 0.0)), 4) AS tfv
+FROM {table} d LEFT JOIN tfq USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
+def func_strdist(lit: str, table: str = "documents") -> str:
+    """strdist(lang,'lit','edit') twin: 1 - levenshtein/maxLen with the
+    both-empty guard emitting 1.0."""
+    return (
+        "SELECT doc_id, round(CASE WHEN greatest(length(lang), "
+        f"length('{_sq(lit)}')) = 0 THEN 1.0 ELSE "
+        f"1.0 - CAST(levenshtein(lang, '{_sq(lit)}') AS DOUBLE) "
+        f"/ greatest(length(lang), length('{_sq(lit)}')) END, 4) AS sim "
+        f"FROM {table} ORDER BY doc_id"
+    )
+
+
+def func_geodist(lat: float, lon: float, table: str = "documents") -> str:
+    """geodist twin: same synthetic doc_id-derived coordinates and the
+    same haversine op order as geofilt_docs, distance for every doc."""
+    r = 6371.0087714
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 1800) / 10.0 - 90.0 AS lat,
+         ((doc_id * 73) % 3600) / 10.0 - 180.0 AS lon
+  FROM {table}
+)
+SELECT doc_id,
+       round((2.0 * {r!r}) * atan2(
+         sqrt(  sin(radians(lat - {lat!r}) / 2) * sin(radians(lat - {lat!r}) / 2)
+              + cos(radians({lat!r})) * cos(radians(lat))
+                * sin(radians(lon - {lon!r}) / 2) * sin(radians(lon - {lon!r}) / 2)),
+         sqrt(1.0 - (sin(radians(lat - {lat!r}) / 2) * sin(radians(lat - {lat!r}) / 2)
+              + cos(radians({lat!r})) * cos(radians(lat))
+                * sin(radians(lon - {lon!r}) / 2) * sin(radians(lon - {lon!r}) / 2)))
+       ), 4) AS dist_km
+FROM pts ORDER BY doc_id
+""".strip()
+
+
 def sort_by_func(term: str, k: int = 10, table: str = "documents") -> str:
     """sort=recip(n_chars,1,1000,1000) asc — Solr sort-by-function:
     BM25 membership and scores unchanged, ordering by the ValueSource."""

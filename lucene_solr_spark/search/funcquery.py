@@ -25,6 +25,16 @@ queries/function/valuesource/* for the semantics of each function:
   map(x,l,u,t[,d])  RangeMapFloatFunction; sub, mod, max(..), min(..)
   exists(f), not/and/or/xor  (ExistsValueSource + BoolFunction family,
                  emitted as 1.0/0.0 so they compose with if()/math)
+  termfreq(f,t)  raw per-doc term frequency (TermFreqValueSource) —
+                 an attachment frame like query(); 0 for non-matches
+  tf(f,t)        similarity tf of the raw freq (TFValueSource with
+                 classic DefaultSimilarity: sqrt(freq))
+  norm(f)        decoded norm byte per doc (NormValueSource +
+                 floatToByte315 decode table as a 256-literal array)
+  strdist(a,b,'edit')  Levenshtein similarity 1 - dist/maxLen
+                 (StrDistanceFunction; jw/ngram measures not compiled —
+                 loud FuncParseError)
+  geodist(latf,lonf,lat,lon)  haversine km (HaversineConstFunction)
   ln/exp/sin/cos/tan/asin/acos/atan/sinh/cosh/tanh/cbrt/rad/deg/
   floor/ceil/rint/atan2/hypot  (the DoubleValueSource math registry)
   docfreq(f,t), totaltermfreq(f,t)/ttf, idf(f,t), maxdoc(), numdocs()
@@ -129,6 +139,14 @@ def parse_ast(expr: str):
     return node
 
 
+import itertools
+
+# process-global so attachments from SEPARATE compile_func calls can be
+# joined onto one frame without column collisions (handler.select joins
+# bf + boost attachment lists together)
+_ALIAS_COUNTER = itertools.count()
+
+
 class _Ctx:
     """Compile context: deterministic NOW anchor, searcher/docs for the
     sources that need a data pass (scale) or an embedded query."""
@@ -138,6 +156,9 @@ class _Ctx:
         self.searcher = searcher
         self.docs = docs
         self.attachments: list[tuple[str, DataFrame]] = []
+
+    def next_alias(self) -> str:
+        return f"__fq{next(_ALIAS_COUNTER)}"
 
 
 def _epoch_ms(dm_expr: str, ctx: _Ctx) -> int:
@@ -209,7 +230,7 @@ def _compile(node, ctx: _Ctx) -> Column:
             )
         from .qparser import parse_lucene
 
-        alias = f"__fq{len(ctx.attachments)}"
+        alias = ctx.next_alias()
         scored = (
             ctx.searcher.score(parse_lucene(raw_args[0][1]))
             .groupBy("doc_id")
@@ -257,6 +278,100 @@ def _compile(node, ctx: _Ctx) -> Column:
 
         n = ctx.searcher.index.stats.max_doc
         return F.lit(math.log(1 + (n - st[0] + 0.5) / (st[0] + 0.5)))
+    if name in ("termfreq", "tf"):
+        # TermFreqValueSource / TFValueSource (ValueSourceParser
+        # "termfreq"/"tf"): per-doc raw frequency of a term, as an
+        # attachment frame (doc_id, __fq{i}) the caller left-joins —
+        # non-matching docs read 0. tf() applies the classic
+        # DefaultSimilarity tf = sqrt(freq) (TFIDFSimilarity.java).
+        # Signature (field, term); field accepted for parity.
+        need(2)
+        term_node = raw_args[-1]
+        if term_node[0] not in ("str", "field"):
+            raise FuncParseError(f"{name} takes a term argument")
+        if ctx.searcher is None:
+            raise FuncParseError(
+                f"{name}(...) needs a searcher context (use compile_func)"
+            )
+        alias = ctx.next_alias()
+        frame = (
+            ctx.searcher._postings_for([term_node[1]])
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias(alias))
+        )
+        ctx.attachments.append((alias, frame))
+        raw = F.coalesce(F.col(alias).cast("double"), F.lit(0.0))
+        return F.sqrt(raw) if name == "tf" else raw
+    if name == "norm":
+        # NormValueSource: similarity.decodeNormValue(norms[doc]) —
+        # the norm byte rides on every posting row (builder.py), so the
+        # per-doc frame is one groupBy; decode = the same 256-entry
+        # floatToByte315 table BM25 scoring uses, as an array literal.
+        need(1)
+        if ctx.searcher is None:
+            raise FuncParseError(
+                "norm(...) needs a searcher context (use compile_func)"
+            )
+        import numpy as np
+
+        from ..index.norms import byte315_to_float
+
+        decode = byte315_to_float(np.arange(256, dtype=np.int64))
+        alias = ctx.next_alias()
+        frame = (
+            ctx.searcher.index.postings.groupBy("doc_id")
+            .agg(F.first("norm_byte").alias("__nb"))
+            .select(
+                "doc_id",
+                F.element_at(
+                    F.array(*[F.lit(float(v)) for v in decode]),
+                    F.col("__nb") + 1,
+                ).alias(alias),
+            )
+        )
+        ctx.attachments.append((alias, frame))
+        # docs with no indexed terms: norms[doc]=0 -> decode 0.0
+        return F.coalesce(F.col(alias).cast("double"), F.lit(0.0))
+    if name == "strdist":
+        # StrDistanceFunction (ValueSourceParser "strdist"): similarity
+        # in [0,1]. 'edit' = 1 - levenshtein/maxLen (commons-lang
+        # getLevenshteinDistance normalization); jw/ngram measures are
+        # not compiled — loud error, declared narrow.
+        need(3)
+        if raw_args[2][0] != "str" or raw_args[2][1] != "edit":
+            raise FuncParseError(
+                "strdist measure must be 'edit' (jw/ngram not compiled)"
+            )
+
+        def _sarg(a):
+            if a[0] == "str":
+                return F.lit(a[1])
+            if a[0] == "field":
+                return F.col(a[1]).cast("string")
+            raise FuncParseError("strdist args must be fields or strings")
+
+        s1, s2 = _sarg(raw_args[0]), _sarg(raw_args[1])
+        maxlen = F.greatest(F.length(s1), F.length(s2))
+        return F.when(maxlen == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0)
+            - F.levenshtein(s1, s2).cast("double")
+            / maxlen.cast("double")
+        )
+    if name == "geodist":
+        # HaversineConstFunction (ValueSourceParser "geodist"): distance
+        # in km from a constant point to the doc's lat/lon fields.
+        # Signature geodist(latfield, lonfield, lat, lon).
+        need(4)
+        from .spatial import haversine_km
+
+        if raw_args[0][0] != "field" or raw_args[1][0] != "field":
+            raise FuncParseError("geodist takes (latfield, lonfield, lat, lon)")
+        return haversine_km(
+            _compile(raw_args[2], ctx),
+            _compile(raw_args[3], ctx),
+            F.col(raw_args[0][1]).cast("double"),
+            F.col(raw_args[1][1]).cast("double"),
+        )
     if name in ("maxdoc", "numdocs"):
         if ctx.searcher is None:
             raise FuncParseError(f"{name}() needs a searcher context")

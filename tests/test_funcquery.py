@@ -149,6 +149,88 @@ def test_index_stat_sources_bind_literals(spark, tiny_index):
     )
 
 
+def test_termfreq_tf_norm_sources(spark, tiny_index):
+    """termfreq/tf read the per-doc postings frequency (attachment
+    frame, 0 for non-matches); norm decodes the floatToByte315 byte —
+    cross-checked against the raw postings rows."""
+    import math
+
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    s = Searcher(tiny_index)
+    term = "error"
+    posts = {
+        int(r["doc_id"]): (int(r["tf"]), int(r["norm_byte"]))
+        for r in s._postings_for([term])
+        .select("doc_id", "tf", "norm_byte")
+        .collect()
+    }
+    assert posts, "fixture must contain the probe term"
+    base = tiny_index.docs.select("doc_id")
+    col, att = compile_func(f"termfreq(text,'{term}')", searcher=s)
+    joined = base
+    for alias, frame in att:
+        joined = joined.join(frame, "doc_id", "left")
+    got = {
+        int(r["doc_id"]): r["v"]
+        for r in joined.select("doc_id", col.alias("v")).collect()
+    }
+    for d, v in got.items():
+        assert v == pytest.approx(float(posts.get(d, (0, 0))[0]))
+    col2, att2 = compile_func(f"tf(text,'{term}')", searcher=s)
+    joined2 = base
+    for alias, frame in att2:
+        joined2 = joined2.join(frame, "doc_id", "left")
+    got2 = {
+        int(r["doc_id"]): r["v"]
+        for r in joined2.select("doc_id", col2.alias("v")).collect()
+    }
+    some_doc = next(iter(posts))
+    assert got2[some_doc] == pytest.approx(
+        math.sqrt(float(posts[some_doc][0]))
+    )
+    # norm: decoded byte for a doc that has postings
+    import numpy as np
+
+    from lucene_solr_spark.index.norms import byte315_to_float
+
+    col3, att3 = compile_func("norm(text)", searcher=s)
+    joined3 = base
+    for alias, frame in att3:
+        joined3 = joined3.join(frame, "doc_id", "left")
+    got3 = {
+        int(r["doc_id"]): r["v"]
+        for r in joined3.select("doc_id", col3.alias("v")).collect()
+    }
+    expect = float(
+        byte315_to_float(np.array([posts[some_doc][1]], dtype=np.int64))[0]
+    )
+    assert got3[some_doc] == pytest.approx(expect, rel=1e-6)
+
+
+def test_strdist_and_geodist(spark):
+    df = spark.createDataFrame(
+        [("kitten", 48.8566, 2.3522)], "w string, lat double, lon double"
+    )
+    v = df.select(
+        parse_func("strdist(w,'sitting','edit')").alias("v")
+    ).collect()[0]["v"]
+    assert v == pytest.approx(1.0 - 3.0 / 7.0)
+    # identical strings -> 1.0; empty-vs-empty guard -> 1.0
+    df2 = spark.createDataFrame([("", "")], "a string, b string")
+    assert df2.select(
+        parse_func("strdist(a,b,'edit')").alias("v")
+    ).collect()[0]["v"] == pytest.approx(1.0)
+    with pytest.raises(FuncParseError):
+        parse_func("strdist(w,'x','jw')")
+    # geodist: Paris -> London ~343.5 km
+    d = df.select(
+        parse_func("geodist(lat,lon,51.5074,-0.1278)").alias("d")
+    ).collect()[0]["d"]
+    assert d == pytest.approx(343.5, abs=1.0)
+
+
 def test_bool_sources(spark):
     df = spark.createDataFrame([(None, 7), (3, 0)], "opt int, x int")
     rows = df.select(
