@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from lucene_solr_spark.search.funcquery import FuncParseError, parse_func
@@ -229,6 +230,30 @@ def test_strdist_and_geodist(spark):
         parse_func("geodist(lat,lon,51.5074,-0.1278)").alias("d")
     ).collect()[0]["d"]
     assert d == pytest.approx(343.5, abs=1.0)
+
+
+def test_attachment_aliases_unique_across_compiles(spark, tiny_index):
+    """Attachments from two separate compile_func calls must join onto
+    one frame without column collisions (handler.select combines bf +
+    boost attachment lists)."""
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    s = Searcher(tiny_index)
+    c1, att1 = compile_func("termfreq(text,'error')", searcher=s)
+    c2, att2 = compile_func("termfreq(text,'the')", searcher=s)
+    aliases = [a for a, _ in att1 + att2]
+    assert len(set(aliases)) == len(aliases)
+    joined = tiny_index.docs.select("doc_id")
+    for alias, frame in att1 + att2:
+        joined = joined.join(frame, "doc_id", "left")
+    # resolves without AMBIGUOUS_REFERENCE and computes both columns
+    row = (
+        joined.select(
+            F.sum(c1).alias("a"), F.sum(c2).alias("b")
+        ).collect()[0]
+    )
+    assert row["a"] is not None and row["b"] is not None
 
 
 def test_bool_sources(spark):
