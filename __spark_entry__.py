@@ -853,6 +853,142 @@ def q_func_query_bf(spark, sf_dir):
     return _topk_rounded(out["response"])
 
 
+def q_func_dist(spark, sf_dir):
+    """sqedist/dist vector distances (SquaredEuclideanFunction +
+    VectorDistanceFunction via ValueSourceParser.java:542-560): Minkowski
+    power 0/1/2/3 between the point (n_chars, doc_id) and a constant
+    point, with the two-vector() and flat-list arg forms both used."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(
+            parse_func("sqedist(n_chars,doc_id,500,50)"), 4
+        ).alias("sq"),
+        F.round(
+            parse_func("dist(1,n_chars,doc_id,500,50)"), 4
+        ).alias("d1"),
+        F.round(
+            parse_func("dist(2,vector(n_chars,doc_id),vector(500,50))"), 4
+        ).alias("d2"),
+        parse_func("dist(0,n_chars,doc_id,500,50)").alias("d0"),
+        F.round(
+            parse_func("dist(3,n_chars,doc_id,500,50)"), 4
+        ).alias("d3"),
+    ).orderBy("doc_id")
+
+
+def q_func_ord(spark, sf_dir):
+    """ord(f)/rord(f) sorted-term ordinals (OrdFieldSource.java:81 /
+    ReverseOrdFieldSource.java:77-83): 1-based ordinal of the doc's
+    lang in the sorted distinct-value index, 0 for missing; rord =
+    numOrd - ord with numOrd = #terms + 1."""
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    d = _docs(spark, sf_dir)
+    c1, att1 = compile_func("ord(lang)", docs=d)
+    c2, att2 = compile_func("rord(lang)", docs=d)
+    joined = d.select("doc_id", "lang")
+    for alias, frame in att1 + att2:
+        joined = joined.join(frame, "doc_id", "left")
+    return joined.select(
+        "doc_id", c1.alias("ordv"), c2.alias("rordv")
+    ).orderBy("doc_id")
+
+
+def q_func_hsin(spark, sf_dir):
+    """hsin(radius, convert, y1, x1, y2, x2) (HaversineFunction.java:
+    71-92): great-circle distance on a parametric sphere — miles radius
+    here to prove the radius actually parameterizes — over the
+    deterministic synthetic coordinates."""
+    from lucene_solr_spark.search.funcquery import parse_func
+    from lucene_solr_spark.search.spatial import with_synthetic_coords
+
+    pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
+    col = parse_func("hsin(3958.761,true,lat,lon,12.5,40.0)")
+    return pts.select(
+        "doc_id", F.round(col, 4).alias("dist_mi")
+    ).orderBy("doc_id")
+
+
+def q_func_geohash(spark, sf_dir):
+    """geohash(lat,lon) + ghhsin(r,gh1,gh2) (GeohashFunction /
+    GeohashHaversineFunction): precision-12 base-32 bit-interleave
+    encode and cell-center haversine — pure Catalyst integer shifts,
+    no UDFs; the oracle reproduces the closed-form cell arithmetic."""
+    from lucene_solr_spark.search.funcquery import parse_func
+    from lucene_solr_spark.search.spatial import with_synthetic_coords
+
+    pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
+    gh = parse_func("geohash(lat,lon)")
+    ghd = parse_func(
+        "ghhsin(6371.0087714,geohash(lat,lon),geohash(12.5,40.0))"
+    )
+    return pts.select(
+        "doc_id", gh.alias("gh"), F.round(ghd, 4).alias("ghd")
+    ).orderBy("doc_id")
+
+
+def q_func_const(spark, sf_dir):
+    """Constant/no-op sources: pi(), e(), true(), false(), top(x)
+    passthrough (ValueSourceParser.java:134-141) and literal('s')
+    string source composed into strdist."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(parse_func("sum(pi(),e())"), 4).alias("pe"),
+        parse_func("if(true(),1,0)").alias("tv"),
+        parse_func("if(false(),1,0)").alias("fv"),
+        F.round(
+            parse_func("top(recip(n_chars,1,1000,1000))"), 4
+        ).alias("topv"),
+        F.round(
+            parse_func("strdist(literal('en'),lang,'edit')"), 4
+        ).alias("lit_sim"),
+    ).orderBy("doc_id")
+
+
+def q_func_boost_vs(spark, sf_dir):
+    """boost('q', f) (ValueSourceParser.java:278-286, BoostedQuery):
+    the embedded query's BM25 score times the value source, 0 for
+    docs not matching the query."""
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    s = _searcher(spark, sf_dir)
+    c, att = compile_func(
+        "boost('merge',recip(n_chars,1,1000,1000))", searcher=s
+    )
+    joined = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    for alias, frame in att:
+        joined = joined.join(frame, "doc_id", "left")
+    return joined.select(
+        "doc_id", F.round(c, 4).alias("boosted")
+    ).orderBy("doc_id")
+
+
+def q_func_joindf(spark, sf_dir):
+    """joindf(field, qfield) (JoinDocFreqValueSource.java:69-82): the
+    docFreq of the term each doc stores in `field`, 0 when absent — a
+    broadcast dim-join of docs onto terms_stats. The field here is the
+    doc's FIRST text token (lang/source values never occur as index
+    terms, which would gate an all-zero column); stopword heads
+    correctly read 0 (stopped terms have no postings)."""
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    s = _searcher(spark, sf_dir)
+    d = _docs(spark, sf_dir).withColumn(
+        "head_term", F.regexp_extract(F.lower("text"), "[a-z0-9]+", 0)
+    )
+    c, att = compile_func("joindf(head_term,text)", searcher=s, docs=d)
+    joined = d.select("doc_id")
+    for alias, frame in att:
+        joined = joined.join(frame, "doc_id", "left")
+    return joined.select("doc_id", c.alias("jdf")).orderBy("doc_id")
+
+
 def q_join_scored(spark, sf_dir):
     """JoinUtil with ScoreMode.Avg (JoinUtil.java:47-51): customers
     scored by the average from-side score of their qualifying orders
@@ -1597,6 +1733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "func_dist": q_func_dist,
+        "func_ord": q_func_ord,
+        "func_hsin": q_func_hsin,
+        "func_geohash": q_func_geohash,
+        "func_const": q_func_const,
+        "func_boost_vs": q_func_boost_vs,
+        "func_joindf": q_func_joindf,
         "bm25_and_wand": q_bm25_and_wand,
         "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
@@ -1763,6 +1906,13 @@ def oracle_sql() -> dict[str, str]:
         "func_geodist": O.func_geodist(12.5, 40.0),
         "sort_by_func": O.sort_by_func("scan"),
         "func_query_bf": O.bm25_bool(must=["scan"], should=["merge"]),
+        "func_dist": O.func_dist(),
+        "func_ord": O.func_ord(),
+        "func_hsin": O.func_hsin(12.5, 40.0, 3958.761),
+        "func_geohash": O.func_geohash(12.5, 40.0, 6371.0087714),
+        "func_const": O.func_const(),
+        "func_boost_vs": O.func_boost_vs("merge"),
+        "func_joindf": O.func_joindf(),
         "join_scored": O.join_scored_customers(300000.0, "avg"),
         "block_join_scored": O.block_join_scored("scan", "max"),
         "group_topk_ngroups": O.group_topk_ngroups("scan", "lang", 2),

@@ -2556,3 +2556,195 @@ SELECT d.{facet_field} AS {facet_field},
 FROM {table} d JOIN matched USING (doc_id)
 GROUP BY d.{facet_field} ORDER BY {facet_field}
 """.strip()
+
+
+# --- round-4b ValueSource twins (dist/ord/hsin/geohash/const/boost) ---
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_AXIS_BITS = 30
+_PTS_CTE = """pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 1800) / 10.0 - 90.0 AS lat,
+         ((doc_id * 73) % 3600) / 10.0 - 180.0 AS lon
+  FROM {table}
+)"""
+
+
+def func_dist(table: str = "documents") -> str:
+    """sqedist/dist twin: plain Minkowski arithmetic between the point
+    (n_chars, doc_id) and (500, 50), mirroring the engine's op order
+    (per-dim |a-b|^p summed, then the 1/p root)."""
+    a = "(CAST(n_chars AS DOUBLE) - 500.0)"
+    b = "(CAST(doc_id AS DOUBLE) - 50.0)"
+    third = repr(1.0 / 3.0)
+    return f"""
+SELECT doc_id,
+       round({a}*{a} + {b}*{b}, 4) AS sq,
+       round(abs({a}) + abs({b}), 4) AS d1,
+       round(sqrt({a}*{a} + {b}*{b}), 4) AS d2,
+       (CASE WHEN CAST(n_chars AS DOUBLE) <> 500.0 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN CAST(doc_id AS DOUBLE) <> 50.0 THEN 1.0 ELSE 0.0 END)
+         AS d0,
+       round(pow(pow(abs({a}), 3.0) + pow(abs({b}), 3.0), {third}), 4)
+         AS d3
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
+def func_ord(table: str = "documents") -> str:
+    """ord/rord twin: dense_rank over the distinct lang values (the
+    sorted terms index), 0 for missing; rord = (#terms + 1) - ord."""
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT lang AS v FROM {table} WHERE lang IS NOT NULL
+),
+ranked AS (
+  SELECT v, CAST(dense_rank() OVER (ORDER BY v) AS DOUBLE) AS r FROM vals
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM vals)
+SELECT d.doc_id,
+       coalesce(r, 0.0) AS ordv,
+       ((SELECT c FROM n) + 1.0) - coalesce(r, 0.0) AS rordv
+FROM {table} d LEFT JOIN ranked ON d.lang = ranked.v
+ORDER BY d.doc_id
+""".strip()
+
+
+def _hsin_sql(y1: str, x1: str, y2: str, x2: str, radius: float) -> str:
+    """haversine_units textual twin: radians FIRST then the half-angle
+    difference (spatial4j distHaversineRAD via HaversineFunction.java:
+    81-92 — note this differs from func_geodist's radians-of-difference
+    order, mirroring each engine path exactly)."""
+    hy = f"sin((radians({y1}) - radians({y2})) * 0.5)"
+    hx = f"sin((radians({x1}) - radians({x2})) * 0.5)"
+    h = f"({hy} * {hy} + cos(radians({y1})) * cos(radians({y2})) * {hx} * {hx})"
+    return f"{2.0 * radius!r} * atan2(sqrt({h}), sqrt(1.0 - {h}))"
+
+
+def func_hsin(
+    y2: float, x2: float, radius: float, table: str = "documents"
+) -> str:
+    """hsin(radius,true,lat,lon,y2,x2) twin over the synthetic
+    coordinates."""
+    return f"""
+WITH {_PTS_CTE.format(table=table)}
+SELECT doc_id,
+       round({_hsin_sql('lat', 'lon', repr(y2), repr(x2), radius)}, 4)
+         AS dist_mi
+FROM pts ORDER BY doc_id
+""".strip()
+
+
+def _gh_cell_sql(coord: str, offset: float, span: float) -> str:
+    """Closed-form axis cell index — identical double arithmetic to
+    spatial.geohash_encode's _gh_cell."""
+    top = 2**_GH_AXIS_BITS - 1
+    return (
+        f"greatest(CAST(0 AS BIGINT), least(CAST(floor((({coord} + {offset!r})"
+        f" / {span!r}) * {float(2 ** _GH_AXIS_BITS)!r}) AS BIGINT), {top}))"
+    )
+
+
+def _gh_string_sql(lat_i: str, lon_i: str) -> str:
+    """The 12-char base-32 interleaved geohash from the two axis cell
+    indexes, as pure bit arithmetic (lon takes even global bits)."""
+    chars = []
+    for c in range(12):
+        terms = []
+        for j in range(5):
+            g = 5 * c + j
+            axis = lon_i if g % 2 == 0 else lat_i
+            shift = _GH_AXIS_BITS - 1 - g // 2
+            terms.append(f"(({axis} >> {shift}) & 1) * {1 << (4 - j)}")
+        idx = " + ".join(terms)
+        chars.append(
+            f"substr('{_GH_ALPHABET}', CAST({idx} AS INTEGER) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+def func_geohash(
+    y2: float, x2: float, radius: float, table: str = "documents"
+) -> str:
+    """geohash + ghhsin twin: the same closed-form cell indexes drive
+    both the base-32 string and the cell-center haversine; the constant
+    point's center is folded in Python with identical double ops."""
+    import math
+
+    def center(coord: float, offset: float, span: float) -> float:
+        raw = math.floor((coord + offset) / span * float(2**_GH_AXIS_BITS))
+        i = max(0, min(int(raw), 2**_GH_AXIS_BITS - 1))
+        return -offset + (i + 0.5) * (span / float(2**_GH_AXIS_BITS))
+
+    cy2, cx2 = center(y2, 90.0, 180.0), center(x2, 180.0, 360.0)
+    scale_lat = repr(180.0 / float(2**_GH_AXIS_BITS))
+    scale_lon = repr(360.0 / float(2**_GH_AXIS_BITS))
+    return f"""
+WITH {_PTS_CTE.format(table=table)},
+cells AS (
+  SELECT doc_id,
+         {_gh_cell_sql('lat', 90.0, 180.0)} AS lat_i,
+         {_gh_cell_sql('lon', 180.0, 360.0)} AS lon_i
+  FROM pts
+),
+centers AS (
+  SELECT doc_id, lat_i, lon_i,
+         -90.0 + ((lat_i + 0.5) * {scale_lat}) AS cy,
+         -180.0 + ((lon_i + 0.5) * {scale_lon}) AS cx
+  FROM cells
+)
+SELECT doc_id,
+       {_gh_string_sql('lat_i', 'lon_i')} AS gh,
+       round({_hsin_sql('cy', 'cx', repr(cy2), repr(cx2), radius)}, 4)
+         AS ghd
+FROM centers ORDER BY doc_id
+""".strip()
+
+
+def func_const(table: str = "documents") -> str:
+    """pi/e/true/false/top/literal twin — constants fold, top() is the
+    identity, literal composes into strdist."""
+    import math
+
+    return f"""
+SELECT doc_id,
+       round(pi() + {math.e!r}, 4) AS pe,
+       1.0 AS tv,
+       0.0 AS fv,
+       round(1000.0 / (1.0 * CAST(n_chars AS DOUBLE) + 1000.0), 4) AS topv,
+       round(CASE WHEN greatest(length('en'), length(lang)) = 0 THEN 1.0
+             ELSE 1.0 - CAST(levenshtein('en', lang) AS DOUBLE)
+                  / greatest(length('en'), length(lang)) END, 4) AS lit_sim
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
+def func_boost_vs(term: str, table: str = "documents") -> str:
+    """boost('q',f) twin: the BM25 score of the embedded query (0 for
+    non-matches) times recip(n_chars,1,1000,1000)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT d.doc_id,
+       round(coalesce(s.score, 0.0)
+             * (1000.0 / (1.0 * CAST(d.n_chars AS DOUBLE) + 1000.0)), 4)
+         AS boosted
+FROM {table} d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
+def func_joindf(table: str = "documents") -> str:
+    """joindf twin: per-term docFreq from the shared tokenizer CTE,
+    left-joined on the doc's first text token; 0 for absent (incl.
+    stopped) terms."""
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok GROUP BY term
+)
+SELECT d.doc_id, coalesce(dfs.df, 0.0) AS jdf
+FROM {table} d
+LEFT JOIN dfs ON regexp_extract(lower(d.text), '[a-z0-9]+', 0) = dfs.term
+ORDER BY d.doc_id
+""".strip()

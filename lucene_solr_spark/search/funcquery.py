@@ -40,6 +40,16 @@ queries/function/valuesource/* for the semantics of each function:
   docfreq(f,t), totaltermfreq(f,t)/ttf, idf(f,t), maxdoc(), numdocs()
                  index-stat sources bound to literals at compile time
                  from the live collection stats (needs searcher ctx)
+  ord(f)/rord(f) sorted-terms ordinal (OrdFieldSource /
+                 ReverseOrdFieldSource — dense_rank attachment over
+                 the distinct-value frame; rord = numOrd - ord)
+  boost('q',f)   BoostedQuery: query score * f, 0 for non-matches
+  sqedist/dist   vector distances (SquaredEuclideanFunction /
+                 VectorDistanceFunction, power 0/1/2/p; vector() or
+                 flat even arg list split in half)
+  hsin/geohash/ghhsin  sphere + geohash distance family (pure
+                 Catalyst bit-interleave encode/decode, no UDFs)
+  literal('s'), top(x) no-op, pi(), e(), true(), false()
   constants and bare field names
 
 Everything compiles to a Catalyst Column (whole-stage codegen — this is
@@ -348,6 +358,8 @@ def _compile(node, ctx: _Ctx) -> Column:
                 return F.lit(a[1])
             if a[0] == "field":
                 return F.col(a[1]).cast("string")
+            if a[0] == "call" and a[1] == "literal":
+                return _compile(a, ctx)
             raise FuncParseError("strdist args must be fields or strings")
 
         s1, s2 = _sarg(raw_args[0]), _sarg(raw_args[1])
@@ -373,11 +385,284 @@ def _compile(node, ctx: _Ctx) -> Column:
             F.col(raw_args[1][1]).cast("double"),
         )
     if name in ("maxdoc", "numdocs"):
+        # MaxDocValueSource / NumDocsValueSource — numdocs would
+        # subtract deletions, but a static Searcher index carries no
+        # tombstones (the streaming store compacts them away), so the
+        # two coincide here.
         if ctx.searcher is None:
             raise FuncParseError(f"{name}() needs a searcher context")
         if raw_args:
             raise FuncParseError(f"{name} takes no args")
         return F.lit(float(ctx.searcher.index.stats.max_doc))
+    if name in ("ord", "rord"):
+        # OrdFieldSource / ReverseOrdFieldSource (ValueSourceParser
+        # "ord"/"rord", lucene/queries/.../valuesource/OrdFieldSource
+        # .java:81 + ReverseOrdFieldSource.java:77-83): the 1-based
+        # ordinal of the doc's value in the sorted term index, 0 for
+        # missing; rord = numOrd - ord with numOrd = #terms + 1 (slot 0
+        # is the missing sentinel). Spark shape: dense_rank over the
+        # DISTINCT value frame (the FieldCache terms-index analogue —
+        # like Lucene's, meant for low-cardinality fields), joined back
+        # as an attachment. Binary/codepoint string order, like term
+        # sort order on ASCII data.
+        need(1)
+        if raw_args[0][0] != "field":
+            raise FuncParseError(f"{name} takes a field name")
+        if ctx.docs is None:
+            raise FuncParseError(
+                f"{name}(...) needs a docs context (use compile_func)"
+            )
+        from pyspark.sql import Window
+
+        fld = raw_args[0][1]
+        alias = ctx.next_alias()
+        vals = (
+            ctx.docs.select(F.col(fld).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+        )
+        ranked = vals.select(
+            "__v",
+            F.dense_rank().over(Window.orderBy("__v")).alias(alias),
+        )
+        frame = (
+            ctx.docs.select("doc_id", F.col(fld).alias("__v"))
+            .join(ranked, "__v", "left")
+            .select("doc_id", alias)
+        )
+        ctx.attachments.append((alias, frame))
+        ordc = F.coalesce(F.col(alias).cast("double"), F.lit(0.0))
+        if name == "ord":
+            return ordc
+        n_terms = vals.count()  # compile-time literal, like scale()
+        return F.lit(float(n_terms + 1)) - ordc
+    if name == "boost":
+        # "boost" (ValueSourceParser.java:278-286): BoostedQuery score
+        # = embedded query's relevance score * the value source, 0 for
+        # non-matching docs (QueryValueSource defVal=0).
+        need(2)
+        if raw_args[0][0] != "str":
+            raise FuncParseError("boost takes (quoted query, func)")
+        if ctx.searcher is None:
+            raise FuncParseError(
+                "boost(...) needs a searcher context (use compile_func)"
+            )
+        from .qparser import parse_lucene
+
+        alias = ctx.next_alias()
+        scored = (
+            ctx.searcher.score(parse_lucene(raw_args[0][1]))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias(alias))
+        )
+        ctx.attachments.append((alias, scored))
+        return F.coalesce(
+            F.col(alias).cast("double"), F.lit(0.0)
+        ) * _compile(raw_args[1], ctx)
+    if name in ("sqedist", "dist"):
+        # SquaredEuclideanFunction / VectorDistanceFunction
+        # (ValueSourceParser.java:542-560): two points given either as
+        # two vector(...) args or an even flat list split in half
+        # (getMultiValueSources). dist's first arg is the Minkowski
+        # power: 0 = sparseness (count of differing dims), 1 =
+        # manhattan, 2 = euclidean, else (sum |a-b|^p)^(1/p)
+        # (spatial4j DistanceUtils.vectorDistance).
+        nodes = raw_args
+        power = 2.0
+        if name == "dist":
+            if not nodes or nodes[0][0] != "num":
+                raise FuncParseError("dist takes (power, sources...)")
+            power = nodes[0][1]
+            nodes = nodes[1:]
+        if (
+            len(nodes) == 2
+            and all(n[0] == "call" and n[1] == "vector" for n in nodes)
+        ):
+            v1, v2 = nodes[0][2], nodes[1][2]
+        else:
+            if len(nodes) % 2 or not nodes:
+                raise FuncParseError(
+                    f"{name} needs an even number of sources"
+                )
+            v1, v2 = nodes[: len(nodes) // 2], nodes[len(nodes) // 2 :]
+        if len(v1) != len(v2):
+            raise FuncParseError("point dimensions differ")
+        pairs = [
+            (_compile(a, ctx), _compile(b, ctx)) for a, b in zip(v1, v2)
+        ]
+        if name == "sqedist":
+            total = None
+            for a, b in pairs:
+                d = (a - b) * (a - b)
+                total = d if total is None else total + d
+            return total
+        if power == 0.0:  # sparseness: # of differing dimensions
+            total = None
+            for a, b in pairs:
+                d = (a != b).cast("double")
+                total = d if total is None else total + d
+            return total
+        total = None
+        for a, b in pairs:
+            if power == 1.0:
+                d = F.abs(a - b)
+            elif power == 2.0:  # TWO_NORM: x*x, not pow(|x|,2)
+                d = (a - b) * (a - b)
+            else:
+                d = F.pow(F.abs(a - b), F.lit(power))
+            total = d if total is None else total + d
+        if power == 1.0:
+            return total
+        return (
+            F.sqrt(total)
+            if power == 2.0
+            else F.pow(total, F.lit(1.0 / power))
+        )
+    if name == "hsin":
+        # HaversineFunction ("hsin", ValueSourceParser.java:298-337):
+        # hsin(radius, convertToRads, y1, x1, y2, x2) — per the
+        # reference's point unpacking (HaversineFunction.java:81-92:
+        # point[0] is y/lat), with vector(y,x) pairs also accepted.
+        if len(raw_args) < 4:
+            raise FuncParseError(
+                "hsin takes (radius, convert, y1, x1, y2, x2)"
+            )
+        if raw_args[0][0] != "num":
+            raise FuncParseError("hsin radius must be a constant")
+        radius = raw_args[0][1]
+        conv_node = raw_args[1]
+        if conv_node[0] in ("field", "str") and conv_node[1] in (
+            "true",
+            "false",
+        ):
+            convert = conv_node[1] == "true"
+        else:
+            raise FuncParseError("hsin convert flag must be true/false")
+        pts = raw_args[2:]
+        if len(pts) == 2 and all(
+            n[0] == "call" and n[1] == "vector" and len(n[2]) == 2
+            for n in pts
+        ):
+            coords = pts[0][2] + pts[1][2]
+        elif len(pts) == 4:
+            coords = pts
+        else:
+            raise FuncParseError("hsin takes 4 coords or 2 vector()s")
+        from .spatial import haversine_units
+
+        y1, x1, y2, x2 = (_compile(c, ctx) for c in coords)
+        return haversine_units(y1, x1, y2, x2, radius, convert)
+    if name == "geohash":
+        # GeohashFunction (ValueSourceParser.java:351-360): the
+        # precision-12 geohash string of (lat, lon). String-valued.
+        need(2)
+        from .spatial import geohash_encode
+
+        return geohash_encode(
+            _compile(raw_args[0], ctx), _compile(raw_args[1], ctx)
+        )
+    if name == "ghhsin":
+        # GeohashHaversineFunction (ValueSourceParser.java:339-349):
+        # haversine distance between two geohash cell CENTERS on a
+        # sphere of the given radius; Double.MAX_VALUE when either
+        # hash is null (GeohashHaversineFunction.java distance()).
+        need(3)
+        if raw_args[0][0] != "num":
+            raise FuncParseError("ghhsin radius must be a constant")
+        radius = raw_args[0][1]
+        from .spatial import (
+            geohash_cell_center,
+            geohash_decode,
+            geohash_decode_py,
+            haversine_units,
+        )
+
+        def _gh_point(a) -> tuple[Column, Column]:
+            # geohash() args short-circuit to the closed-form cell
+            # center (decode(encode(p)) would blow the expression tree
+            # up 60x); literal strings decode at compile time (the
+            # caching GeohashHaversineFunction.java's TODO asks for);
+            # only real string columns pay the bit-extract decode.
+            if a[0] == "call" and a[1] == "geohash":
+                if len(a[2]) != 2:
+                    raise FuncParseError("geohash takes (lat, lon)")
+                return geohash_cell_center(
+                    _compile(a[2][0], ctx), _compile(a[2][1], ctx)
+                )
+            if a[0] == "str" or (a[0] == "call" and a[1] == "literal"):
+                text = a[1] if a[0] == "str" else a[2][0][1]
+                lat, lon = geohash_decode_py(text)
+                return F.lit(lat), F.lit(lon)
+            if a[0] == "field":
+                return geohash_decode(F.col(a[1]).cast("string"))
+            raise FuncParseError(
+                "ghhsin takes geohash strings/fields/geohash()"
+            )
+
+        y1, x1 = _gh_point(raw_args[1])
+        y2, x2 = _gh_point(raw_args[2])
+        d = haversine_units(y1, x1, y2, x2, radius, convert_degrees=True)
+        return F.when(
+            y1.isNull() | y2.isNull(), F.lit(1.7976931348623157e308)
+        ).otherwise(d)
+    if name == "joindf":
+        # JoinDocFreqValueSource (ValueSourceParser.java:287-294 +
+        # lucene/queries/.../valuesource/JoinDocFreqValueSource.java:
+        # 69-82): per doc, the docFreq in qfield of the TERM this doc
+        # stores in `field`; 0 when the term is absent. One dim-join
+        # of the doc frame onto the terms_stats table (broadcast-able
+        # at scale). qfield accepted for parity (single text field).
+        need(2)
+        if raw_args[0][0] != "field":
+            raise FuncParseError("joindf takes (field, qfield)")
+        if ctx.searcher is None or ctx.docs is None:
+            raise FuncParseError(
+                "joindf(...) needs searcher + docs contexts"
+            )
+        fld = raw_args[0][1]
+        alias = ctx.next_alias()
+        frame = (
+            ctx.docs.select(
+                "doc_id", F.col(fld).cast("string").alias("__t")
+            )
+            .join(
+                ctx.searcher.index.terms_stats.select(
+                    F.col("term").alias("__t"), "df"
+                ),
+                "__t",
+                "left",
+            )
+            .select("doc_id", F.col("df").cast("double").alias(alias))
+        )
+        ctx.attachments.append((alias, frame))
+        return F.coalesce(F.col(alias), F.lit(0.0))
+    if name == "literal":
+        # LiteralValueSource (ValueSourceParser.java:102-107): a
+        # constant STRING source (composes with strdist/ghhsin).
+        need(1)
+        if raw_args[0][0] != "str":
+            raise FuncParseError("literal takes a quoted string")
+        return F.lit(raw_args[0][1])
+    if name == "top":
+        # "top" is a no-op passthrough (ValueSourceParser.java:134-141)
+        need(1)
+        return _compile(raw_args[0], ctx)
+    if name == "vector":
+        raise FuncParseError(
+            "vector(...) is only valid inside dist/sqedist/hsin"
+        )
+    if name in ("pi", "e"):
+        # DoubleConstValueSource registrations
+        if raw_args:
+            raise FuncParseError(f"{name} takes no args")
+        import math
+
+        return F.lit(math.pi if name == "pi" else math.e)
+    if name in ("true", "false"):
+        # BoolConstValueSource — 1.0/0.0 so they compose with if()
+        if raw_args:
+            raise FuncParseError(f"{name} takes no args")
+        return F.lit(1.0 if name == "true" else 0.0)
 
     if name == "exists":
         # ExistsValueSource / exists(field): true iff the doc has a

@@ -73,6 +73,167 @@ def geofilt(
     )
 
 
+def haversine_units(
+    lat1: Column,
+    lon1: Column,
+    lat2: Column,
+    lon2: Column,
+    radius: float,
+    convert_degrees: bool = True,
+) -> Column:
+    """Parametric-radius haversine — the hsin() ValueSource
+    (solr/core/.../function/distance/HaversineFunction.java:71-92:
+    optional degrees->radians conversion, then spatial4j
+    distHaversineRAD * radius; result is in the radius' units)."""
+    if convert_degrees:
+        lat1, lon1 = F.radians(lat1), F.radians(lon1)
+        lat2, lon2 = F.radians(lat2), F.radians(lon2)
+    hsin_y = F.sin((lat1 - lat2) * 0.5)
+    hsin_x = F.sin((lon1 - lon2) * 0.5)
+    h = hsin_y * hsin_y + F.cos(lat1) * F.cos(lat2) * hsin_x * hsin_x
+    return (
+        F.lit(2.0 * radius)
+        * F.atan2(F.sqrt(h), F.sqrt(F.lit(1.0) - h))
+    )
+
+
+# --- geohash (GeohashFunction / GeohashHaversineFunction) -------------
+# Format per spatial4j GeohashUtils (the lib the reference's
+# solr/core/.../distance/GeohashFunction.java:58 delegates to): base-32
+# alphabet, lon/lat bits interleaved lon-first, precision 12 chars = 60
+# bits = 30 per axis. Encode is modelled closed-form — cell index =
+# floor((coord+off)/span * 2^30) clamped — which the SQL oracle twin
+# reproduces with the identical double arithmetic; decode returns the
+# cell CENTER like GeohashUtils.decode. Everything is integer shift +
+# array lookup Catalyst expressions: zero UDFs, whole-stage codegen.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 12
+_GH_AXIS_BITS = 30  # per-axis bits at precision 12
+
+
+def _gh_cell(coord: Column, offset: float, span: float) -> Column:
+    """Closed-form axis cell index: floor((coord+off)/span * 2^30),
+    clamped into [0, 2^30-1] (the +edge coordinate maps to the top
+    cell, as bisection does)."""
+    raw = F.floor(
+        (coord + F.lit(offset)) / F.lit(span) * F.lit(float(2**_GH_AXIS_BITS))
+    ).cast("long")
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(raw, F.lit(2**_GH_AXIS_BITS - 1).cast("long")),
+    )
+
+
+def geohash_encode(lat: Column, lon: Column) -> Column:
+    """Precision-12 geohash of (lat, lon) as a string column."""
+    lat_i = _gh_cell(lat, 90.0, 180.0)
+    lon_i = _gh_cell(lon, 180.0, 360.0)
+    alpha = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = []
+    for c in range(GEOHASH_PRECISION):
+        idx: Column | None = None
+        for j in range(5):
+            g = 5 * c + j  # global bit, MSB first; even = lon
+            axis, b = (lon_i, g // 2) if g % 2 == 0 else (lat_i, g // 2)
+            bit = F.shiftright(axis, _GH_AXIS_BITS - 1 - b).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            weighted = bit * F.lit(1 << (4 - j)).cast("long")
+            idx = weighted if idx is None else idx + weighted
+        chars.append(F.element_at(alpha, (idx + 1).cast("int")))
+    return F.concat(*chars)
+
+
+def geohash_cell_center(lat: Column, lon: Column) -> tuple[Column, Column]:
+    """The cell CENTER geohash_encode(lat,lon) encodes to, computed
+    closed-form without the string round-trip — decode(encode(p))
+    composition would otherwise duplicate the 60-bit-extract encode
+    tree into every decode bit (a Catalyst expression-size blow-up)."""
+    lat_i = _gh_cell(lat, 90.0, 180.0)
+    lon_i = _gh_cell(lon, 180.0, 360.0)
+    scale_lat = 180.0 / float(2**_GH_AXIS_BITS)
+    scale_lon = 360.0 / float(2**_GH_AXIS_BITS)
+    return (
+        F.lit(-90.0) + (lat_i.cast("double") + F.lit(0.5)) * F.lit(scale_lat),
+        F.lit(-180.0) + (lon_i.cast("double") + F.lit(0.5)) * F.lit(scale_lon),
+    )
+
+
+def geohash_encode_py(lat: float, lon: float) -> str:
+    """Driver-side twin of geohash_encode (same closed-form cell +
+    interleave), for constant-folding literal points at compile time."""
+    def cell(coord, offset, span):
+        import math
+
+        raw = math.floor((coord + offset) / span * float(2**_GH_AXIS_BITS))
+        return max(0, min(int(raw), 2**_GH_AXIS_BITS - 1))
+
+    lat_i, lon_i = cell(lat, 90.0, 180.0), cell(lon, 180.0, 360.0)
+    out = []
+    for c in range(GEOHASH_PRECISION):
+        idx = 0
+        for j in range(5):
+            g = 5 * c + j
+            axis, b = (lon_i, g // 2) if g % 2 == 0 else (lat_i, g // 2)
+            idx |= ((axis >> (_GH_AXIS_BITS - 1 - b)) & 1) << (4 - j)
+        out.append(GEOHASH_ALPHABET[idx])
+    return "".join(out)
+
+
+def geohash_decode_py(gh: str) -> tuple[float, float]:
+    """Driver-side twin of geohash_decode (cell center), for
+    constant-folding literal geohash strings at compile time."""
+    lat_i = lon_i = 0
+    for c, ch in enumerate(gh[:GEOHASH_PRECISION]):
+        v = GEOHASH_ALPHABET.index(ch)
+        for j in range(5):
+            g = 5 * c + j
+            bit = (v >> (4 - j)) & 1
+            if g % 2 == 0:
+                lon_i |= bit << (_GH_AXIS_BITS - 1 - g // 2)
+            else:
+                lat_i |= bit << (_GH_AXIS_BITS - 1 - g // 2)
+    scale_lat = 180.0 / float(2**_GH_AXIS_BITS)
+    scale_lon = 360.0 / float(2**_GH_AXIS_BITS)
+    return (
+        -90.0 + (lat_i + 0.5) * scale_lat,
+        -180.0 + (lon_i + 0.5) * scale_lon,
+    )
+
+
+def geohash_decode(gh: Column) -> tuple[Column, Column]:
+    """(lat, lon) cell-center columns of a precision-12 geohash —
+    GeohashUtils.decode semantics (center of the encoded cell)."""
+    charmap = F.create_map(
+        *[
+            lit
+            for i, c in enumerate(GEOHASH_ALPHABET)
+            for lit in (F.lit(c), F.lit(i).cast("long"))
+        ]
+    )
+    lat_i: Column | None = None
+    lon_i: Column | None = None
+    for c in range(GEOHASH_PRECISION):
+        v = F.element_at(charmap, F.substring(gh, c + 1, 1))
+        for j in range(5):
+            g = 5 * c + j
+            bit = F.shiftright(v, 4 - j).bitwiseAND(F.lit(1).cast("long"))
+            b = g // 2  # axis bit position (MSB first)
+            weighted = bit * F.lit(
+                1 << (_GH_AXIS_BITS - 1 - b)
+            ).cast("long")
+            if g % 2 == 0:
+                lon_i = weighted if lon_i is None else lon_i + weighted
+            else:
+                lat_i = weighted if lat_i is None else lat_i + weighted
+    scale_lat = 180.0 / float(2**_GH_AXIS_BITS)
+    scale_lon = 360.0 / float(2**_GH_AXIS_BITS)
+    lat = F.lit(-90.0) + (lat_i.cast("double") + F.lit(0.5)) * F.lit(scale_lat)
+    lon = F.lit(-180.0) + (lon_i.cast("double") + F.lit(0.5)) * F.lit(scale_lon)
+    return lat, lon
+
+
 def with_synthetic_coords(docs: DataFrame) -> DataFrame:
     """Deterministic lat/lon derived from doc_id (the driver tables
     carry no coordinates; both engine and oracle derive the SAME values

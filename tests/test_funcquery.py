@@ -274,3 +274,131 @@ def test_bool_sources(spark):
     assert (r0["e"], r0["n"], r0["a"], r0["o"], r0["xr"], r0["c"]) == (
         1.0, 1.0, 0.0, 0.0, 1.0, 3.0
     )
+
+
+def test_dist_family(spark):
+    """sqedist/dist Minkowski distances (SquaredEuclideanFunction /
+    VectorDistanceFunction): powers 0/1/2/3, vector() and flat forms."""
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    row = df.select(
+        parse_func("sqedist(x,y,4,6)").alias("sq"),
+        parse_func("dist(1,x,y,4,6)").alias("d1"),
+        parse_func("dist(2,vector(x,y),vector(4,6))").alias("d2"),
+        parse_func("dist(0,x,y,1,6)").alias("d0"),
+        parse_func("dist(3,x,y,4,6)").alias("d3"),
+    ).collect()[0]
+    assert row["sq"] == pytest.approx(9.0 + 16.0)
+    assert row["d1"] == pytest.approx(3.0 + 4.0)
+    assert row["d2"] == pytest.approx(5.0)
+    assert row["d0"] == pytest.approx(1.0)  # x equal, y differs
+    assert row["d3"] == pytest.approx((27.0 + 64.0) ** (1.0 / 3.0))
+    for bad in ("dist(x,y,4,6)", "sqedist(x,y,4)", "vector(x,y)"):
+        with pytest.raises(FuncParseError):
+            parse_func(bad)
+
+
+def test_const_sources(spark):
+    import math
+
+    df = spark.createDataFrame([(250,)], "n_chars long")
+    row = df.select(
+        parse_func("sum(pi(),e())").alias("pe"),
+        parse_func("if(true(),1,0)").alias("t"),
+        parse_func("if(false(),1,0)").alias("f"),
+        parse_func("top(linear(n_chars,2,0))").alias("topv"),
+        parse_func(
+            "strdist(literal('kitten'),literal('sitting'),'edit')"
+        ).alias("sd"),
+    ).collect()[0]
+    assert row["pe"] == pytest.approx(math.pi + math.e)
+    assert (row["t"], row["f"]) == (1.0, 0.0)
+    assert row["topv"] == pytest.approx(500.0)
+    assert row["sd"] == pytest.approx(1.0 - 3.0 / 7.0)
+
+
+def test_geohash_roundtrip_and_hsin(spark):
+    """geohash matches the canonical example; ghhsin over geohash()
+    args equals the cell-center haversine; hsin radius parameterizes."""
+    from lucene_solr_spark.search.spatial import (
+        geohash_decode_py,
+        geohash_encode_py,
+    )
+
+    assert geohash_encode_py(57.64911, 10.40744) == "u4pruydqqvj8"
+    lat, lon = geohash_decode_py("u4pruydqqvj8")
+    assert lat == pytest.approx(57.64911, abs=1e-6)
+    assert lon == pytest.approx(10.40744, abs=1e-6)
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744)], "lat double, lon double"
+    )
+    row = df.select(
+        parse_func("geohash(lat,lon)").alias("gh"),
+        parse_func(
+            "ghhsin(6371.0087714,geohash(lat,lon),geohash(45.5,-122.6))"
+        ).alias("ghd"),
+        parse_func(
+            "ghhsin(6371.0087714,geohash(lat,lon),'c20ff5j2syy0')"
+        ).alias("ghd_lit"),
+        parse_func("hsin(6371.0087714,true,lat,lon,45.5,-122.6)").alias(
+            "hs_km"
+        ),
+        parse_func("hsin(3958.761,true,lat,lon,45.5,-122.6)").alias(
+            "hs_mi"
+        ),
+    ).collect()[0]
+    assert row["gh"] == "u4pruydqqvj8"
+    # cell centers are within ~2e-7 deg of the points: ghd ~ hs
+    assert row["ghd"] == pytest.approx(row["hs_km"], abs=0.001)
+    # literal geohash arg constant-folds to the identical center
+    assert geohash_encode_py(45.5, -122.6) == "c20ff5j2syy0"
+    assert row["ghd_lit"] == row["ghd"]
+    # parametric radius: miles/km ratio
+    assert row["hs_mi"] / row["hs_km"] == pytest.approx(
+        3958.761 / 6371.0087714
+    )
+
+
+def test_ord_rord(spark):
+    """ord/rord: 1-based sorted ordinal, 0 for missing,
+    rord = (#terms + 1) - ord (ReverseOrdFieldSource.java:77-83)."""
+    from lucene_solr_spark.search.funcquery import compile_func
+
+    df = spark.createDataFrame(
+        [(1, "de"), (2, "en"), (3, None), (4, "ar"), (5, "en")],
+        "doc_id long, lang string",
+    )
+    c1, att1 = compile_func("ord(lang)", docs=df)
+    c2, att2 = compile_func("rord(lang)", docs=df)
+    joined = df
+    for alias, frame in att1 + att2:
+        joined = joined.join(frame, "doc_id", "left")
+    rows = {
+        r["doc_id"]: (r["o"], r["r"])
+        for r in joined.select(
+            "doc_id", c1.alias("o"), c2.alias("r")
+        ).collect()
+    }
+    # sorted terms: ar=1, de=2, en=3; numOrd = 4
+    assert rows[4] == (1.0, 3.0)
+    assert rows[1] == (2.0, 2.0)
+    assert rows[2] == (3.0, 1.0)
+    assert rows[3] == (0.0, 4.0)  # missing: ord 0, rord numOrd
+    assert rows[5] == rows[2]
+
+
+def test_boost_vs(spark, tiny_index):
+    """boost('q',f) = query score * f, 0 for non-matches."""
+    from lucene_solr_spark.search.funcquery import compile_func
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(tiny_index)
+    cb, attb = compile_func("boost('the',2)", searcher=s)
+    cq, attq = compile_func("query('the')", searcher=s)
+    joined = tiny_index.docs.select("doc_id")
+    for alias, frame in attb + attq:
+        joined = joined.join(frame, "doc_id", "left")
+    for r in joined.select(
+        cb.alias("b"), cq.alias("q")
+    ).collect():
+        assert r["b"] == pytest.approx(2.0 * r["q"])
