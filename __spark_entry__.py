@@ -1040,6 +1040,20 @@ def q_group_topk_ngroups(spark, sf_dir):
     return grouped_topk(scored, d, "lang", per_group=2, ngroups=True)
 
 
+def q_group_sort(spark, sf_dir):
+    """group.sort (Grouping.java setGroupSort:238): within-group
+    ordering by n_chars asc instead of relevance — group membership
+    and BM25 scores unchanged, only which docs represent each group."""
+    from lucene_solr_spark.search.grouping import grouped_topk
+
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    d = _index(spark, sf_dir).docs
+    return grouped_topk(
+        scored, d, "lang", per_group=2, group_sort="n_chars asc"
+    ).orderBy("lang", "doc_id")
+
+
 def q_group_facet(spark, sf_dir):
     """group.facet=true (grouped SimpleFacets): per source value, the
     count of DISTINCT lang groups among 'scan' matches."""
@@ -1242,6 +1256,29 @@ def q_facet_lang(spark, sf_dir):
     )
 
 
+def q_facet_missing(spark, sf_dir):
+    """facet.missing=true + facet.limit=-1 (SimpleFacets.getTermCounts:
+    NULL field values form no term bucket; their count is appended as a
+    null-key row exempt from limit/mincount). Facets a derived nullable
+    column via the facet_docs value-source override — the driver tables
+    carry no NULLs anywhere."""
+    from lucene_solr_spark.search.handler import select
+
+    s = _searcher(spark, sf_dir)
+    fd = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("nullif(lang, 'zh')").alias("lang_n")
+    )
+    out = select(
+        s,
+        q="scan",
+        facet_field=["lang_n"],
+        facet_limit=-1,
+        facet_missing=True,
+        facet_docs=fd,
+    )
+    return out["facets"]["lang_n"].orderBy(F.asc_nulls_last("lang_n"))
+
+
 def q_facet_lang_mincount(spark, sf_dir):
     """facet.field with facet.mincount=55 (SimpleFacets.java:205-423)
     through the select handler: buckets under the floor drop out."""
@@ -1379,6 +1416,19 @@ def q_geofilt(spark, sf_dir):
 
     pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
     return geofilt(pts, 12.5, 40.0, 2500.0)
+
+
+def q_bbox(spark, sf_dir):
+    """{!bbox} (SpatialBoxQParserPlugin): box-only spatial filter —
+    the geofilt prune without the exact distance test (admits box
+    corners). Two pushed-down BETWEEN predicates."""
+    from lucene_solr_spark.search.spatial import (
+        bbox_filter,
+        with_synthetic_coords,
+    )
+
+    pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
+    return bbox_filter(pts, 12.5, 40.0, 2500.0).orderBy("doc_id")
 
 
 def q_facet_taxonomy(spark, sf_dir):
@@ -1740,6 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "func_const": q_func_const,
         "func_boost_vs": q_func_boost_vs,
         "func_joindf": q_func_joindf,
+        "facet_missing": q_facet_missing,
+        "bbox": q_bbox,
+        "group_sort": q_group_sort,
         "bm25_and_wand": q_bm25_and_wand,
         "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
@@ -1913,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
         "func_const": O.func_const(),
         "func_boost_vs": O.func_boost_vs("merge"),
         "func_joindf": O.func_joindf(),
+        "facet_missing": O.facet_missing("scan"),
+        "bbox": O.bbox_docs(12.5, 40.0, 2500.0),
+        "group_sort": O.group_sort_topk("scan", "lang", "n_chars"),
         "join_scored": O.join_scored_customers(300000.0, "avg"),
         "block_join_scored": O.block_join_scored("scan", "max"),
         "group_topk_ngroups": O.group_topk_ngroups("scan", "lang", 2),

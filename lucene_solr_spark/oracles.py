@@ -2748,3 +2748,66 @@ FROM {table} d
 LEFT JOIN dfs ON regexp_extract(lower(d.text), '[a-z0-9]+', 0) = dfs.term
 ORDER BY d.doc_id
 """.strip()
+
+
+def facet_missing(
+    term: str, sentinel: str = "zh", table: str = "documents"
+) -> str:
+    """facet.missing twin: group matched docs by nullif(lang, sentinel)
+    — the null group IS the missing bucket, value buckets unchanged."""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT nullif(d.lang, '{_sq(sentinel)}') AS lang_n, count(*) AS cnt
+FROM {table} d JOIN matched USING (doc_id)
+GROUP BY nullif(d.lang, '{_sq(sentinel)}')
+ORDER BY lang_n NULLS LAST
+""".strip()
+
+
+def bbox_docs(
+    lat: float, lon: float, d_km: float, table: str = "documents"
+) -> str:
+    """{!bbox} twin: the identical box bounds (degree half-widths
+    computed with the same double math the engine uses), no distance
+    test."""
+    import math
+
+    r = 6371.0087714
+    dlat = math.degrees(d_km / r)
+    coslat = math.cos(math.radians(lat))
+    dlon = 180.0 if coslat <= 1e-9 else math.degrees(d_km / (r * coslat))
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 1800) / 10.0 - 90.0 AS lat,
+         ((doc_id * 73) % 3600) / 10.0 - 180.0 AS lon
+  FROM {table}
+)
+SELECT doc_id FROM pts
+WHERE lat BETWEEN {lat - dlat!r} AND {lat + dlat!r}
+  AND lon BETWEEN {lon - dlon!r} AND {lon + dlon!r}
+ORDER BY doc_id
+""".strip()
+
+
+def group_sort_topk(
+    term: str,
+    field: str,
+    sort_field: str,
+    per_group: int = 2,
+    table: str = "documents",
+) -> str:
+    """group.sort twin: row_number partitioned by group ordered by the
+    sort field asc with doc_id tiebreak."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT {field}, doc_id, round(score, 4) AS score FROM (
+  SELECT d.{field} AS {field}, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.{field}
+           ORDER BY d.{sort_field} ASC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN {table} d USING (doc_id)
+) WHERE rn <= {per_group} ORDER BY {field}, doc_id
+""".strip()

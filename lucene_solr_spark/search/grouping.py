@@ -30,14 +30,28 @@ def grouped_topk(
     group_field: str,
     per_group: int = 2,
     ngroups: bool = False,
+    group_sort: str | None = None,
 ) -> DataFrame:
     """Field-collapse page: top ``per_group`` docs per group by
-    (score desc, doc_id asc). With ``ngroups`` every row also carries
-    the total matching-group count (Grouping.java:581)."""
-    joined = scored.join(docs.select("doc_id", group_field), "doc_id")
-    w = Window.partitionBy(group_field).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    (score desc, doc_id asc), or by ``group_sort`` ("field asc|desc" —
+    Grouping.java sortWithinGroup/setGroupSort:238) with doc_id as the
+    tiebreak. With ``ngroups`` every row also carries the total
+    matching-group count (Grouping.java:581)."""
+    keep = ["doc_id", group_field]
+    if group_sort:
+        sfield, _, sdir = group_sort.partition(" ")
+        if sfield != group_field:
+            keep.append(sfield)
+        ordcol = (
+            F.desc(sfield)
+            if sdir.strip().lower() == "desc"
+            else F.asc(sfield)
+        )
+        order = [ordcol, F.asc("doc_id")]
+    else:
+        order = [F.desc("score"), F.asc("doc_id")]
+    joined = scored.join(docs.select(*keep), "doc_id")
+    w = Window.partitionBy(group_field).orderBy(*order)
     page = (
         joined.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= per_group)

@@ -41,6 +41,8 @@ def select(
     facet_prefix: str | None = None,
     facet_offset: int = 0,
     facet_sort: str = "count",
+    facet_missing: bool = False,
+    facet_docs: DataFrame | None = None,
     cursor_mark: tuple[float, int] | str | None = None,
     bf: str | None = None,
     boost: str | None = None,
@@ -74,7 +76,12 @@ def select(
     buckets with fewer matches, ``facet_prefix`` keeps values starting
     with the prefix, ``facet_offset`` skips leading buckets,
     ``facet_sort`` is "count" (count desc, value asc — default) or
-    "index" (value asc).
+    "index" (value asc). ``facet_limit`` < 0 means unlimited;
+    ``facet_missing`` appends the NULL-value count as a null-key row
+    exempt from mincount/limit (values that are NULL never form a term
+    bucket); ``facet_docs`` overrides the frame field values are read
+    from (the SimpleFacets value-source slot — lets callers facet
+    derived columns).
 
     Boost functions (edismax bf/boost params, ExtendedDismaxQParser):
     ``bf`` is a ValueSource expression ADDED to the relevance score,
@@ -185,8 +192,14 @@ def select(
     if facet_field:
         match_ids = scored.select("doc_id")
         for field in facet_field:
+            src = (facet_docs if facet_docs is not None else docs).join(
+                match_ids, "doc_id"
+            )
+            # NULL field values are not terms: they never form a value
+            # bucket (SimpleFacets enumerates indexed terms) and are
+            # reported only under facet.missing
             f = (
-                docs.join(match_ids, "doc_id")
+                src.where(F.col(field).isNotNull())
                 .groupBy(field)
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
@@ -202,7 +215,24 @@ def select(
                 f = f.orderBy(F.desc("cnt"), F.asc(field))
             if facet_offset:
                 f = f.offset(facet_offset)
-            facets[field] = f.limit(facet_limit)
+            if facet_limit >= 0:  # facet.limit<0 = unlimited (Solr)
+                f = f.limit(facet_limit)
+            if facet_missing:
+                # facet.missing=true: the null-value count appended
+                # AFTER the value list, exempt from mincount/limit
+                # (SimpleFacets.getTermCounts: counts.add(null, ...))
+                miss = (
+                    src.where(F.col(field).isNull())
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .select(
+                        F.lit(None)
+                        .cast(src.schema[field].dataType)
+                        .alias(field),
+                        "cnt",
+                    )
+                )
+                f = f.unionByName(miss)
+            facets[field] = f
     return {
         "response": page,
         "facets": facets,

@@ -73,6 +73,31 @@ def geofilt(
     )
 
 
+def bbox_filter(
+    docs: DataFrame,
+    lat: float,
+    lon: float,
+    d_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """{!bbox pt=lat,lon d=km} (SpatialBoxQParserPlugin.java:25 →
+    SpatialFilterQParser bbox=true → LatLonType.createSpatialQuery's
+    box-only branch): the cheap lat/lon BETWEEN prune WITHOUT the exact
+    great-circle test — admits the box's corners, unlike geofilt. Two
+    pushed-down range predicates; at 100 TB this is pure partition +
+    row-group pruning on lat/lon min-max stats."""
+    dlat = math.degrees(d_km / EARTH_RADIUS_KM)
+    coslat = math.cos(math.radians(lat))
+    dlon = 180.0 if coslat <= 1e-9 else math.degrees(
+        d_km / (EARTH_RADIUS_KM * coslat)
+    )
+    return docs.where(
+        F.col(lat_col).between(lat - dlat, lat + dlat)
+        & F.col(lon_col).between(lon - dlon, lon + dlon)
+    ).select("doc_id")
+
+
 def haversine_units(
     lat1: Column,
     lon1: Column,

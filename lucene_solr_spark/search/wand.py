@@ -39,9 +39,26 @@ from pyspark.sql import DataFrame
 from ..index.segments import DECODED_SCHEMA, SegmentIndex, _decode_partitions
 from .executor import Searcher
 
+# The two-phase seed-then-prune walk costs an extra sequential Spark job
+# (mapInPandas decode + collect) before the survivor job. It only wins
+# when the decode work it can skip exceeds that fixed overhead — i.e.
+# when the candidate splits are many AND their postings volume is real.
+# Below either floor, score every candidate in ONE job instead: still
+# exact, same results, and the small-index case stops paying 3
+# sequential jobs of pure overhead. Lucene floors skip lists the same
+# way on tiny segments (skipInterval in Lucene40SkipListWriter).
+# ``force_prune=True`` (tests, plan audits) always runs the two-phase
+# walk. The num_docs decode-volume proxy is free: the metadata pass
+# already reads every block row.
+_SEED_MIN_SPLITS = 4
+_SEED_MIN_POSTINGS = 200_000
+
 
 def wand_or_search(
-    searcher: Searcher, terms: list[str], k: int = 10
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    force_prune: bool = False,
 ) -> DataFrame:
     """Top-k for OR(terms), rank-identical to
     ``searcher.search(Or(*terms), k)`` but decoding only splits whose
@@ -82,18 +99,21 @@ def wand_or_search(
         .alias("split"),
         (tfq / (tfq + F.element_at(cache_arr, F.col("min_nb") + 1)))
         .alias("ub_factor"),
+        F.col("num_docs").alias("nd"),
     )
     wmap = F.create_map(
         *[x for t in present for x in (F.lit(t), F.lit(weights[t]))]
     )
     tot = (
         meta.groupBy("split", "term")
-        .agg(F.max("ub_factor").alias("ub"))
+        .agg(F.max("ub_factor").alias("ub"), F.sum("nd").alias("nd"))
         .select(
-            "split", (F.col("ub") * wmap[F.col("term")]).alias("wub")
+            "split",
+            (F.col("ub") * wmap[F.col("term")]).alias("wub"),
+            "nd",
         )
         .groupBy("split")
-        .agg(F.sum("wub").alias("tot"))
+        .agg(F.sum("wub").alias("tot"), F.sum("nd").alias("nd"))
         .collect()
     )
     if not tot:
@@ -115,6 +135,16 @@ def wand_or_search(
         ).select("term", "doc_id", "tf", "norm_byte")
         scored = searcher._apply_score_col(decoded, weights)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    if not force_prune and (
+        len(splits_desc) <= _SEED_MIN_SPLITS
+        or sum(int(r["nd"]) for r in splits_desc) <= _SEED_MIN_POSTINGS
+    ):
+        return (
+            score_splits([int(r["split"]) for r in splits_desc])
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     # -- 2. seed threshold from the best split ---------------------------
     seed_split = int(splits_desc[0]["split"])
@@ -157,6 +187,7 @@ def wand_and_search(
     terms: list[str],
     k: int = 10,
     stats_out: dict | None = None,
+    force_prune: bool = False,
 ) -> DataFrame:
     """Block-max pruned top-k for AND(terms) — rank-identical to
     ``searcher.search(BooleanQuery(MUST terms), k)``.
@@ -221,22 +252,25 @@ def wand_and_search(
         .alias("split"),
         (tfq / (tfq + F.element_at(cache_arr, F.col("min_nb") + 1)))
         .alias("ub_factor"),
+        F.col("num_docs").alias("nd"),
     )
     wmap = F.create_map(
         *[x for t in musts for x in (F.lit(t), F.lit(weights[t]))]
     )
     per_split = (
         meta.groupBy("split", "term")
-        .agg(F.max("ub_factor").alias("ub"))
+        .agg(F.max("ub_factor").alias("ub"), F.sum("nd").alias("nd"))
         .select(
             "split",
             "term",
             (F.col("ub") * wmap[F.col("term")]).alias("wub"),
+            "nd",
         )
         .groupBy("split")
         .agg(
             F.countDistinct("term").alias("nt"),
             F.sum("wub").alias("tot"),
+            F.sum("nd").alias("nd"),
         )
         .collect()
     )
@@ -275,6 +309,18 @@ def wand_and_search(
             )
             .where(F.col("nt") == F.lit(n))
             .select("doc_id", "score")
+        )
+
+    if not force_prune and (
+        len(candidates) <= _SEED_MIN_SPLITS
+        or sum(int(r["nd"]) for r in candidates) <= _SEED_MIN_POSTINGS
+    ):
+        if stats_out is not None:
+            stats_out["splits_decoded"] = len(candidates)
+        return (
+            score_splits([int(r["split"]) for r in candidates])
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     # -- 2. seed threshold from the best-bounded split --------------------
@@ -343,6 +389,7 @@ def wand_phrase_search(
     slop: int = 0,
     k: int = 10,
     stats_out: dict | None = None,
+    force_prune: bool = False,
 ) -> DataFrame:
     """Block-max pruned top-k for a PhraseQuery — rank-identical to
     ``searcher.search(PhraseQuery(terms, slop), k)``.
@@ -402,29 +449,34 @@ def wand_phrase_search(
         .alias("split"),
         "max_tf",
         "min_nb",
+        F.col("num_docs").alias("nd"),
     )
     per_split = (
         meta.groupBy("split", "term")
         .agg(
             F.max("max_tf").alias("tmax"),
             F.min("min_nb").alias("nbmin"),
+            F.sum("nd").alias("nd"),
         )
         .groupBy("split")
         .agg(
             F.countDistinct("term").alias("nt"),
             F.min("tmax").alias("tf_ub"),
             F.min("nbmin").alias("nb_min"),
+            F.sum("nd").alias("nd"),
         )
         .collect()
     )
     cache64 = searcher.cache64
     candidates = []
+    cand_nd = 0
     for r in per_split:
         if r["nt"] != n:
             continue
         tf_ub = float(r["tf_ub"])
         ub = weight * tf_ub / (tf_ub + float(cache64[int(r["nb_min"])]))
         candidates.append((int(r["split"]), ub))
+        cand_nd += int(r["nd"])
     candidates.sort(key=lambda t: -t[1])
     if stats_out is not None:
         stats_out.update(
@@ -442,6 +494,18 @@ def wand_phrase_search(
     def score_splits(split_ids: list[int]) -> DataFrame:
         view = _SplitView(index, split_ids)
         return Searcher(view, searcher.exact).score(q)
+
+    if not force_prune and (
+        len(candidates) <= _SEED_MIN_SPLITS
+        or cand_nd <= _SEED_MIN_POSTINGS
+    ):
+        if stats_out is not None:
+            stats_out["splits_decoded"] = len(candidates)
+        return (
+            score_splits([s for s, _ in candidates])
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     seed_split = candidates[0][0]
     seed_rows = (

@@ -137,3 +137,28 @@ def test_sort_spec_splits_outside_parens():
         "recip(n_chars,1,1000,1000) asc, n_chars desc"
     ) == ["recip(n_chars,1,1000,1000) asc", "n_chars desc"]
     assert _split_sort_spec("score desc") == ["score desc"]
+
+
+def test_facet_missing_and_unlimited(spark, searcher):
+    """facet.missing appends the NULL count exempt from limit/mincount;
+    NULL values never form a value bucket; facet.limit=-1 = unlimited."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.handler import select
+
+    fd = searcher.index.docs.select(
+        "doc_id", F.expr("nullif(role, 'user')").alias("role_n")
+    )
+    out = select(
+        searcher,
+        q="error",
+        facet_field=["role_n"],
+        facet_limit=-1,
+        facet_missing=True,
+        facet_docs=fd,
+        facet_mincount=10**9,  # kills every VALUE bucket
+    )
+    rows = out["facets"]["role_n"].collect()
+    # only the missing row survives mincount, and it has a null key
+    assert len(rows) == 1 and rows[0]["role_n"] is None
+    assert rows[0]["cnt"] > 0

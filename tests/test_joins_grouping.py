@@ -101,3 +101,27 @@ def test_group_facet_counts_groups_not_docs(spark):
     # s0 has docs from 2 distinct lang groups, s1 from 1 — doc counts
     # (3 and 3) must NOT leak through
     assert got == {"s0": 2, "s1": 1}
+
+
+def test_grouped_topk_group_sort(spark):
+    """group.sort orders WITHIN groups by the field (asc, doc_id
+    tiebreak) instead of score; membership per group still per_group."""
+    scored = spark.createDataFrame(
+        [(0, 5.0), (1, 4.0), (2, 3.0), (3, 2.0)],
+        "doc_id long, score double",
+    )
+    docs = spark.createDataFrame(
+        [(0, "en", 900), (1, "en", 100), (2, "en", 500), (3, "de", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    rows = grouped_topk(
+        scored, docs, "lang", per_group=2, group_sort="n_chars asc"
+    ).collect()
+    en = sorted(r["doc_id"] for r in rows if r["lang"] == "en")
+    assert en == [1, 2]  # smallest n_chars win, not highest score
+    assert len(rows) == 3
+    # desc flips the representatives
+    rows_d = grouped_topk(
+        scored, docs, "lang", per_group=1, group_sort="n_chars desc"
+    ).collect()
+    assert {r["doc_id"] for r in rows_d if r["lang"] == "en"} == {0}

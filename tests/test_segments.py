@@ -509,7 +509,9 @@ def test_wand_and_prunes_splits_on_skewed_corpus(spark, tmp_path):
     )
     s = Searcher(seg)
     stats: dict = {}
-    got = wand_and_search(s, ["alpha", "beta"], 10, stats_out=stats).collect()
+    got = wand_and_search(
+        s, ["alpha", "beta"], 10, stats_out=stats, force_prune=True
+    ).collect()
     want = s.search(And("alpha", "beta"), 10, prune=False).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
@@ -521,6 +523,15 @@ def test_wand_and_prunes_splits_on_skewed_corpus(spark, tmp_path):
     assert stats["splits_decoded"] < stats["splits_all"], stats
     # the hot split alone should satisfy top-10 here
     assert stats["splits_decoded"] == 1, stats
+    # adaptive default on this tiny corpus: postings volume is under
+    # the seeding floor, so the one-job shortcut decodes every
+    # candidate — identical results, no seed job
+    stats2: dict = {}
+    got2 = wand_and_search(
+        s, ["alpha", "beta"], 10, stats_out=stats2
+    ).collect()
+    assert [r["doc_id"] for r in got2] == [r["doc_id"] for r in want]
+    assert stats2["splits_decoded"] == stats2["splits_all"] == 19
 
 
 def test_wand_and_absent_term_empty(seg_index_splits):
@@ -579,7 +590,7 @@ def test_wand_phrase_prunes_splits(spark, tmp_path):
     s = Searcher(seg)
     stats: dict = {}
     got = wand_phrase_search(
-        s, ["alpha", "beta"], 0, 10, stats_out=stats
+        s, ["alpha", "beta"], 0, 10, stats_out=stats, force_prune=True
     ).collect()
     want = s.search(PhraseQuery(["alpha", "beta"]), 10, prune=False).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
