@@ -1279,6 +1279,25 @@ def q_facet_missing(spark, sf_dir):
     return out["facets"]["lang_n"].orderBy(F.asc_nulls_last("lang_n"))
 
 
+def q_select_fq_local(spark, sf_dir):
+    """Solr LocalParams fq dispatch (QueryParsing.parseLocalParams +
+    the QParserPlugin registry): fq={!frange l=}func restricts by a
+    ValueSource range, fq={!lucene}term is a non-scoring query filter
+    — both composed on one request, scores from q alone."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        fq=[
+            "{!frange l=0.55}recip(n_chars,1,1000,1000)",
+            "{!lucene}merge",
+        ],
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
 def q_facet_lang_mincount(spark, sf_dir):
     """facet.field with facet.mincount=55 (SimpleFacets.java:205-423)
     through the select handler: buckets under the floor drop out."""
@@ -1793,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_missing": q_facet_missing,
         "bbox": q_bbox,
         "group_sort": q_group_sort,
+        "select_fq_local": q_select_fq_local,
         "bm25_and_wand": q_bm25_and_wand,
         "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
@@ -1969,6 +1989,14 @@ def oracle_sql() -> dict[str, str]:
         "facet_missing": O.facet_missing("scan"),
         "bbox": O.bbox_docs(12.5, 40.0, 2500.0),
         "group_sort": O.group_sort_topk("scan", "lang", "n_chars"),
+        "select_fq_local": O.bm25_bool(
+            must=["scan"],
+            fq=(
+                "(1000.0 / (1.0 * CAST(d.n_chars AS DOUBLE) + 1000.0))"
+                " >= 0.55 AND d.doc_id IN "
+                "(SELECT doc_id FROM tok WHERE term = 'merge')"
+            ),
+        ),
         "join_scored": O.join_scored_customers(300000.0, "avg"),
         "block_join_scored": O.block_join_scored("scan", "max"),
         "group_topk_ngroups": O.group_topk_ngroups("scan", "lang", 2),

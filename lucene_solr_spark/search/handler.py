@@ -20,6 +20,8 @@ broadcast when small.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -112,7 +114,11 @@ def select(
     docs = searcher.index.docs
     if fq:
         for expr in fq:
-            docs = docs.where(F.expr(expr))
+            ids = _fq_doc_ids(searcher, expr)
+            if ids is None:
+                docs = docs.where(F.expr(expr))
+            else:
+                docs = docs.join(ids, "doc_id", "left_semi")
         filtered_ids = docs.select("doc_id")
         scored = scored.join(filtered_ids, "doc_id", "left_semi")
 
@@ -353,6 +359,61 @@ def facet_range(
         .orderBy("ord", "lo")
         .select("bucket", "cnt")
     )
+
+
+_LOCAL_PARAMS = re.compile(
+    r"^\{!\s*(?P<type>[a-zA-Z]+)"
+    r"(?P<params>(?:\s+[a-zA-Z.]+=(?:\"[^\"]*\"|'[^']*'|\S+?(?=[\s}])))*)"
+    r"\s*\}(?P<body>.*)$",
+    re.S,
+)
+_LP_PAIR = re.compile(r"([a-zA-Z.]+)=(\"[^\"]*\"|'[^']*'|[^\s}]+)")
+
+
+def parse_local_params(s: str):
+    """Solr LocalParams syntax ``{!type k=v ...}body``
+    (solr/core/.../search/QueryParsing.java parseLocalParams + the
+    QParserPlugin registry dispatch in QParser.getParser). Returns
+    (type, params, body) or None when the string carries no local
+    params."""
+    m = _LOCAL_PARAMS.match(s.strip())
+    if not m:
+        return None
+    params: dict[str, str] = {}
+    for k, v in _LP_PAIR.findall(m.group("params")):
+        if v[:1] in "'\"":
+            v = v[1:-1]
+        params[k] = v
+    return m.group("type"), params, m.group("body").strip()
+
+
+def _fq_doc_ids(searcher: Searcher, expr: str) -> DataFrame | None:
+    """One fq entry → the doc_id set it admits, dispatching LocalParams
+    to the matching QParserPlugin analogue: {!frange l= u=}func,
+    {!geofilt pt= d=}, {!bbox pt= d=}, {!lucene}querystring. Plain
+    strings return None and stay SQL boolean pushdown filters."""
+    lp = parse_local_params(expr)
+    if lp is None:
+        return None
+    ptype, params, body = lp
+    if ptype == "frange":
+        lower = float(params["l"]) if "l" in params else None
+        upper = float(params["u"]) if "u" in params else None
+        return frange(searcher, body, lower, upper)
+    if ptype in ("geofilt", "bbox"):
+        from .spatial import bbox_filter, geofilt
+
+        lat_s, lon_s = params["pt"].split(",")
+        lat, lon, d = float(lat_s), float(lon_s), float(params["d"])
+        latf = params.get("latfield", "lat")
+        lonf = params.get("lonfield", "lon")
+        fn = geofilt if ptype == "geofilt" else bbox_filter
+        return fn(searcher.index.docs, lat, lon, d, latf, lonf).select(
+            "doc_id"
+        )
+    if ptype == "lucene":
+        return searcher.score(parse_lucene(body)).select("doc_id")
+    raise ValueError(f"unknown fq local-params type {ptype!r}")
 
 
 def frange(

@@ -162,3 +162,44 @@ def test_facet_missing_and_unlimited(spark, searcher):
     # only the missing row survives mincount, and it has a null key
     assert len(rows) == 1 and rows[0]["role_n"] is None
     assert rows[0]["cnt"] > 0
+
+
+def test_fq_local_params_dispatch(searcher):
+    """{!frange}/{!lucene} fq entries route through the QParserPlugin
+    dispatch and compose with plain SQL fq; parse_local_params handles
+    quoted values and plain SQL passthrough."""
+    from lucene_solr_spark.search.handler import (
+        parse_local_params,
+        select,
+    )
+
+    assert parse_local_params("lang = 'en'") is None
+    t, p, b = parse_local_params("{!frange l='0.5' u=2}sum(n_chars,1)")
+    assert (t, p["l"], p["u"], b) == (
+        "frange", "0.5", "2", "sum(n_chars,1)"
+    )
+
+    base = select(searcher, q="error", rows=50)["response"].collect()
+    out = select(
+        searcher,
+        q="error",
+        fq=["{!frange l=1}turn_idx", "{!lucene}retry"],
+        rows=50,
+    )["response"].collect()
+    assert out, "filtered result must be non-empty for a common pair"
+    assert len(out) <= len(base)
+    base_scores = {r["doc_id"]: r["score"] for r in base}
+    surviving = {r["doc_id"] for r in out}
+    for r in out:
+        # non-scoring filters: scores unchanged where doc survives
+        if r["doc_id"] in base_scores:
+            assert r["score"] == base_scores[r["doc_id"]]
+    # the frange filter really applied
+    kept_turns = {
+        r["doc_id"]: r["turn_idx"]
+        for r in searcher.index.docs.select(
+            "doc_id", "turn_idx"
+        ).collect()
+        if r["doc_id"] in surviving
+    }
+    assert all(v >= 1 for v in kept_turns.values())
