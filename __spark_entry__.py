@@ -1279,6 +1279,44 @@ def q_facet_missing(spark, sf_dir):
     return out["facets"]["lang_n"].orderBy(F.asc_nulls_last("lang_n"))
 
 
+def q_terms_enum_bounds(spark, sf_dir):
+    """TermsComponent bounds + regex + sort=index
+    (solr/core/.../handler/component/TermsComponent.java: terms.lower/
+    terms.upper/terms.regex/terms.sort): the terms dictionary scanned
+    within [lower, upper) filtered by a regex, index (term) order."""
+    ts = _index(spark, sf_dir).terms_stats
+    return (
+        ts.where(
+            (F.col("term") >= "m")
+            & (F.col("term") < "s")
+            & F.col("term").rlike("^[a-z]+[0-9]*$")
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+        .limit(30)
+    )
+
+
+def q_explain(spark, sf_dir):
+    """IndexSearcher.explain / Solr debug=true, flattened: one row per
+    (doc, matching term) with the BM25Similarity.explainScore leaves —
+    idf, freq, fieldLength (decoded norm), tfNorm, clause score
+    (BM25Similarity.java:359-386). Per-doc sum(score_part) is the
+    ranking score (BooleanWeight.explain sums clauses)."""
+    from lucene_solr_spark.search.explain import explain
+
+    e = explain(_searcher(spark, sf_dir), ["scan", "merge"])
+    return e.select(
+        "doc_id",
+        "term",
+        F.round("idf", 4).alias("idf"),
+        "freq",
+        F.round("field_length", 4).alias("field_length"),
+        F.round("tf_norm", 4).alias("tf_norm"),
+        F.round("score_part", 4).alias("score_part"),
+    ).orderBy("doc_id", "term")
+
+
 def q_select_fq_local(spark, sf_dir):
     """Solr LocalParams fq dispatch (QueryParsing.parseLocalParams +
     the QParserPlugin registry): fq={!frange l=}func restricts by a
@@ -1813,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox": q_bbox,
         "group_sort": q_group_sort,
         "select_fq_local": q_select_fq_local,
+        "explain": q_explain,
+        "terms_enum_bounds": q_terms_enum_bounds,
         "bm25_and_wand": q_bm25_and_wand,
         "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
@@ -1989,6 +2029,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_missing": O.facet_missing("scan"),
         "bbox": O.bbox_docs(12.5, 40.0, 2500.0),
         "group_sort": O.group_sort_topk("scan", "lang", "n_chars"),
+        "explain": O.explain_rows(["scan", "merge"]),
+        "terms_enum_bounds": O.terms_enum_bounds("m", "s", "^[a-z]+[0-9]*$"),
         "select_fq_local": O.bm25_bool(
             must=["scan"],
             fq=(

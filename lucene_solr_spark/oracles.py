@@ -2811,3 +2811,51 @@ SELECT {field}, doc_id, round(score, 4) AS score FROM (
   FROM scored s JOIN {table} d USING (doc_id)
 ) WHERE rn <= {per_group} ORDER BY {field}, doc_id
 """.strip()
+
+
+def explain_rows(terms: list[str], table: str = "documents") -> str:
+    """explain() twin: the BM25 explanation leaves per (doc, term) —
+    idf, freq, quantized fieldLength, tfNorm, and the clause score in
+    the engine's multiplication order (idf * tfNorm)."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH {tok_ctes(table)},
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+ex AS (
+  SELECT f.doc_id, f.term,
+         ln(1 + ((SELECT max_doc FROM coll) - d.df + 0.5) / (d.df + 0.5))
+           AS idf,
+         CAST(f.tf AS DOUBLE) AS freq,
+         CAST(q.q AS DOUBLE) AS field_length,
+         ({K1}+1) * f.tf
+           / (f.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS tf_norm
+  FROM qtf f
+  JOIN dfs d USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+SELECT doc_id, term, round(idf, 4) AS idf, freq,
+       round(field_length, 4) AS field_length,
+       round(tf_norm, 4) AS tf_norm,
+       round(idf * tf_norm, 4) AS score_part
+FROM ex ORDER BY doc_id, term
+""".strip()
+
+
+def terms_enum_bounds(
+    lower: str, upper: str, regex: str, k: int = 30,
+    table: str = "documents",
+) -> str:
+    """TermsComponent lower/upper/regex/sort=index twin."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok
+WHERE term >= '{_sq(lower)}' AND term < '{_sq(upper)}'
+  AND regexp_matches(term, '{regex}')
+GROUP BY term ORDER BY term LIMIT {k}
+""".strip()

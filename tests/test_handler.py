@@ -203,3 +203,39 @@ def test_fq_local_params_dispatch(searcher):
         if r["doc_id"] in surviving
     }
     assert all(v >= 1 for v in kept_turns.values())
+
+
+def test_explain_self_consistent(searcher):
+    """CheckHits.verifyExplanation's core property: the per-doc sum of
+    clause explanations equals the ranking score; the nested
+    explain_doc tree totals the same."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.explain import explain, explain_doc
+    from lucene_solr_spark.search.query import BooleanClause, BooleanQuery, TermQuery
+
+    terms = ["error", "retry"]
+    e = explain(searcher, terms)
+    summed = {
+        r["doc_id"]: r["s"]
+        for r in e.groupBy("doc_id")
+        .agg(F.sum("score_part").alias("s"))
+        .collect()
+    }
+    q = BooleanQuery([BooleanClause(TermQuery(t), "SHOULD") for t in terms])
+    scores = {
+        r["doc_id"]: r["score"] for r in searcher.score(q)
+        .groupBy("doc_id").agg(F.sum("score").alias("score")).collect()
+    }
+    assert summed and set(summed) == set(scores)
+    for d, s in summed.items():
+        assert abs(s - scores[d]) <= 1e-9 * max(1.0, abs(scores[d]))
+    # nested single-hit tree mirrors the flat rows
+    some_doc = next(iter(summed))
+    tree = explain_doc(searcher, terms, some_doc)
+    assert abs(tree["value"] - summed[some_doc]) <= 1e-12
+    leaf = tree["details"][0]["details"][1]["details"]
+    assert [d["description"] for d in leaf] == [
+        "freq", "parameter k1", "parameter b",
+        "avgFieldLength", "fieldLength",
+    ]
