@@ -1279,6 +1279,58 @@ def q_facet_missing(spark, sf_dir):
     return out["facets"]["lang_n"].orderBy(F.asc_nulls_last("lang_n"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """Training-pipeline PII scrubbing (emails/URLs masked + span
+    count). The driver corpus carries no PII, so a deterministic third
+    of docs get an email and a third a URL appended — the oracle twin
+    derives the identical augmented text."""
+    from lucene_solr_spark.functions.text_analysis import (
+        with_pii_redaction,
+    )
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://ex.org/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        with_pii_redaction(aug)
+        .select("doc_id", "redacted", "n_redacted")
+        .orderBy("doc_id")
+    )
+
+
+def q_rep_ratio(spark, sf_dir):
+    """Gopher-style duplicate-trigram fraction per doc (repetition
+    quality signal) — pure Catalyst array ops, no UDF."""
+    from lucene_solr_spark.functions.text_analysis import (
+        with_repetition_ratio,
+    )
+
+    out = with_repetition_ratio(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.round("rep_ratio", 4).alias("rep_ratio")
+    ).orderBy("doc_id")
+
+
 def q_terms_enum_bounds(spark, sf_dir):
     """TermsComponent bounds + regex + sort=index
     (solr/core/.../handler/component/TermsComponent.java: terms.lower/
@@ -1853,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_fq_local": q_select_fq_local,
         "explain": q_explain,
         "terms_enum_bounds": q_terms_enum_bounds,
+        "pii_redact": q_pii_redact,
+        "rep_ratio": q_rep_ratio,
         "bm25_and_wand": q_bm25_and_wand,
         "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
@@ -2031,6 +2085,8 @@ def oracle_sql() -> dict[str, str]:
         "group_sort": O.group_sort_topk("scan", "lang", "n_chars"),
         "explain": O.explain_rows(["scan", "merge"]),
         "terms_enum_bounds": O.terms_enum_bounds("m", "s", "^[a-z]+[0-9]*$"),
+        "pii_redact": O.pii_redact(),
+        "rep_ratio": O.rep_ratio(),
         "select_fq_local": O.bm25_bool(
             must=["scan"],
             fq=(

@@ -156,3 +156,57 @@ def with_split_assign(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+# PII patterns — identical Java-regex/RE2-safe syntax on both the
+# engine (Spark regexp_replace) and oracle (DuckDB 'g' flag) sides:
+# character classes only, no lookaround.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL = "https?://[^\\s]+"
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-pipeline PII scrubbing, pure column expressions: mask
+    emails -> <EMAIL> and URLs -> <URL>, and count the redacted spans
+    (``n_redacted``) so pipelines can filter or audit. Email masking
+    runs first so mailto-like strings inside URLs count once as URLs.
+    Map-only — no shuffle, whole-stage codegen, pushed through the
+    scan at 100 TB."""
+    n_red = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '{PII_EMAIL}', 0)")
+    ) + F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_URL}', 0)"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+        PII_URL,
+        "<URL>",
+    )
+    return df.withColumn("redacted", redacted).withColumn(
+        "n_redacted", n_red.cast("long")
+    )
+
+
+def with_repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition quality signal (Rae et al. 2021 §A1.1:
+    'fraction of characters in duplicate n-grams'; here the simpler
+    duplicate n-gram FRACTION over [a-z0-9]+ tokens): rep = 1 -
+    distinct_ngrams/total_ngrams, 0.0 for docs shorter than n tokens.
+    Entirely Catalyst array ops (regexp_extract_all -> transform ->
+    array_distinct) — no UDF, no shuffle; the heavy-duplication tail
+    this flags is exactly what LLM training pipelines drop."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    df = df.withColumn("__toks", toks)
+    sz = F.size("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__toks", i + j) for j in range(n)]
+        ),
+    )
+    rep = F.when(sz < n, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double")
+    )
+    return df.withColumn("rep_ratio", rep).drop("__toks")

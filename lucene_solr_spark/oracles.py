@@ -2859,3 +2859,53 @@ WHERE term >= '{_sq(lower)}' AND term < '{_sq(upper)}'
   AND regexp_matches(term, '{regex}')
 GROUP BY term ORDER BY term LIMIT {k}
 """.strip()
+
+
+def pii_redact(table: str = "documents") -> str:
+    """PII redaction twin: identical deterministic augmentation, the
+    same email-then-URL replace chain ('g' = Spark's replace-all), and
+    the span count from regexp_extract_all lengths."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    url = "https?://[^\\s]+"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+              WHEN doc_id % 3 = 1
+              THEN text || ' see https://ex.org/d/'
+                   || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM {table}
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                      '{url}', '<URL>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{email}'))
+            + len(regexp_extract_all(text, '{url}')) AS BIGINT)
+         AS n_redacted
+FROM aug ORDER BY doc_id
+""".strip()
+
+
+def rep_ratio(table: str = "documents") -> str:
+    """Duplicate-trigram fraction twin: same [a-z0-9]+ tokens, same
+    1 - distinct/total over joined trigrams, 0.0 under 3 tokens."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM {table}
+),
+tg AS (
+  SELECT doc_id, len(l) AS sz,
+         list_transform(generate_series(1, len(l)-2),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN sz < 3 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                 / len(g), 4) END AS rep_ratio
+FROM tg ORDER BY doc_id
+""".strip()
