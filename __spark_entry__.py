@@ -1279,6 +1279,19 @@ def q_facet_missing(spark, sf_dir):
     return out["facets"]["lang_n"].orderBy(F.asc_nulls_last("lang_n"))
 
 
+def q_bm25_no_norms(spark, sf_dir):
+    """BM25 over an omitNorms field — acts as b=0
+    (BM25Similarity.java ExactBM25DocScorerNoNorms:255-281): no length
+    normalization, score = idf*(k1+1)*tf/(tf+k1)."""
+    from lucene_solr_spark.search.similarities import (
+        bm25_no_norms_search,
+    )
+
+    return _topk_rounded(
+        bm25_no_norms_search(_searcher(spark, sf_dir), ["scan", "merge"], 10)
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """Training-pipeline PII scrubbing (emails/URLs masked + span
     count). The driver corpus carries no PII, so a deterministic third
@@ -1907,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum_bounds": q_terms_enum_bounds,
         "pii_redact": q_pii_redact,
         "rep_ratio": q_rep_ratio,
+        "bm25_no_norms": q_bm25_no_norms,
         "bm25_and_wand": q_bm25_and_wand,
         "bm25_phrase_wand": q_bm25_phrase_wand,
         "func_ms_recency": q_func_ms_recency,
@@ -2087,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_enum_bounds": O.terms_enum_bounds("m", "s", "^[a-z]+[0-9]*$"),
         "pii_redact": O.pii_redact(),
         "rep_ratio": O.rep_ratio(),
+        "bm25_no_norms": O.bm25_no_norms(["scan", "merge"]),
         "select_fq_local": O.bm25_bool(
             must=["scan"],
             fq=(

@@ -2909,3 +2909,24 @@ SELECT doc_id,
                  / len(g), 4) END AS rep_ratio
 FROM tg ORDER BY doc_id
 """.strip()
+
+
+def bm25_no_norms(terms: list[str], k: int = 10, table: str = "documents") -> str:
+    """omitNorms BM25 twin: b=0 — idf*(k1+1)*tf/(tf+k1) summed."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return f"""
+WITH {tok_ctes(table)},
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+agg AS (
+  SELECT f.doc_id,
+         sum(ln(1 + ((SELECT max_doc FROM coll) - d.df + 0.5)
+                 / (d.df + 0.5)) * ({K1}+1) * f.tf / (f.tf + {K1}))
+           AS score
+  FROM qtf f JOIN dfs d USING (term) GROUP BY f.doc_id
+)
+{_topk('agg', k)}
+""".strip()

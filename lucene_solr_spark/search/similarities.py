@@ -276,3 +276,43 @@ def tfidf_search(
         ).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_no_norms_search(
+    searcher: Searcher, terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 over an omitNorms field — "there are no norms, we act as if
+    b=0" (BM25Similarity.java ExactBM25DocScorerNoNorms:255-281): the
+    denominator loses the length normalization entirely, score =
+    idf * (k1+1) * tf / (tf + k1). Same pruned-postings pipeline; the
+    norm byte on the posting rows is simply never read (a real
+    omitNorms index stores none)."""
+    qterms = sorted(set(terms))
+    stats = searcher.index.term_stats(qterms)
+    present = [t for t in qterms if t in stats]
+    if not present:
+        return searcher.index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    wmap = F.create_map(
+        *[
+            x
+            for t in present
+            for x in (
+                F.lit(t),
+                F.lit(searcher._idf64(stats[t][0]) * (1.2 + 1)),
+            )
+        ]
+    )
+    p = searcher._postings_for(present).select("term", "doc_id", "tf")
+    tfq = F.col("tf").cast("double")
+    scored = p.select(
+        "doc_id",
+        (wmap[F.col("term")] * tfq / (tfq + F.lit(1.2))).alias("score"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
