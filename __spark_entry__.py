@@ -1897,6 +1897,56 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 Appendix C / Dolma 13-gram
+    rule, n=4 for this corpus's ~54-token short-vocab docs): corpus docs
+    sharing >= 1 token 4-gram with a deterministic eval slice (doc_id % 23 ==
+    0). Eval n-grams broadcast; corpus side scan->project->semi-join."""
+    from lucene_solr_spark.datapipe.training import decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 23 == 0)
+    corpus = d.where(F.col("doc_id") % 23 != 0)
+    return decontaminate(corpus, ev, n=4).orderBy("doc_id")
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup over fixed 10-token windows:
+    chunk texts appearing in >1 doc, with doc/occurrence counts."""
+    from lucene_solr_spark.datapipe.training import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), chunk_tokens=10).orderBy(
+        "chunk_hash"
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language downsampling (md5-threshold, never
+    rand()): the language-rebalancing step of a pretraining mix."""
+    from lucene_solr_spark.datapipe.training import stratified_sample
+
+    rates = {"en": 1.0, "es": 0.5, "de": 0.25, "fr": 0.1}
+    return (
+        stratified_sample(
+            _docs(spark, sf_dir), rates, default_rate=0.05
+        )
+        .select("doc_id", F.col("lang").alias("stratum"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_seq(spark, sf_dir):
+    """Context-window packing: greedy next-fit of docs into 256-token
+    bins, parallel across 32 hash buckets, sequential (by doc_id)
+    inside each — the pre-tokenization packing step of an LLM shard
+    writer. Oracle twin is a per-bucket recursive CTE."""
+    from lucene_solr_spark.datapipe.training import pack_next_fit
+
+    return pack_next_fit(
+        _docs(spark, sf_dir), budget=256, n_buckets=32
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness window records only the
     # first ~50 entries per round (CORRECTNESS_r02 truncated at 50), so
@@ -1905,6 +1955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "decontaminate": q_decontaminate,
+        "chunk_dedup": q_chunk_dedup,
+        "sample_stratified": q_sample_stratified,
+        "pack_seq": q_pack_seq,
         "func_dist": q_func_dist,
         "func_ord": q_func_ord,
         "func_hsin": q_func_hsin,
@@ -2087,6 +2141,13 @@ def oracle_sql() -> dict[str, str]:
         "func_geodist": O.func_geodist(12.5, 40.0),
         "sort_by_func": O.sort_by_func("scan"),
         "func_query_bf": O.bm25_bool(must=["scan"], should=["merge"]),
+        "decontaminate": O.decontaminate(n=4, eval_mod=23),
+        "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
+        "sample_stratified": O.sample_stratified(
+            {"en": 1.0, "es": 0.5, "de": 0.25, "fr": 0.1},
+            default_rate=0.05,
+        ),
+        "pack_seq": O.pack_next_fit(budget=256, n_buckets=32),
         "func_dist": O.func_dist(),
         "func_ord": O.func_ord(),
         "func_hsin": O.func_hsin(12.5, 40.0, 3958.761),

@@ -1,0 +1,215 @@
+"""Training-data pipeline operators beyond dedup/ANN: the steps a
+100 TB LLM-pretraining corpus runs between raw crawl and tokenized
+shards. All Spark-first — Catalyst array ops for the per-doc work,
+broadcast joins for small reference sets, one narrow applyInPandas for
+the genuinely sequential step (bin packing).
+
+  - decontaminate: n-gram overlap vs a benchmark/eval set (the GPT-3
+    appendix-C / Dolma-style 13-gram decontamination check, scaled to
+    this corpus's ~54-token docs). Eval n-grams are tiny vs the corpus
+    -> broadcast join; corpus side is one projection + groupBy(doc).
+  - chunk_dedup: paragraph-level exact dedup generalized to fixed
+    non-overlapping token windows (this corpus has no \\n\\n paragraph
+    breaks); finds chunks shared across docs. One shuffle on the chunk
+    hash, like exact doc dedup.
+  - stratified_sample: deterministic per-stratum sampling via an md5
+    threshold on the doc id — replayable (never rand()), exactly the
+    language-rebalancing step of a multilingual pretraining mix.
+  - pack_next_fit: greedy next-fit packing of docs into fixed
+    token-budget bins (context-window packing before tokenization).
+    Sequential by construction inside a bucket; buckets are hash
+    partitions so the packing itself is embarrassingly parallel across
+    buckets. Per-bucket work is a numpy loop over token COUNTS (ints,
+    not text) — thousands of docs/bucket cost microseconds.
+
+Reference analogue: Solr's ingest-time dedup lives in
+solr/core/src/java/org/apache/solr/update/processor/
+SignatureUpdateProcessorFactory.java; these operators extend that
+ingest-hygiene stage to the checks an LLM corpus needs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _gram_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram) distinct rows: [a-z0-9]+ tokens -> space-joined
+    n-grams. Pure Catalyst (regexp_extract_all -> transform ->
+    array_distinct -> explode); map-side only."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__toks", i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .where(F.size("__toks") >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hits) for every corpus doc
+    sharing >= 1 token n-gram with the eval set (GPT-3 Appendix C /
+    Dolma's 13-gram rule; n is a parameter because this corpus's docs
+    average ~54 tokens). n_hits counts DISTINCT contaminated n-grams
+    per doc.
+
+    Scale shape: the eval side is a benchmark suite — thousands of
+    docs, not billions — so its distinct n-gram set is broadcast; the
+    corpus side is one scan -> n-gram projection -> broadcast semi
+    join -> groupBy(doc_id). No corpus-sized shuffle."""
+    eval_grams = (
+        _gram_rows(eval_set, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    hits = _gram_rows(corpus, n, text_col, id_col).join(
+        F.broadcast(eval_grams), "gram"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup over fixed non-overlapping
+    ``chunk_tokens``-token windows: (chunk_hash, n_docs, n_occurrences,
+    min_doc_id) for every chunk text appearing in more than one doc.
+    The trailing partial window is kept (real paragraphs are ragged).
+
+    One shuffle on the chunk hash — the same shape as exact doc-level
+    dedup, just at sub-document granularity (what C4/Dolma run to strip
+    boilerplate lines shared across pages)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    nchunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda c: F.concat_ws(
+            " ",
+            F.slice("__toks", c * chunk_tokens + 1, chunk_tokens),
+        ),
+    )
+    rows = (
+        df.withColumn("__toks", toks)
+        .where(F.size("__toks") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(chunks).alias("chunk"),
+        )
+    )
+    return (
+        rows.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    md5(doc_id) mod 10000 < rate*10000 for its stratum's rate —
+    replayable across runs/clusters (never rand()), the language/domain
+    rebalancing step of a pretraining mix. Unlisted strata get
+    ``default_rate``. Pure map-side filter; Catalyst pushes it into
+    the scan."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate_map = F.create_map(
+        *[x for kv in rates.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    rate = F.coalesce(
+        rate_map[F.col(stratum_col)], F.lit(float(default_rate))
+    )
+    return df.where(h < (rate * 10000).cast("long"))
+
+
+# docs longer than the budget get a bin of their own (next-fit never
+# splits a doc; splitting is the tokenizer's job downstream)
+def pack_next_fit(
+    df: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window packing: assign each doc a (bucket, bin_idx) so
+    that scanning a bucket's docs in id order and starting a new bin
+    whenever the running token total would exceed ``budget`` gives
+    exactly these bins (greedy NEXT-FIT — the streaming-friendly
+    packing LLM pipelines use before tokenization; first-fit-decreasing
+    packs tighter but needs global state).
+
+    Distribution: bucket = doc_id mod n_buckets, so packing is
+    independent per bucket and each bucket's sequential walk touches
+    only token COUNTS (one int per doc). applyInPandas per bucket;
+    at 100 TB, n_buckets scales with the cluster and the per-bucket
+    walk stays a cheap numpy loop over ints.
+
+    Output: (doc_id, bucket, bin_idx, n_tokens), one row per doc.
+    """
+    toks = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        toks.cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_idx, fill = 0, 0
+        for t in pdf["n_tokens"].to_numpy():
+            if fill > 0 and fill + t > budget:
+                bin_idx += 1
+                fill = 0
+            fill += int(t)
+            bins.append(bin_idx)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "bucket", "n_tokens", "bin_idx"]]
+
+    return base.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, bucket int, n_tokens long, bin_idx long"
+    )

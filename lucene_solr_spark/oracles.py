@@ -2930,3 +2930,115 @@ agg AS (
 )
 {_topk('agg', k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline operators (datapipe/training.py twins)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    n: int = 8, eval_mod: int = 23, table: str = "documents"
+) -> str:
+    """Benchmark-decontamination twin: same [a-z0-9]+ tokens, same
+    space-joined n-grams (distinct per doc), eval set = doc_id %
+    eval_mod == 0, corpus = the rest; n_hits = distinct contaminated
+    n-grams per corpus doc."""
+    gram = " || ' ' || ".join(f"l[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM {table}
+),
+gr AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(l) - {n - 1}), i -> {gram}))) AS gram
+  FROM toks WHERE len(l) >= {n}
+),
+ev AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {eval_mod} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM gr g JOIN ev USING (gram)
+WHERE g.doc_id % {eval_mod} <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""".strip()
+
+
+def chunk_dedup(chunk_tokens: int = 10, table: str = "documents") -> str:
+    """Chunk-level (paragraph) dedup twin: same fixed non-overlapping
+    token windows incl. the ragged tail, same md5 chunk hash."""
+    ct = chunk_tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM {table}
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(len(l) / {ct}.0) AS INT) - 1),
+           c -> array_to_string(list_slice(l, c*{ct}+1, c*{ct}+{ct}), ' ')
+         )) AS chunk
+  FROM toks WHERE len(l) > 0
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS min_doc_id
+FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+ORDER BY chunk_hash
+""".strip()
+
+
+def sample_stratified(
+    rates: dict[str, float],
+    default_rate: float = 0.05,
+    stratum_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    """Deterministic stratified-sampling twin: same md5(doc_id)-mod-
+    10000 threshold per stratum."""
+    cases = " ".join(
+        f"WHEN '{_sq(k)}' THEN CAST({v} * 10000 AS BIGINT)"
+        for k, v in rates.items()
+    )
+    h = _hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, {stratum_col} AS stratum
+FROM {table}
+WHERE {h} % 10000 <
+      (CASE {stratum_col} {cases}
+        ELSE CAST({default_rate} * 10000 AS BIGINT) END)
+ORDER BY doc_id
+""".strip()
+
+
+def pack_next_fit(
+    budget: int = 256, n_buckets: int = 32, table: str = "documents"
+) -> str:
+    """Next-fit packing twin: per-bucket sequential walk as a recursive
+    CTE (row n+1's bin from row n's fill) — bit-identical greedy rule:
+    open a new bin when the running fill is non-zero and would exceed
+    the budget."""
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % {n_buckets} AS INT) AS bucket,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {n_buckets}
+                            ORDER BY doc_id) AS rn
+  FROM {table}
+),
+rec AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN rec.fill > 0 AND rec.fill + t.n_tokens > {budget}
+              THEN rec.bin_idx + 1 ELSE rec.bin_idx END,
+         CASE WHEN rec.fill > 0 AND rec.fill + t.n_tokens > {budget}
+              THEN t.n_tokens ELSE rec.fill + t.n_tokens END
+  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1
+)
+SELECT doc_id, bucket, n_tokens, bin_idx FROM rec ORDER BY doc_id
+""".strip()

@@ -1,0 +1,121 @@
+"""Training-pipeline operators (datapipe/training.py): hand-computed
+tiny-corpus semantics + invariants that must hold at any scale."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lucene_solr_spark.datapipe.training import (
+    chunk_dedup,
+    decontaminate,
+    pack_next_fit,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 0/1 share the 4-gram "a b c d"; doc 2 is disjoint
+        (0, "a b c d e f", "en"),
+        (1, "x a b c d y", "en"),
+        (2, "p q r s t u", "es"),
+        # doc 3 repeats doc 0's text verbatim (chunk-level dup)
+        (3, "a b c d e f", "de"),
+        (4, "one two", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_hits(spark, docs):
+    ev = docs.where(F.col("doc_id") == 0)
+    corpus = docs.where(F.col("doc_id") != 0)
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, ev, n=4).collect()
+    }
+    # doc 1 shares exactly "a b c d"; doc 3 shares all three 4-grams
+    assert out == {1: 1, 3: 3}
+
+
+def test_decontaminate_short_docs_dropped(spark, docs):
+    ev = docs.where(F.col("doc_id") == 4)  # 2 tokens < n
+    corpus = docs.where(F.col("doc_id") != 4)
+    assert decontaminate(corpus, ev, n=4).count() == 0
+
+
+def test_chunk_dedup_finds_shared_chunks(spark, docs):
+    out = chunk_dedup(docs, chunk_tokens=3).collect()
+    # docs 0 and 3 share chunks "a b c" and "d e f" (two 3-token
+    # windows); no other chunk text repeats across docs
+    assert len(out) == 2
+    for r in out:
+        assert r["n_docs"] == 2
+        assert r["n_occurrences"] == 2
+        assert r["min_doc_id"] == 0
+
+
+def test_chunk_dedup_ragged_tail(spark):
+    # 4 tokens / chunk_tokens=3 -> chunks "a b c" and "d"; the tail
+    # chunk "d" matches doc 11's full-window chunk "d"
+    df = spark.createDataFrame(
+        [(10, "a b c d"), (11, "d")], "doc_id long, text string"
+    )
+    out = chunk_dedup(df, chunk_tokens=3).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"),
+    )
+    rates = {"en": 1.0}
+    out = stratified_sample(df, rates, default_rate=0.25)
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert counts["en"] == n // 2  # rate 1.0 keeps everything
+    # default 0.25 on 1000 uniform md5 draws: expect ~250, tolerance 5 sigma
+    assert 180 <= counts.get("zz", 0) <= 320
+    # determinism: identical plan -> identical ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, rates, default_rate=0.25).collect())
+    assert a == b
+
+
+def test_pack_next_fit_invariants(spark):
+    # deterministic synthetic sizes; one doc larger than the budget
+    rows = [(i, "tok " * ((i * 37) % 90 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 64
+    out = pack_next_fit(df, budget=budget, n_buckets=8).collect()
+    assert len(out) == 200
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        assert r["bucket"] == r["doc_id"] % 8
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows_b in by_bucket.values():
+        rows_b.sort(key=lambda r: r["doc_id"])
+        # bins are contiguous non-decreasing along doc order
+        bins = [r["bin_idx"] for r in rows_b]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # a bin holding >1 doc never exceeds the budget; a new bin is
+        # opened only when the doc would not have fit
+        fill: dict[int, int] = {}
+        for r in rows_b:
+            fill[r["bin_idx"]] = fill.get(r["bin_idx"], 0) + r["n_tokens"]
+        for b, rsum in fill.items():
+            ndocs = sum(1 for r in rows_b if r["bin_idx"] == b)
+            if ndocs > 1:
+                assert rsum <= budget
+        for b1, b2 in zip(bins, bins[1:]):
+            if b2 == b1 + 1:
+                # the doc that opened b2 would have overflowed b1
+                opener = next(r for r in rows_b if r["bin_idx"] == b2)
+                prev_fill = sum(
+                    r["n_tokens"]
+                    for r in rows_b
+                    if r["bin_idx"] == b1
+                )
+                assert prev_fill + opener["n_tokens"] > budget
