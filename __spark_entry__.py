@@ -385,6 +385,53 @@ def _deleted_reader(spark, sf_dir):
     return r
 
 
+def _signature_deduped_reader(spark, sf_dir):
+    """Ingest the corpus in two batches through the
+    SignatureUpdateProcessor path (overwriteDupes=true, signature =
+    content fingerprint): identical-content docs collapse to the last
+    ingested one, across batches as well as within a batch."""
+    key = f"sigdedup:{sf_dir}"
+    r = _STREAM_CACHE.get(key)
+    if r is None:
+        import tempfile
+
+        from lucene_solr_spark.streaming.incremental import (
+            IncrementalIndexWriter,
+        )
+
+        d = tempfile.mkdtemp(prefix="lss_gate_sig_")
+        docs = _docs(spark, sf_dir).withColumn("uid", F.col("doc_id"))
+        w = IncrementalIndexWriter(spark, d, order_cols=("uid",))
+        w.add_with_signature_dedup(docs.where(F.col("uid") < 250), 0)
+        w.add_with_signature_dedup(docs.where(F.col("uid") >= 250), 1)
+        w.compact()
+        r = w.reader()
+        _STREAM_CACHE[key] = r
+    return r
+
+
+def q_signature_dedup(spark, sf_dir):
+    """SignatureUpdateProcessor ingest dedup: the live doc set after a
+    two-batch ingest with overwriteDupes=true is exactly last-wins per
+    content signature."""
+    r = _signature_deduped_reader(spark, sf_dir)
+    return (
+        r.docs.select(
+            F.col("uid").alias("doc_id"), "fingerprint"
+        ).orderBy("doc_id")
+    )
+
+
+def q_mlt_interesting(spark, sf_dir):
+    """MLT interestingTerms=details: the selected query terms with
+    their tf*idf boosts for doc 1."""
+    from lucene_solr_spark.search.morelikethis import (
+        interesting_terms_scored,
+    )
+
+    return interesting_terms_scored(_searcher(spark, sf_dir), 1)
+
+
 def q_bm25_update(spark, sf_dir):
     """Update path: corrupt -> overwrite-by-key -> compact == clean
     batch build. Full match set keyed by the preserved unique key."""
@@ -1224,6 +1271,44 @@ def _nowday_ms() -> int:
     return int(parse_date_math("NOW/DAY", _DM_NOW).timestamp() * 1000)
 
 
+def _facet_date_params():
+    """Shared spec for the facet_date gate: DateMath start/end/gap over
+    the events table (2024-01-01 .. 2024-01-30), with a rounded start
+    so 'before' is non-empty and a gap that extends past end
+    (hardend=false) so 'after' exercises the extended boundary."""
+    return (
+        "2024-01-03T10:00:00Z/DAY",
+        "2024-01-03T00:00:00Z/DAY+24DAYS",
+        "+7DAYS",
+    )
+
+
+def _facet_date_bounds() -> list[str]:
+    from lucene_solr_spark.functions.datemath import (
+        parse_date_math,
+        sql_ts,
+    )
+
+    start, end, gap = _facet_date_params()
+    b = [parse_date_math(start)]
+    e = parse_date_math(end)
+    while b[-1] < e:
+        iso = b[-1].replace(tzinfo=None).isoformat(timespec="seconds")
+        b.append(parse_date_math(f"{iso}Z{gap}"))
+    return [sql_ts(x)[:19] for x in b]
+
+
+def q_facet_date(spark, sf_dir):
+    """facet.date (SimpleFacets.getFacetDateCounts, 3.x line): weekly
+    buckets with calendar-gap re-application, zero buckets kept,
+    other=all before/after rows."""
+    from lucene_solr_spark.search.handler import facet_date
+
+    start, end, gap = _facet_date_params()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return facet_date(e, "ts", start, end, gap, other=True)
+
+
 def q_datemath(spark, sf_dir):
     """DateMathParser (S/util/DateMathParser.java): NOW/DAY-20DAYS ..
     NOW/DAY window over events, count per type. The expression resolves
@@ -1955,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "facet_date": q_facet_date,
+        "signature_dedup": q_signature_dedup,
+        "mlt_interesting": q_mlt_interesting,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2141,6 +2229,11 @@ def oracle_sql() -> dict[str, str]:
         "func_geodist": O.func_geodist(12.5, 40.0),
         "sort_by_func": O.sort_by_func("scan"),
         "func_query_bf": O.bm25_bool(must=["scan"], should=["merge"]),
+        "facet_date": O.facet_date_counts(
+            _facet_date_bounds(), other=True
+        ),
+        "signature_dedup": O.signature_dedup(),
+        "mlt_interesting": O.mlt_interesting_terms(1),
         "decontaminate": O.decontaminate(n=4, eval_mod=23),
         "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
         "sample_stratified": O.sample_stratified(

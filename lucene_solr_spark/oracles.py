@@ -3042,3 +3042,92 @@ rec AS (
 )
 SELECT doc_id, bucket, n_tokens, bin_idx FROM rec ORDER BY doc_id
 """.strip()
+
+
+def facet_date_counts(
+    bounds: list[str],
+    other: bool = False,
+    mincount: int = 0,
+    table: str = "events",
+    field: str = "ts",
+) -> str:
+    """facet.date twin: explicit resolved boundary list (lo_0..lo_k,
+    extended_end) — every [lo_i, lo_i+1) bucket counted incl. zeros,
+    'before'/'after' rows when other."""
+    pairs = ", ".join(
+        f"(TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    )
+    inside = f"""
+  SELECT 1 AS ord, b.lo AS lo,
+         strftime(b.lo, '%Y-%m-%d %H:%M:%S') AS bucket,
+         CAST(count({field}) AS BIGINT) AS cnt
+  FROM (VALUES {pairs}) AS b(lo, hi)
+  LEFT JOIN {table} e ON e.{field} >= b.lo AND e.{field} < b.hi
+  GROUP BY b.lo"""
+    if not other:
+        return f"""
+SELECT bucket, cnt FROM ({inside.strip()})
+WHERE cnt >= {mincount} ORDER BY lo
+""".strip()
+    return f"""
+WITH i AS ({inside.strip()})
+SELECT bucket, cnt FROM (
+  SELECT * FROM i WHERE cnt >= {mincount}
+  UNION ALL
+  SELECT 0, NULL, 'before', CAST(count(*) AS BIGINT)
+  FROM {table} WHERE {field} < TIMESTAMP '{bounds[0]}'
+  UNION ALL
+  SELECT 2, NULL, 'after', CAST(count(*) AS BIGINT)
+  FROM {table} WHERE {field} >= TIMESTAMP '{bounds[-1]}'
+) ORDER BY ord, lo
+""".strip()
+
+
+def signature_dedup(table: str = "documents") -> str:
+    """SignatureUpdateProcessor twin: last-wins per content signature
+    (the fingerprint md5 over sorted distinct analyzed tokens) — the
+    live set after an overwriteDupes=true ingest in id order."""
+    raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
+    toks = (
+        f"list_filter({raw}, x -> length(x) <= 255"
+        f" AND x NOT IN ({STOP_LIST}))"
+    )
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({toks})), ' '))
+           AS fingerprint
+  FROM {table}
+)
+SELECT max(doc_id) AS doc_id, fingerprint
+FROM fp GROUP BY fingerprint ORDER BY doc_id
+""".strip()
+
+
+def mlt_interesting_terms(
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    table: str = "documents",
+) -> str:
+    """mlt.interestingTerms=details twin: the selected terms with their
+    tf * (ln(N/(df+1))+1) boosts."""
+    return f"""
+WITH {tok_ctes(table)},
+tdict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+srcterms AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = {doc_id} GROUP BY term
+)
+SELECT s.term,
+       round(s.tf * (ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
+                        / (d.df + 1.0)) + 1.0), 4) AS score
+FROM srcterms s JOIN tdict d USING (term)
+WHERE s.tf >= {min_term_freq} AND d.df >= {min_doc_freq}
+ORDER BY s.tf * (ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
+                    / (d.df + 1.0)) + 1.0) DESC, s.term ASC
+LIMIT {max_query_terms}
+""".strip()

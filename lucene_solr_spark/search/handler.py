@@ -438,6 +438,100 @@ def frange(
     return d.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def facet_date(
+    d: DataFrame,
+    field: str,
+    start: str,
+    end: str,
+    gap: str,
+    now=None,
+    other: bool = False,
+    mincount: int = 0,
+) -> DataFrame:
+    """facet.date with DateMath start/end/gap
+    (SimpleFacets.getFacetDateCounts, solr/core/src/java/org/apache/
+    solr/request/SimpleFacets.java in the 3.x line; DateMathParser
+    resolves the bounds). Buckets are [b_i, b_i+gap) with b_0 =
+    resolve(start) and the gap math re-applied per boundary (so
+    calendar gaps like +1MONTH stay calendar-correct); hardend=false
+    semantics — the last bucket may extend past resolve(end). Every
+    bucket is returned (zero counts included, subject to ``mincount``),
+    label = the bucket lower bound as 'YYYY-MM-DD HH:MM:SS' text;
+    ``other`` adds 'before' (< start) / 'after' (>= extended end).
+
+    Scale shape: the boundary list is tiny (buckets, not rows) —
+    broadcast-joined to one groupBy over the match set; bucket
+    assignment is a literal-array expression inside codegen."""
+    from ..functions.datemath import parse_date_math, sql_ts
+
+    b0 = parse_date_math(start, now)
+    e = parse_date_math(end, now)
+    if e <= b0:
+        raise ValueError("facet.date end must be after start")
+    bounds = [b0]
+    while bounds[-1] < e:
+        iso = bounds[-1].replace(tzinfo=None).isoformat(
+            timespec="seconds"
+        )
+        bounds.append(parse_date_math(f"{iso}Z{gap}", now))
+        if len(bounds) > 10000:
+            raise ValueError("facet.date gap too small for range")
+    col = F.col(field).cast("timestamp")
+    barr = F.array(
+        *[F.lit(sql_ts(b)).cast("timestamp") for b in bounds[:-1]]
+    )
+    lower = F.array_max(F.filter(barr, lambda b: b <= col))
+    inside = (
+        d.where(
+            (col >= F.lit(sql_ts(bounds[0])).cast("timestamp"))
+            & (col < F.lit(sql_ts(bounds[-1])).cast("timestamp"))
+        )
+        .groupBy(lower.alias("lo"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    all_buckets = d.sparkSession.createDataFrame(
+        [(b.replace(tzinfo=None),) for b in bounds[:-1]], "lo timestamp"
+    )
+    inside = (
+        all_buckets.join(F.broadcast(inside), "lo", "left")
+        .select(
+            F.lit(1).alias("ord"),
+            "lo",
+            F.date_format("lo", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    if not other:
+        return (
+            inside.where(F.col("cnt") >= F.lit(mincount))
+            .orderBy("lo")
+            .select("bucket", "cnt")
+        )
+    before = d.where(
+        col < F.lit(sql_ts(bounds[0])).cast("timestamp")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+        F.lit(0).alias("ord"),
+        F.lit(None).cast("timestamp").alias("lo"),
+        F.lit("before").alias("bucket"),
+        "cnt",
+    )
+    after = d.where(
+        col >= F.lit(sql_ts(bounds[-1])).cast("timestamp")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+        F.lit(2).alias("ord"),
+        F.lit(None).cast("timestamp").alias("lo"),
+        F.lit("after").alias("bucket"),
+        "cnt",
+    )
+    return (
+        inside.where(F.col("cnt") >= F.lit(mincount))
+        .unionByName(before)
+        .unionByName(after)
+        .orderBy("ord", "lo")
+        .select("bucket", "cnt")
+    )
+
+
 def facet_queries(
     searcher: Searcher,
     base_q: str,

@@ -69,6 +69,51 @@ def interesting_terms(
     return [t for _, t in scored[:max_query_terms]]
 
 
+def interesting_terms_scored(
+    searcher: Searcher,
+    doc_id: int,
+    max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
+    min_term_freq: int = DEFAULT_MIN_TERM_FREQ,
+    min_doc_freq: int = DEFAULT_MIN_DOC_FREQ,
+    text_col: str = "text",
+) -> DataFrame:
+    """mlt.interestingTerms=details (solr/core/.../handler/
+    MoreLikeThisHandler.java InterestingTerm + MLTHelper): the selected
+    terms WITH their tf*idf boosts, ordered by (score desc, term asc)
+    — what Solr returns so callers can inspect/re-weight the generated
+    query. Single-doc driver-side computation (same as term selection
+    itself); result surfaced as a DataFrame (term, score)."""
+    from ..analysis.tokenizer import analyze
+
+    idx = searcher.index
+    n = idx.stats.max_doc
+    row = (
+        idx.docs.where(F.col("doc_id") == doc_id)
+        .select(text_col)
+        .collect()
+    )
+    out: list[tuple[str, float]] = []
+    if row:
+        terms_seq, _ = analyze(row[0][text_col])
+        tf_counts = Counter(terms_seq)
+        cand = [t for t, c in tf_counts.items() if c >= min_term_freq]
+        if cand:
+            stats = idx.term_stats(sorted(cand))
+            scored = []
+            for t in cand:
+                df = stats.get(t, (0, 0))[0]
+                if df >= min_doc_freq:
+                    mlt = tf_counts[t] * (
+                        math.log(float(n) / (df + 1.0)) + 1.0
+                    )
+                    scored.append((-mlt, t))
+            scored.sort()
+            out = [(t, -s) for s, t in scored[:max_query_terms]]
+    return idx.spark.createDataFrame(
+        [(t, round(s, 4)) for t, s in out], "term string, score double"
+    )
+
+
 def more_like_this(
     searcher: Searcher,
     doc_id: int,

@@ -176,6 +176,47 @@ class IncrementalIndexWriter:
             self.delete_by_keys(batch_df.select(key_col), key_col)
         self.process_batch(batch_df, batch_id)
 
+    def add_with_signature_dedup(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        text_col: str | None = None,
+        overwrite_dupes: bool = True,
+    ) -> None:
+        """Ingest-time content dedup (SignatureUpdateProcessorFactory,
+        solr/core/src/java/org/apache/solr/update/processor/
+        SignatureUpdateProcessorFactory.java): compute a content
+        signature per doc (md5 over sorted distinct analyzed tokens —
+        the Lookup3/MD5Signature analogue) into ``fingerprint`` and use
+        it as the dedup key. ``overwrite_dupes=True`` mirrors
+        overwriteDupes: the signature acts as the uniqueKey — docs in
+        this batch delete any LIVE doc carrying the same signature, and
+        within the batch the last doc in ingestion order (order_cols)
+        wins, exactly Solr's sequential per-doc overwrite. With
+        ``False`` the signature field is stored but nothing is deleted
+        (Solr leaves dedup to a signature-valued uniqueKey downstream).
+
+        Distribution: the signature is one Catalyst projection; the
+        within-batch last-wins is a window over the signature (one
+        shuffle on the dedup key, same shape as exact dedup)."""
+        from pyspark.sql import Window
+
+        from ..functions.text_analysis import with_fingerprint
+
+        sig = with_fingerprint(batch_df, text_col or self.text_col)
+        if not overwrite_dupes:
+            self.process_batch(sig, batch_id)
+            return
+        w = Window.partitionBy("fingerprint").orderBy(
+            *[F.desc(c) for c in self.order_cols]
+        )
+        last = (
+            sig.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        self.update_documents(last, batch_id, key_col="fingerprint")
+
     def foreach_batch(self):
         """Bind for ``writeStream.foreachBatch(...)``."""
 
