@@ -634,6 +634,56 @@ def q_synonym_or(spark, sf_dir):
     return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
 
 
+def q_cjk_bigram_freq(spark, sf_dir):
+    """CJKAnalyzer chain in the analyzer slot (lucene/analysis/common/
+    .../cjk/CJKAnalyzer.java + CJKBigramFilter): zh-lang docs get a
+    deterministic Han phrase (digits of doc_id transliterated), the
+    chain folds consecutive CJK chars into sliding bigrams and keeps
+    lone chars as unigrams; ASCII tokens flow through the stop filter
+    unchanged. Top-30 gram frequency."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(cjk_bigram=True)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("lang") == "zh",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.translate(
+                    F.col("doc_id").cast("string"),
+                    "0123456789",
+                    "零一二三四五六七八九",
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"gram": pd.Series(rows, dtype="object")})
+
+    from lucene_solr_spark.analysis.tokenizer import CJK_RANGES
+
+    grams = docs.mapInPandas(run, "gram string")
+    return (
+        grams.where(F.col("gram").rlike(f"[{CJK_RANGES}]"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(30)
+    )
+
+
 def q_shingle_freq(spark, sf_dir):
     """ShingleFilter in the ANALYZER SLOT (not the standalone column
     fn): bigram shingles with '_' fillers in stop-filter holes
@@ -2043,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
+        "cjk_bigram_freq": q_cjk_bigram_freq,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2234,6 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "signature_dedup": O.signature_dedup(),
         "mlt_interesting": O.mlt_interesting_terms(1),
+        "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "decontaminate": O.decontaminate(n=4, eval_mod=23),
         "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
         "sample_stratified": O.sample_stratified(

@@ -256,6 +256,66 @@ def _invert_batch_loop(
     )
 
 
+# CJK codepoint ranges recognized by the bigram chain (Han, Hiragana,
+# Katakana, Hangul — CJKBigramFilter's four script flags, all enabled):
+# lucene/analysis/common/.../cjk/CJKBigramFilter.java:50-58
+CJK_RANGES = (
+    "一-鿿"  # Han ideographs
+    "぀-ゟ"  # Hiragana
+    "゠-ヿ"  # Katakana
+    "가-힯"  # Hangul syllables
+)
+_CJK_TOKEN_RE = re.compile(
+    rf"{TOKEN_PATTERN}|[{CJK_RANGES}]+"
+)
+_CJK_RUN_RE = re.compile(rf"[{CJK_RANGES}]+")
+
+
+def tokenize_raw_cjk(text: str) -> list[str]:
+    """StandardTokenizer approximation extended with CJK: ASCII word
+    runs as usual, plus each contiguous CJK codepoint run as ONE
+    token. CJKBigramFilter buffers consecutive CJK tokens only while
+    their offsets stay aligned (CJKBigramFilter.java:180 ``if
+    (offsetAtt.startOffset() != lastEndOffset) // unaligned, clear
+    queue``) — i.e. whitespace/punctuation breaks the bigram window —
+    so a contiguous-run token IS the filter's buffer unit."""
+    if not text:
+        return []
+    toks = _CJK_TOKEN_RE.findall(text.lower())
+    if any(
+        len(t) > MAX_TOKEN_LENGTH and not _CJK_RUN_RE.fullmatch(t)
+        for t in toks
+    ):
+        toks = [
+            t
+            for t in toks
+            if len(t) <= MAX_TOKEN_LENGTH or _CJK_RUN_RE.fullmatch(t)
+        ]
+    return toks
+
+
+def cjk_bigram_fold(raw: list[str]) -> list[str]:
+    """CJKBigramFilter (lucene/analysis/common/.../cjk/
+    CJKBigramFilter.java, default flags = all four scripts,
+    outputUnigrams=false): each contiguous CJK run folds to sliding
+    character bigrams (DOUBLE type); a single-char run is emitted
+    as-is (the lone-character SINGLE case); non-CJK tokens pass
+    through unmodified. Each emitted token advances the position by 1
+    (both DOUBLE and SINGLE carry posIncrement 1 by default)."""
+    out: list[str] = []
+    for tok in raw:
+        if _CJK_RUN_RE.fullmatch(tok):
+            if len(tok) == 1:
+                out.append(tok)
+            else:
+                out.extend(
+                    tok[i : i + 2] for i in range(len(tok) - 1)
+                )
+        else:
+            out.append(tok)
+    return out
+
+
 def make_analyzer(
     stem: bool = False,
     fold: bool = False,
@@ -264,6 +324,7 @@ def make_analyzer(
     edge_ngram: tuple[int, int] | None = None,
     shingle: tuple[int, int] | None = None,
     shingle_unigrams: bool = True,
+    cjk_bigram: bool = False,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -284,12 +345,20 @@ def make_analyzer(
     all-filler shingles (ShingleFilter.java:292-315); unigrams are
     emitted for real tokens only (``shingle_unigrams``, outputUnigrams);
     every output at a slot shares the slot's position (the first token
-    gets posIncrement 1, the rest 0 — ShingleFilter.java:317)."""
+    gets posIncrement 1, the rest 0 — ShingleFilter.java:317).
+
+    ``cjk_bigram=True`` wires the CJKAnalyzer chain (lucene/analysis/
+    common/.../cjk/CJKAnalyzer.java: StandardTokenizer ->
+    CJKBigramFilter -> StopFilter): consecutive CJK codepoints become
+    sliding character bigrams, lone CJK chars stay unigrams, non-CJK
+    tokens pass through into the usual stop/stem slots."""
     fold_fn = stem_fn = gram_fn = None
     if fold:
         from .folding import fold_to_ascii as fold_fn
     if stem:
         from .porter import porter_stem as stem_fn
+    if cjk_bigram and (ngram or edge_ngram or shingle):
+        raise ValueError("cjk_bigram cannot combine with gram filters")
     if ngram and edge_ngram:
         raise ValueError("ngram and edge_ngram are mutually exclusive")
     if shingle is not None:
@@ -309,9 +378,14 @@ def make_analyzer(
             gram_fn = lambda t: edge_ngram_tokens(t, mn, mx)  # noqa: E731
 
     def run(text: str) -> tuple[list[str], list[int]]:
-        raw = tokenize_raw(
-            fold_fn(text) if fold_fn else text
-        )
+        if cjk_bigram:
+            raw = cjk_bigram_fold(
+                tokenize_raw_cjk(fold_fn(text) if fold_fn else text)
+            )
+        else:
+            raw = tokenize_raw(
+                fold_fn(text) if fold_fn else text
+            )
         terms: list[str] = []
         positions: list[int] = []
         for pos, tok in enumerate(raw):

@@ -3131,3 +3131,44 @@ ORDER BY s.tf * (ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
                     / (d.df + 1.0)) + 1.0) DESC, s.term ASC
 LIMIT {max_query_terms}
 """.strip()
+
+
+def cjk_bigram_freq(k: int = 30, table: str = "documents") -> str:
+    """CJKAnalyzer chain twin (StandardTokenizer + CJKBigramFilter +
+    StopFilter): zh docs augmented with a Han phrase derived from
+    doc_id; each contiguous CJK run folds to sliding character bigrams
+    (a lone char stays a unigram — runs break at whitespace, the
+    offset-alignment rule of CJKBigramFilter.java:180); ASCII tokens
+    are stop-filtered. CJK-gram frequency top-k."""
+    from lucene_solr_spark.analysis.tokenizer import (
+        CJK_RANGES,
+        TOKEN_PATTERN,
+    )
+
+    pat = "'" + _sq(f"{TOKEN_PATTERN}|[{CJK_RANGES}]+") + "'"
+    cjkrun = "'" + _sq(f"^[{CJK_RANGES}]+$") + "'"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh'
+              THEN text || ' ' ||
+                   translate(CAST(doc_id AS VARCHAR),
+                             '0123456789', '零一二三四五六七八九')
+              ELSE text END AS text
+  FROM {table}
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), {pat})) AS t
+  FROM aug
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(t) = 1 THEN [t]
+                ELSE list_transform(generate_series(1, length(t) - 1),
+                                    i -> substr(t, i, 2)) END) AS term
+  FROM tok WHERE regexp_matches(t, {cjkrun})
+)
+SELECT term AS gram, CAST(count(*) AS BIGINT) AS cnt
+FROM grams GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT {k}
+""".strip()

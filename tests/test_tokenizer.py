@@ -151,3 +151,29 @@ def test_shingle_chain_order_and_options():
         make_analyzer(shingle=(1, 2))
     with _pytest.raises(ValueError):
         make_analyzer(shingle=(2, 2), ngram=(2, 3))
+
+
+def test_cjk_bigram_chain():
+    """CJKBigramFilter semantics: consecutive CJK chars -> sliding
+    bigrams, lone char -> unigram, ASCII passthrough + stop gaps."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(cjk_bigram=True)
+    terms, pos = an("the scan 一二三 merge 四 and ガガ")
+    assert terms == ["scan", "一二", "二三", "merge", "四", "ガガ"]
+    # 'the' leaves a gap at 0; 'and' leaves a gap between 四 and ガガ
+    assert pos == [1, 2, 3, 4, 5, 7]
+    assert an("一") == (["一"], [0])
+    assert an("한국 어") == (["한국", "어"], [0, 1])
+    # mixed scripts in one contiguous run still bigram across scripts
+    assert an("一ガ")[0] == ["一ガ"]
+    assert an("")[0] == []
+
+
+def test_cjk_bigram_rejects_gram_combos():
+    import pytest as _pytest
+
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    with _pytest.raises(ValueError):
+        make_analyzer(cjk_bigram=True, shingle=(2, 2))
