@@ -1891,6 +1891,21 @@ def q_knn_ivf(spark, sf_dir):
     return knn_cosine_ivf(emb, [float(x) for x in qv], k=5)
 
 
+def q_result_clustering(spark, sf_dir):
+    """ClusteringComponent analogue (solr/contrib/clustering
+    SearchClusteringEngine contract): cluster the top-100 hits of
+    'scan' into 4 labeled clusters via deterministic spherical k-means
+    over page-local tf-idf (Lloyd iterations = map-only Arrow partials,
+    ivf_train_kmeans). Rows-only driver check (iterative algorithm —
+    not SQL-expressible); determinism + size-conservation pinned by
+    pytest."""
+    from lucene_solr_spark.search.clustering import cluster_results
+
+    return cluster_results(
+        _searcher(spark, sf_dir), "scan", k_docs=100, n_clusters=4
+    )
+
+
 def q_knn_ivf_kmeans(spark, sf_dir):
     """IVF with spherical-k-means-TRAINED coarse centroids (Faiss
     IndexIVF train() analogue — the r3 verdict's named production
@@ -2094,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
         "cjk_bigram_freq": q_cjk_bigram_freq,
+        "result_clustering": q_result_clustering,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
