@@ -1891,6 +1891,31 @@ def q_knn_ivf(spark, sf_dir):
     return knn_cosine_ivf(emb, [float(x) for x in qv], k=5)
 
 
+def q_analysis_field(spark, sf_dir):
+    """/analysis/field handler: per-stage token streams (tokenize ->
+    stop) for doc 2, the analyzer-debug surface."""
+    from lucene_solr_spark.search.luke import analyze_stages
+
+    return analyze_stages(_searcher(spark, sf_dir), 2).orderBy(
+        "stage", "pos"
+    )
+
+
+def q_luke_stats(spark, sf_dir):
+    """LukeRequestHandler index overview: numDocs/numTerms/sumTTF/avgdl
+    in one aggregate over the terms dictionary."""
+    from lucene_solr_spark.search.luke import index_overview
+
+    return index_overview(_searcher(spark, sf_dir))
+
+
+def q_luke_top_terms(spark, sf_dir):
+    """LukeRequestHandler topTerms: 10 highest-docFreq terms."""
+    from lucene_solr_spark.search.luke import top_terms
+
+    return top_terms(_searcher(spark, sf_dir), 10)
+
+
 def q_result_clustering(spark, sf_dir):
     """ClusteringComponent analogue (solr/contrib/clustering
     SearchClusteringEngine contract): cluster the top-100 hits of
@@ -2110,6 +2135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_interesting": q_mlt_interesting,
         "cjk_bigram_freq": q_cjk_bigram_freq,
         "result_clustering": q_result_clustering,
+        "luke_stats": q_luke_stats,
+        "luke_top_terms": q_luke_top_terms,
+        "analysis_field": q_analysis_field,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2302,6 +2330,9 @@ def oracle_sql() -> dict[str, str]:
         "signature_dedup": O.signature_dedup(),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
+        "luke_stats": O.luke_index_stats(),
+        "luke_top_terms": O.luke_top_terms(10),
+        "analysis_field": O.analysis_stages(2),
         "decontaminate": O.decontaminate(n=4, eval_mod=23),
         "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
         "sample_stratified": O.sample_stratified(

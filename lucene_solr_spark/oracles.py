@@ -3172,3 +3172,46 @@ grams AS (
 SELECT term AS gram, CAST(count(*) AS BIGINT) AS cnt
 FROM grams GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT {k}
 """.strip()
+
+
+def luke_index_stats(table: str = "documents") -> str:
+    """Luke index overview twin: maxDoc, distinct term count, total
+    term freq, avgdl from the same analyzed token stream."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT (SELECT max_doc FROM coll) AS max_doc,
+       CAST((SELECT count(DISTINCT term) FROM tok) AS BIGINT) AS n_terms,
+       CAST((SELECT count(*) FROM tok) AS BIGINT) AS sum_ttf,
+       round((SELECT CAST(count(*) AS DOUBLE) FROM tok)
+             / (SELECT max_doc FROM coll), 4) AS avgdl
+""".strip()
+
+
+def luke_top_terms(k: int = 10, table: str = "documents") -> str:
+    """Luke topTerms twin: k highest-docFreq terms with df/ttf."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def analysis_stages(doc_id: int, table: str = "documents") -> str:
+    """/analysis/field twin: per-stage token streams for one doc —
+    'tokenize' (all tokens, 0-based positions) then 'stop'
+    (stop-filtered, original positions kept as gaps)."""
+    return f"""
+WITH raw AS (
+  SELECT unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {PATTERN_LIT}), 1) - 1 AS pos
+  FROM {table} WHERE doc_id = {doc_id}
+),
+ok AS (SELECT term, pos FROM raw WHERE length(term) <= 255)
+SELECT 'tokenize' AS stage, CAST(pos AS BIGINT) AS pos, term FROM ok
+UNION ALL
+SELECT 'stop', CAST(pos AS BIGINT), term FROM ok
+WHERE term NOT IN ({STOP_LIST})
+ORDER BY stage, pos
+""".strip()
