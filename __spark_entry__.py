@@ -1891,6 +1891,45 @@ def q_knn_ivf(spark, sf_dir):
     return knn_cosine_ivf(emb, [float(x) for x in qv], k=5)
 
 
+def q_wdf_freq(spark, sf_dir):
+    """WordDelimiterFilter (default Solr factory flags) in the analyzer
+    slot: docs augmented with case/digit/possessive compounds
+    ('WiFi{id}Max', "O'Neil's", 'v{id}beta'), split at case changes,
+    letter<->digit transitions and delimiters with possessive 's
+    stripped; parts lowercased + stop-filtered. Top-30 token counts."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(word_delimiter=True)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" WiFi"),
+            F.col("doc_id").cast("string"),
+            F.lit("Max O'Neil's v"),
+            F.col("doc_id").cast("string"),
+            F.lit("beta"),
+        ).alias("text"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                rows.extend(an(t or "")[0])
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(30)
+    )
+
+
 def q_analysis_field(spark, sf_dir):
     """/analysis/field handler: per-stage token streams (tokenize ->
     stop) for doc 2, the analyzer-debug surface."""
@@ -2138,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luke_stats": q_luke_stats,
         "luke_top_terms": q_luke_top_terms,
         "analysis_field": q_analysis_field,
+        "wdf_freq": q_wdf_freq,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2333,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "luke_stats": O.luke_index_stats(),
         "luke_top_terms": O.luke_top_terms(10),
         "analysis_field": O.analysis_stages(2),
+        "wdf_freq": O.wdf_freq(30),
         "decontaminate": O.decontaminate(n=4, eval_mod=23),
         "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
         "sample_stratified": O.sample_stratified(

@@ -316,6 +316,46 @@ def cjk_bigram_fold(raw: list[str]) -> list[str]:
     return out
 
 
+# WordDelimiterFilter default-flags split, expressed as a boundary-
+# marking replace chain so the DuckDB oracle can run the IDENTICAL
+# rules (RE2 has no lookahead). Semantics pinned to the reference's
+# javadoc examples (lucene/analysis/common/.../miscellaneous/
+# WordDelimiterFilter.java:38-53,77-131): intra-word delimiters split,
+# case transitions split (incl. the acronym boundary NFCCards ->
+# NFC Cards), letter<->digit transitions split, trailing English
+# possessive 's removed, each part advancing one position
+# (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE
+# | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE; catenate/preserve
+# flags off — the Solr default factory config).
+_WDF_RULES: list[tuple[str, str]] = [
+    (r"'[sS]($|[^A-Za-z0-9])", r"\1"),  # O'Neil's -> O'Neil
+    (r"([a-z])([A-Z])", r"\1 \2"),  # PowerShot -> Power Shot
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),  # NFCCards -> NFC Cards
+    (r"([A-Za-z])([0-9])", r"\1 \2"),  # SD500 -> SD 500
+    (r"([0-9])([A-Za-z])", r"\1 \2"),  # j2se -> j 2 se
+]
+_WDF_RULES_C = [(re.compile(p), r) for p, r in _WDF_RULES]
+_WDF_PART_RE = re.compile(r"[A-Za-z]+|[0-9]+")
+
+
+def tokenize_raw_wdf(text: str) -> list[str]:
+    """WhitespaceTokenizer + WordDelimiterFilter(default flags) +
+    LowerCaseFilter: mark every WDF split boundary on the ORIGINAL-case
+    text (case information must precede lowercasing, which is why this
+    is its own tokenizer path), then emit alpha/digit runs lowercased.
+    Remaining delimiters (-, ., etc.) split by the run extraction —
+    'Super-Duper-XL500-42-AutoCoder!' -> super duper xl 500 42 auto
+    coder (WordDelimiterFilter.java:53)."""
+    if not text:
+        return []
+    for rx, rep in _WDF_RULES_C:
+        text = rx.sub(rep, text)
+    toks = [t.lower() for t in _WDF_PART_RE.findall(text)]
+    if any(len(t) > MAX_TOKEN_LENGTH for t in toks):
+        toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
+    return toks
+
+
 def make_analyzer(
     stem: bool = False,
     fold: bool = False,
@@ -325,6 +365,7 @@ def make_analyzer(
     shingle: tuple[int, int] | None = None,
     shingle_unigrams: bool = True,
     cjk_bigram: bool = False,
+    word_delimiter: bool = False,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -359,6 +400,12 @@ def make_analyzer(
         from .porter import porter_stem as stem_fn
     if cjk_bigram and (ngram or edge_ngram or shingle):
         raise ValueError("cjk_bigram cannot combine with gram filters")
+    if word_delimiter and (
+        cjk_bigram or ngram or edge_ngram or shingle
+    ):
+        raise ValueError(
+            "word_delimiter cannot combine with cjk/gram filters"
+        )
     if ngram and edge_ngram:
         raise ValueError("ngram and edge_ngram are mutually exclusive")
     if shingle is not None:
@@ -378,7 +425,11 @@ def make_analyzer(
             gram_fn = lambda t: edge_ngram_tokens(t, mn, mx)  # noqa: E731
 
     def run(text: str) -> tuple[list[str], list[int]]:
-        if cjk_bigram:
+        if word_delimiter:
+            raw = tokenize_raw_wdf(
+                fold_fn(text) if fold_fn else text
+            )
+        elif cjk_bigram:
             raw = cjk_bigram_fold(
                 tokenize_raw_cjk(fold_fn(text) if fold_fn else text)
             )

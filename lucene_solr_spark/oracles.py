@@ -3215,3 +3215,43 @@ SELECT 'stop', CAST(pos AS BIGINT), term FROM ok
 WHERE term NOT IN ({STOP_LIST})
 ORDER BY stage, pos
 """.strip()
+
+
+def _wdf_chain_sql(expr: str) -> str:
+    """The WordDelimiterFilter boundary-marking replace chain
+    (tokenizer._WDF_RULES) as nested DuckDB regexp_replace calls."""
+    out = expr
+    for pat, rep in (
+        ("'[sS]($|[^A-Za-z0-9])", "\\1"),
+        ("([a-z])([A-Z])", "\\1 \\2"),
+        ("([A-Z]+)([A-Z][a-z])", "\\1 \\2"),
+        ("([A-Za-z])([0-9])", "\\1 \\2"),
+        ("([0-9])([A-Za-z])", "\\1 \\2"),
+    ):
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    return out
+
+
+def wdf_freq(k: int = 30, table: str = "documents") -> str:
+    """WordDelimiterFilter chain twin: docs augmented with
+    case/digit/possessive compounds derived from doc_id, the identical
+    split-rule replace chain applied, parts lowercased and
+    stop-filtered, token frequency top-k."""
+    aug = (
+        "text || ' WiFi' || CAST(doc_id AS VARCHAR) || \"Max\" "
+        "|| ' O' || chr(39) || 'Neil' || chr(39) || 's v' "
+        "|| CAST(doc_id AS VARCHAR) || 'beta'"
+    ).replace('"Max"', "'Max'")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM {table}),
+tok AS (
+  SELECT unnest(regexp_extract_all(
+           lower({_wdf_chain_sql('text')}), '[a-z]+|[0-9]+')) AS term
+  FROM aug
+)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM tok
+WHERE length(term) <= 255 AND term NOT IN ({STOP_LIST})
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()

@@ -177,3 +177,28 @@ def test_cjk_bigram_rejects_gram_combos():
 
     with _pytest.raises(ValueError):
         make_analyzer(cjk_bigram=True, shingle=(2, 2))
+
+
+def test_word_delimiter_javadoc_examples():
+    """WordDelimiterFilter.java:38-53,77-131 pinned examples."""
+    from lucene_solr_spark.analysis.tokenizer import tokenize_raw_wdf
+
+    assert tokenize_raw_wdf("PowerShot") == ["power", "shot"]
+    assert tokenize_raw_wdf("SD500") == ["sd", "500"]
+    assert tokenize_raw_wdf("500-42") == ["500", "42"]
+    assert tokenize_raw_wdf("wi-fi") == ["wi", "fi"]
+    assert tokenize_raw_wdf("O'Neil's") == ["o", "neil"]
+    assert tokenize_raw_wdf("j2se") == ["j", "2", "se"]
+    assert tokenize_raw_wdf("Super-Duper-XL500-42-AutoCoder!") == [
+        "super", "duper", "xl", "500", "42", "auto", "coder",
+    ]
+    assert tokenize_raw_wdf("NFCCards") == ["nfc", "cards"]
+
+
+def test_word_delimiter_chain_positions():
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(word_delimiter=True)
+    terms, pos = an("the PowerShot is NFCCards ready")
+    assert terms == ["power", "shot", "nfc", "cards", "ready"]
+    assert pos == [1, 2, 4, 5, 6]
