@@ -156,6 +156,36 @@ def _fielded(spark, sf_dir):
     return fs
 
 
+def _copyfield_searcher(spark, sf_dir):
+    key = f"copyfield:{sf_dir}"
+    fs = _FIELDED_CACHE.get(key)
+    if fs is None:
+        from lucene_solr_spark.index.fields import build_fielded_index
+        from lucene_solr_spark.search.fielded import FieldedSearcher
+
+        fidx = build_fielded_index(
+            spark,
+            _docs(spark, sf_dir),
+            {"all": ["text", "lang", "source"]},
+            cache=True,
+        )
+        fs = FieldedSearcher(fidx)
+        _FIELDED_CACHE[key] = fs
+    return fs
+
+
+def q_copyfield_bm25(spark, sf_dir):
+    """copyField catch-all: 'all' indexes text+lang+source values with
+    the positionIncrementGap between them (IndexSchema copyField;
+    FieldType.getPositionIncrementGap default 100) — BM25 over all:en
+    uses the combined field's df/dl/avgdl. Gap semantics (no phrase
+    across value boundaries) pinned by pytest."""
+    fs = _copyfield_searcher(spark, sf_dir)
+    return _topk_rounded(
+        fs.field_searcher("all").search(TermQuery("en"), 10)
+    )
+
+
 def q_bm25_fielded(spark, sf_dir):
     """Per-field BM25: title:scan scored with title's df, dl and avgdl
     (NOT the body's) through the field_view facade."""
@@ -2178,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luke_top_terms": q_luke_top_terms,
         "analysis_field": q_analysis_field,
         "wdf_freq": q_wdf_freq,
+        "copyfield_bm25": q_copyfield_bm25,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2374,6 +2405,9 @@ def oracle_sql() -> dict[str, str]:
         "luke_top_terms": O.luke_top_terms(10),
         "analysis_field": O.analysis_stages(2),
         "wdf_freq": O.wdf_freq(30),
+        "copyfield_bm25": O.bm25_fielded_term(
+            "en", "text || ' ' || lang || ' ' || source"
+        ),
         "decontaminate": O.decontaminate(n=4, eval_mod=23),
         "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
         "sample_stratified": O.sample_stratified(

@@ -184,6 +184,11 @@ def _invert_fields(
         )
 
 
+# FieldType.getPositionIncrementGap default for multiValued text
+# fields (solr/example/solr/collection1/conf/schema.xml text fields)
+POSITION_INCREMENT_GAP = 100
+
+
 def build_fielded_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -199,6 +204,16 @@ def build_fielded_index(
     ``field_cols``: mapping of index-field name -> source column (or a
     list of column names indexed under their own names). Every listed
     column is analyzed with per-field dl/norms/stats.
+
+    copyField: a mapping VALUE may itself be a list/tuple of source
+    columns — the destination field indexes every source value with
+    Solr's positionIncrementGap between values (solr/core/src/java/org/
+    apache/solr/schema/IndexSchema.java copyField + FieldType
+    getPositionIncrementGap, default 100): a phrase never matches
+    across a value boundary, while df/dl/norms treat the values as one
+    field. Expressed compositionally — values are joined by 100
+    stop-filtered filler tokens, so stop removal leaves exactly the
+    100-position hole (requires the default stop-filtering analyzer).
     """
     if not isinstance(field_cols, Mapping):
         field_cols = {c: c for c in field_cols}
@@ -212,10 +227,22 @@ def build_fielded_index(
         docs = assign_doc_ids(docs, order_cols, doc_id_col)
 
     fields = list(field_cols.keys())
+
+    # positionIncrementGap filler: 100 stopword tokens between copied
+    # values; the stop filter drops them leaving the position hole
+    gap_sep = " " + "the " * POSITION_INCREMENT_GAP
+
+    def _field_expr(col):
+        if isinstance(col, (list, tuple)):
+            return F.concat_ws(
+                gap_sep, *[F.col(c).cast("string") for c in col]
+            )
+        return F.col(col).cast("string")
+
     src = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         *[
-            F.col(col).cast("string").alias(fname)
+            _field_expr(col).alias(fname)
             for fname, col in field_cols.items()
         ],
     )

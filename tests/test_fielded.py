@@ -204,3 +204,35 @@ def test_edismax_repeated_term_scores_per_occurrence(fielded):
     for doc in mixed:
         want = 2 * single.get(doc, 0.0) + merge_only.get(doc, 0.0)
         assert mixed[doc] == pytest.approx(want, rel=1e-12)
+
+
+def test_copyfield_position_increment_gap(spark):
+    """copyField multi-value: a phrase NEVER matches across the value
+    boundary (positionIncrementGap), while df/dl treat the values as
+    one field and within-value phrases still match."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index.fields import build_fielded_index
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.query import PhraseQuery, TermQuery
+
+    rows = [
+        (0, "alpha beta", "gamma delta"),
+        (1, "alpha", "beta gamma"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, t1 string, t2 string"
+    )
+    fidx = build_fielded_index(
+        spark, docs, {"all": ["t1", "t2"]}, cache=True
+    )
+    s = Searcher(fidx.field_view("all"))
+    # within-value phrase matches
+    hits = {r["doc_id"] for r in s.search(PhraseQuery(["alpha", "beta"]), 10).collect()}
+    assert hits == {0}
+    # cross-boundary phrase does not (doc 0: beta|gamma spans values)
+    hits = {r["doc_id"] for r in s.search(PhraseQuery(["beta", "gamma"]), 10).collect()}
+    assert hits == {1}
+    # but both terms count toward the one field (AND matches doc 0)
+    both = {r["doc_id"] for r in s.search(TermQuery("gamma"), 10).collect()}
+    assert both == {0, 1}

@@ -62,3 +62,49 @@ def test_topk_is_take_ordered_not_global_sort(seg):
     top = s.search(Or("error", "timeout"), 10, prune=False)
     plan = _plan(top)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set n-gram side must broadcast (benchmarks are tiny vs
+    a 100 TB corpus) — no shuffle of the corpus n-grams for the join."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.datapipe.training import decontaminate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    ev = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    plan = _plan(decontaminate(corpus, ev, n=4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Deterministic sampling is a scan-level filter: zero Exchange."""
+    from lucene_solr_spark.datapipe.training import stratified_sample
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    plan = _plan(stratified_sample(docs, {"en": 0.5}, default_rate=0.1))
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_dedup_shuffles_on_hash_only(spark):
+    """Chunk dedup shuffles on the chunk hash only: exactly the two
+    exchanges of Catalyst's count(DISTINCT doc_id) rewrite — partial
+    agg on (hash, doc_id) then final on hash — never a join or a
+    corpus-keyed repartition."""
+    from lucene_solr_spark.datapipe.training import chunk_dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    import re
+
+    plan = _plan(chunk_dedup(docs, chunk_tokens=10))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 2, plan
+    assert "Join" not in plan, plan
