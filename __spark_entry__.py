@@ -664,6 +664,35 @@ def q_synonym_or(spark, sf_dir):
     return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
 
 
+def q_common_grams_freq(spark, sf_dir):
+    """CommonGramsFilter in the analyzer slot: unigrams + '_' grams at
+    stopword boundaries (the CDL XTF bigram trick that makes stopword
+    phrases cheap). Top-30 gram counts."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(common_grams=True, stop=False)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                rows.extend(
+                    g for g in an(t or "")[0] if "_" in g
+                )
+            yield pd.DataFrame({"gram": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "gram string")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(30)
+    )
+
+
 def q_cjk_bigram_freq(spark, sf_dir):
     """CJKAnalyzer chain in the analyzer slot (lucene/analysis/common/
     .../cjk/CJKAnalyzer.java + CJKBigramFilter): zh-lang docs get a
@@ -2209,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_field": q_analysis_field,
         "wdf_freq": q_wdf_freq,
         "copyfield_bm25": q_copyfield_bm25,
+        "common_grams_freq": q_common_grams_freq,
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2408,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "copyfield_bm25": O.bm25_fielded_term(
             "en", "text || ' ' || lang || ' ' || source"
         ),
+        "common_grams_freq": O.common_grams_freq(30),
         "decontaminate": O.decontaminate(n=4, eval_mod=23),
         "chunk_dedup": O.chunk_dedup(chunk_tokens=10),
         "sample_stratified": O.sample_stratified(

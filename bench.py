@@ -71,6 +71,16 @@ HEADLINE = [
     "sessions",
     "events_hourly",
     "events_stats",
+    # round-4 session additions: training-pipeline + component ops
+    "decontaminate",
+    "chunk_dedup",
+    "sample_stratified",
+    "pack_seq",
+    "signature_dedup",
+    "facet_date",
+    "cjk_bigram_freq",
+    "wdf_freq",
+    "result_clustering",
 ]
 
 

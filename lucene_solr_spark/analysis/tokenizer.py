@@ -356,6 +356,28 @@ def tokenize_raw_wdf(text: str) -> list[str]:
     return toks
 
 
+def common_grams_fold(
+    raw: list[str], common: frozenset[str] = ENGLISH_STOP_WORDS
+) -> tuple[list[str], list[int]]:
+    """CommonGramsFilter (lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java): every unigram is kept, and every adjacent
+    pair where EITHER token is a common word additionally emits
+    'first_second' (SEPARATOR '_') at the FIRST token's position
+    (posIncrement 0 — the javadoc 'the quick' example). Returns
+    (terms, positions)."""
+    terms: list[str] = []
+    positions: list[int] = []
+    for i, tok in enumerate(raw):
+        terms.append(tok)
+        positions.append(i)
+        if i + 1 < len(raw) and (
+            tok in common or raw[i + 1] in common
+        ):
+            terms.append(f"{tok}_{raw[i + 1]}")
+            positions.append(i)
+    return terms, positions
+
+
 def make_analyzer(
     stem: bool = False,
     fold: bool = False,
@@ -366,6 +388,7 @@ def make_analyzer(
     shingle_unigrams: bool = True,
     cjk_bigram: bool = False,
     word_delimiter: bool = False,
+    common_grams: bool = False,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -406,6 +429,12 @@ def make_analyzer(
         raise ValueError(
             "word_delimiter cannot combine with cjk/gram filters"
         )
+    if common_grams and (
+        cjk_bigram or word_delimiter or ngram or edge_ngram or shingle
+    ):
+        raise ValueError(
+            "common_grams cannot combine with other token-shape filters"
+        )
     if ngram and edge_ngram:
         raise ValueError("ngram and edge_ngram are mutually exclusive")
     if shingle is not None:
@@ -425,6 +454,20 @@ def make_analyzer(
             gram_fn = lambda t: edge_ngram_tokens(t, mn, mx)  # noqa: E731
 
     def run(text: str) -> tuple[list[str], list[int]]:
+        if common_grams:
+            # CommonGrams index chain: unigrams + '_' grams; a
+            # following StopFilter (stop=True) drops the common
+            # UNIGRAMS but never the grams — the CommonGrams+Stop
+            # combination that makes stopword phrases queryable
+            raw = tokenize_raw(fold_fn(text) if fold_fn else text)
+            terms0, pos0 = common_grams_fold(raw)
+            terms, positions = [], []
+            for t, p in zip(terms0, pos0):
+                if stop and "_" not in t and t in ENGLISH_STOP_WORDS:
+                    continue
+                terms.append(stem_fn(t) if stem_fn and "_" not in t else t)
+                positions.append(p)
+            return terms, positions
         if word_delimiter:
             raw = tokenize_raw_wdf(
                 fold_fn(text) if fold_fn else text

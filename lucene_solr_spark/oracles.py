@@ -3255,3 +3255,26 @@ FROM tok
 WHERE length(term) <= 255 AND term NOT IN ({STOP_LIST})
 GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def common_grams_freq(k: int = 30, table: str = "documents") -> str:
+    """CommonGramsFilter twin: adjacent raw-token pairs where either
+    side is a common (stop) word -> 'first_second' gram counts."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id, t AS term, i AS pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS t,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS i
+    FROM {table}
+  ) WHERE length(t) <= 255
+),
+pairs AS (
+  SELECT a.term || '_' || b.term AS gram
+  FROM raw a JOIN raw b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({STOP_LIST}) OR b.term IN ({STOP_LIST})
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
+""".strip()

@@ -202,3 +202,24 @@ def test_word_delimiter_chain_positions():
     terms, pos = an("the PowerShot is NFCCards ready")
     assert terms == ["power", "shot", "nfc", "cards", "ready"]
     assert pos == [1, 2, 4, 5, 6]
+
+
+def test_common_grams_javadoc_example():
+    """CommonGramsFilter.java javadoc: 'the quick brown fox' ->
+    the, the_quick (same position), quick, brown, fox."""
+    from lucene_solr_spark.analysis.tokenizer import (
+        common_grams_fold,
+        make_analyzer,
+    )
+
+    terms, pos = common_grams_fold(["the", "quick", "brown", "fox"])
+    assert terms == ["the", "the_quick", "quick", "brown", "fox"]
+    assert pos == [0, 0, 1, 2, 3]
+    # with the stop filter after: common unigrams drop, grams survive
+    an = make_analyzer(common_grams=True, stop=True)
+    t2, p2 = an("the quick brown fox")
+    assert t2 == ["the_quick", "quick", "brown", "fox"]
+    assert p2 == [0, 1, 2, 3]
+    # gram on the right side too: 'of' common
+    t3, _ = an("queen of hearts")
+    assert "queen_of" in t3 and "of_hearts" in t3
