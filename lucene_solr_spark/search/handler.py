@@ -476,57 +476,54 @@ def facet_date(
         bounds.append(parse_date_math(f"{iso}Z{gap}", now))
         if len(bounds) > 10000:
             raise ValueError("facet.date gap too small for range")
+    # ONE scan: every row tagged (ord, lo) — 0/before, 1/bucket lower
+    # bound, 2/after — then a single groupBy; zero-count buckets come
+    # from a broadcast left join against the tiny boundary table (the
+    # same one-component-pass fusion facet_queries uses).
     col = F.col(field).cast("timestamp")
     barr = F.array(
         *[F.lit(sql_ts(b)).cast("timestamp") for b in bounds[:-1]]
     )
-    lower = F.array_max(F.filter(barr, lambda b: b <= col))
-    inside = (
-        d.where(
-            (col >= F.lit(sql_ts(bounds[0])).cast("timestamp"))
-            & (col < F.lit(sql_ts(bounds[-1])).cast("timestamp"))
-        )
-        .groupBy(lower.alias("lo"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    start_ts = F.lit(sql_ts(bounds[0])).cast("timestamp")
+    end_ts = F.lit(sql_ts(bounds[-1])).cast("timestamp")
+    ordc = (
+        F.when(col < start_ts, F.lit(0))
+        .when(col >= end_ts, F.lit(2))
+        .otherwise(F.lit(1))
     )
+    lower = F.when(
+        ordc == 1, F.array_max(F.filter(barr, lambda b: b <= col))
+    )
+    counts = (
+        d.where(col.isNotNull())
+        .groupBy(ordc.alias("ord"), lower.alias("lo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = [(1, b.replace(tzinfo=None)) for b in bounds[:-1]]
+    if other:
+        rows = [(0, None)] + rows + [(2, None)]
     all_buckets = d.sparkSession.createDataFrame(
-        [(b.replace(tzinfo=None),) for b in bounds[:-1]], "lo timestamp"
+        rows, "ord int, lo timestamp"
     )
-    inside = (
-        all_buckets.join(F.broadcast(inside), "lo", "left")
-        .select(
-            F.lit(1).alias("ord"),
-            "lo",
-            F.date_format("lo", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
-        )
-    )
-    if not other:
-        return (
-            inside.where(F.col("cnt") >= F.lit(mincount))
-            .orderBy("lo")
-            .select("bucket", "cnt")
-        )
-    before = d.where(
-        col < F.lit(sql_ts(bounds[0])).cast("timestamp")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
-        F.lit(0).alias("ord"),
-        F.lit(None).cast("timestamp").alias("lo"),
-        F.lit("before").alias("bucket"),
-        "cnt",
-    )
-    after = d.where(
-        col >= F.lit(sql_ts(bounds[-1])).cast("timestamp")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
-        F.lit(2).alias("ord"),
-        F.lit(None).cast("timestamp").alias("lo"),
-        F.lit("after").alias("bucket"),
-        "cnt",
+    b, c = all_buckets.alias("b"), F.broadcast(counts).alias("c")
+    out = b.join(
+        c,
+        (F.col("b.ord") == F.col("c.ord"))
+        & F.col("b.lo").eqNullSafe(F.col("c.lo")),
+        "left",
+    ).select(
+        F.col("b.ord").alias("ord"),
+        F.col("b.lo").alias("lo"),
+        F.when(F.col("b.ord") == 0, F.lit("before"))
+        .when(F.col("b.ord") == 2, F.lit("after"))
+        .otherwise(F.date_format(F.col("b.lo"), "yyyy-MM-dd HH:mm:ss"))
+        .alias("bucket"),
+        F.coalesce(F.col("c.cnt"), F.lit(0)).cast("long").alias("cnt"),
     )
     return (
-        inside.where(F.col("cnt") >= F.lit(mincount))
-        .unionByName(before)
-        .unionByName(after)
+        out.where(
+            (F.col("ord") != 1) | (F.col("cnt") >= F.lit(mincount))
+        )
         .orderBy("ord", "lo")
         .select("bucket", "cnt")
     )
