@@ -36,6 +36,7 @@ from lucene_solr_spark.search.query import (
     BooleanQuery,
     DisMaxQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
@@ -300,6 +301,32 @@ def q_bm25_phrase_sloppy_rpts(spark, sf_dir):
     return _topk_rounded(
         _searcher(spark, sf_dir).search(
             PhraseQuery(["key", "key", "order"], 2), 10
+        )
+    )
+
+
+def q_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery "(key|hash) (order|join)" — exact synonym
+    phrase: slot i accepts any listed alternative
+    (MultiPhraseQuery.java:52-88; slot postings merged as in
+    UnionDocsAndPositionsEnum :411-520). idf sums over every term of
+    every slot (MultiPhraseWeight ctor :135-160)."""
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(
+            MultiPhraseQuery([("key", "hash"), ("order", "join")]), 10
+        )
+    )
+
+
+def q_multi_phrase_sloppy(spark, sf_dir):
+    """Sloppy MultiPhraseQuery "(key|hash) (order|join)"~2: each slot's
+    merged position list feeds the 2-clause SloppyPhraseScorer walk
+    unchanged. Oracle: the proven recursive-CTE chain with IN-list
+    slot lists (oracles.bm25_multi_phrase_sloppy)."""
+    return _topk_rounded(
+        _searcher(spark, sf_dir).search(
+            MultiPhraseQuery([("key", "hash"), ("order", "join")], slop=2),
+            10,
         )
     )
 
@@ -2228,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "multi_phrase": q_multi_phrase,
+        "multi_phrase_sloppy": q_multi_phrase_sloppy,
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
@@ -2405,6 +2434,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "multi_phrase": O.bm25_multi_phrase(
+            [["key", "hash"], ["order", "join"]]
+        ),
+        "multi_phrase_sloppy": O.bm25_multi_phrase_sloppy(
+            [["key", "hash"], ["order", "join"]], 2
+        ),
         "bm25_phrase_sloppy": O.bm25_phrase_sloppy(["key", "order"], 2),
         "bm25_phrase_sloppy_rpts": O.bm25_phrase_sloppy_rpts(
             "key", "order", 2

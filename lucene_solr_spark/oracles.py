@@ -451,6 +451,66 @@ scored AS (
 """.strip()
 
 
+def bm25_multi_phrase(
+    positions: list[list[str]], k: int = 10, table: str = "documents"
+) -> str:
+    """MultiPhraseQuery exact oracle: slot i matches when ANY of
+    positions[i] sits at adjusted position p (distinct terms never share
+    a raw position, so each slot CTE has at most one row per (doc, pos)
+    and the equi-join counts occurrences exactly). idf sums over EVERY
+    term of every slot in slot order, df=0 terms included via COALESCE
+    (MultiPhraseWeight ctor, MultiPhraseQuery.java:135-160)."""
+    flat = [t for arr in positions for t in arr]
+    pos_ctes = f"""
+rawtok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  )
+)""".strip()
+    joins = []
+    p_ctes = []
+    for i, arr in enumerate(positions):
+        tl = ", ".join(f"'{_sq(t)}'" for t in sorted(set(arr)))
+        off = f" - {i}" if i else ""
+        p_ctes.append(
+            f"p{i} AS (SELECT doc_id, pos{off} AS pos FROM rawtok "
+            f"WHERE term IN ({tl}))"
+        )
+        joins.append(f"p{i}")
+    join_expr = joins[0]
+    for j in joins[1:]:
+        join_expr += f" JOIN {j} USING (doc_id, pos)"
+    idf_terms = " + ".join(
+        "ln(1 + ((SELECT max_doc FROM coll) - "
+        f"COALESCE((SELECT df FROM dfs WHERE term = '{_sq(t)}'), 0) + 0.5) / "
+        f"(COALESCE((SELECT df FROM dfs WHERE term = '{_sq(t)}'), 0) + 0.5))"
+        for t in flat
+    )
+    tl_all = ", ".join(f"'{_sq(t)}'" for t in sorted(set(flat)))
+    return f"""
+WITH {tok_ctes(table)},
+{pos_ctes},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl_all}) GROUP BY term
+),
+{', '.join(p_ctes)},
+occ AS (SELECT doc_id, count(*) AS tf FROM ({join_expr}) GROUP BY doc_id),
+scored AS (
+  SELECT o.doc_id,
+         ({idf_terms}) * ({K1}+1) * o.tf
+           / (o.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM occ o JOIN dls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 def bm25_phrase_sloppy(
     terms: list[str], slop: int, k: int = 10, table: str = "documents"
 ) -> str:
@@ -470,7 +530,73 @@ def bm25_phrase_sloppy(
     over per-doc position lists. Scoring mirrors bm25_phrase."""
     if len(terms) != 2:
         raise NotImplementedError("SQL sloppy oracle covers 2 clauses")
-    t0, t1 = terms
+    idf_terms = " + ".join(
+        "ln(1 + ((SELECT max_doc FROM coll) - "
+        f"(SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5) / "
+        f"((SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5))"
+        for t in terms
+    )
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return _sloppy_chain_sql(
+        f"term = '{_sq(terms[0])}'",
+        f"term = '{_sq(terms[1])}'",
+        idf_terms,
+        tl,
+        slop,
+        k,
+        table,
+    )
+
+
+def bm25_multi_phrase_sloppy(
+    positions: list[list[str]],
+    slop: int,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """Sloppy 2-slot MultiPhraseQuery oracle: the engine feeds each
+    slot's merged union of its alternatives' positions into the same
+    2-clause greedy walk (UnionDocsAndPositionsEnum semantics,
+    MultiPhraseQuery.java:411-520), so the proven chain form applies
+    verbatim with per-slot lists built from IN-lists. Slots must be
+    disjoint (the engine raises otherwise). idf sums over every term of
+    every slot in slot order, df=0 terms included via COALESCE."""
+    if len(positions) != 2:
+        raise NotImplementedError("SQL sloppy oracle covers 2 slots")
+    flat = [t for arr in positions for t in arr]
+    idf_terms = " + ".join(
+        "ln(1 + ((SELECT max_doc FROM coll) - "
+        f"COALESCE((SELECT df FROM dfs WHERE term = '{_sq(t)}'), 0) + 0.5) / "
+        f"(COALESCE((SELECT df FROM dfs WHERE term = '{_sq(t)}'), 0) + 0.5))"
+        for t in flat
+    )
+    tl_all = ", ".join(f"'{_sq(t)}'" for t in sorted(set(flat)))
+    in0 = ", ".join(f"'{_sq(t)}'" for t in sorted(set(positions[0])))
+    in1 = ", ".join(f"'{_sq(t)}'" for t in sorted(set(positions[1])))
+    return _sloppy_chain_sql(
+        f"term IN ({in0})",
+        f"term IN ({in1})",
+        idf_terms,
+        tl_all,
+        slop,
+        k,
+        table,
+    )
+
+
+def _sloppy_chain_sql(
+    where0: str,
+    where1: str,
+    idf_terms: str,
+    df_in_list: str,
+    slop: int,
+    k: int,
+    table: str,
+) -> str:
+    """Shared SQL body for the 2-clause sloppy chain walk: clause 0/1
+    position lists come from rawtok rows matching ``where0``/``where1``
+    (single term or IN-list union — the chain only sees the merged
+    ascending lists)."""
     pos_ctes = f"""
 rawtok AS (
   SELECT doc_id, term, pos FROM (
@@ -481,13 +607,7 @@ rawtok AS (
     FROM {table}
   )
 )""".strip()
-    idf_terms = " + ".join(
-        "ln(1 + ((SELECT max_doc FROM coll) - "
-        f"(SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5) / "
-        f"((SELECT df FROM dfs WHERE term = '{_sq(t)}') + 0.5))"
-        for t in terms
-    )
-    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    tl = df_in_list
     return f"""
 WITH RECURSIVE {tok_ctes(table)},
 {pos_ctes},
@@ -496,9 +616,9 @@ dfs AS (
   WHERE term IN ({tl}) GROUP BY term
 ),
 merged AS (
-  SELECT doc_id, pos AS p, 0 AS cl FROM rawtok WHERE term = '{_sq(t0)}'
+  SELECT doc_id, pos AS p, 0 AS cl FROM rawtok WHERE {where0}
   UNION ALL
-  SELECT doc_id, pos - 1 AS p, 1 AS cl FROM rawtok WHERE term = '{_sq(t1)}'
+  SELECT doc_id, pos - 1 AS p, 1 AS cl FROM rawtok WHERE {where1}
 ),
 lists AS (
   SELECT doc_id,

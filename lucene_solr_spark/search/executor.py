@@ -39,6 +39,7 @@ from .query import (
     FieldTermQuery,
     FuzzyQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -73,6 +74,8 @@ def _collect_terms(q: Query) -> set[str]:
         for sub in q.queries:
             out |= _collect_terms(sub)
         return out
+    if isinstance(q, MultiPhraseQuery):
+        return {t for arr in q.positions for t in arr}
     return set()
 
 
@@ -285,6 +288,8 @@ class Searcher:
             )
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, term_stats)
+        if isinstance(q, MultiPhraseQuery):
+            return self._score_multi_phrase(q, term_stats)
         if isinstance(
             q,
             (
@@ -551,6 +556,121 @@ class Searcher:
         )
         return self._score_phrase_freqs(freqs, terms, q.boost, term_stats)
 
+    def _score_multi_phrase(
+        self, q: MultiPhraseQuery, term_stats: dict
+    ) -> DataFrame:
+        """MultiPhraseQuery: each slot i accepts any term of
+        q.positions[i]. Execution unions each slot's alternatives'
+        position postings (UnionDocsAndPositionsEnum,
+        MultiPhraseQuery.java:411-520) — distinct terms never share a
+        position, so the union has at most one row per (doc, pos) and
+        the exact-phrase adjusted-position join stays duplicate-free.
+        idf sums over every term of every array in array order
+        (MultiPhraseWeight ctor :135-160), zero-df terms included."""
+        n = len(q.positions)
+        if n == 0:
+            return self.index.spark.createDataFrame(
+                [], f"doc_id long, score {self._score_type}"
+            )
+        flat = [t for arr in q.positions for t in arr]
+        present = [
+            sorted({t for t in arr if t in term_stats})
+            for arr in q.positions
+        ]
+        if any(not alts for alts in present):
+            # a slot with no indexed alternative can never match
+            return self.index.spark.createDataFrame(
+                [], f"doc_id long, score {self._score_type}"
+            )
+        if q.slop > 0:
+            return self._score_multi_phrase_sloppy(q, present, flat, term_stats)
+        parts = []
+        for i, alts in enumerate(present):
+            parts.append(
+                self._postings_for(alts, want_positions=True)
+                .select(
+                    "doc_id",
+                    "norm_byte",
+                    F.explode("positions").alias("pos"),
+                )
+                .select(
+                    "doc_id",
+                    "norm_byte",
+                    (F.col("pos") - F.lit(i)).alias("apos"),
+                    F.lit(i).alias("clause"),
+                )
+            )
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        occ = (
+            unioned.groupBy("doc_id", "apos")
+            .agg(
+                F.countDistinct("clause").alias("nc"),
+                F.first("norm_byte").alias("norm_byte"),
+            )
+            .where(F.col("nc") == n)
+        )
+        freqs = occ.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("norm_byte").alias("norm_byte"),
+        )
+        return self._score_phrase_freqs(freqs, flat, q.boost, term_stats)
+
+    def _score_multi_phrase_sloppy(
+        self,
+        q: MultiPhraseQuery,
+        present: list[list[str]],
+        flat: list[str],
+        term_stats: dict,
+    ) -> DataFrame:
+        """Sloppy multi-phrase: each slot's merged (sorted) union of its
+        alternatives' positions feeds the SloppyPhraseScorer greedy walk
+        unchanged. Restricted to slot sets DISJOINT across slots — with
+        union enums Lucene's repeat detection keys on the enum, and two
+        slots sharing a term would need the hasRpts cell walk over
+        merged lists; declared out of scope (raises)."""
+        from .sloppy import sloppy_freq_partitions
+
+        seen: set[str] = set()
+        for alts in present:
+            if seen & set(alts):
+                raise NotImplementedError(
+                    "sloppy MultiPhraseQuery with a term shared across "
+                    "slots is not supported"
+                )
+            seen |= set(alts)
+        n = len(present)
+        parts = []
+        for i, alts in enumerate(present):
+            parts.append(
+                self._postings_for(alts, want_positions=True).select(
+                    "doc_id",
+                    "norm_byte",
+                    F.lit(i).alias("clause"),
+                    "positions",
+                )
+            )
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        # merge a slot's alternatives into ONE ascending position list
+        # (the union posting enum's per-doc position order)
+        merged = unioned.groupBy("doc_id", "clause").agg(
+            F.first("norm_byte").alias("norm_byte"),
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                "positions"
+            ),
+        )
+        rows = merged.select(
+            "doc_id", "norm_byte", "clause", "positions"
+        ).repartition("doc_id").sortWithinPartitions("doc_id", "clause")
+        freqs = rows.mapInPandas(
+            sloppy_freq_partitions(n, q.slop, []),
+            "doc_id long, tf double, norm_byte int",
+        )
+        return self._score_phrase_freqs(freqs, flat, q.boost, term_stats)
+
     def _score_phrase_freqs(
         self,
         freqs: DataFrame,
@@ -567,7 +687,11 @@ class Searcher:
             w32 = np.float32(0.0)
             for t in terms:
                 w32 = np.float32(
-                    w32 + idf_fn(term_stats[t][0], self.index.stats.max_doc)
+                    w32
+                    + idf_fn(
+                        term_stats.get(t, (0, 0))[0],
+                        self.index.stats.max_doc,
+                    )
                 )
             weight_value = float(
                 np.float32(q_boost) * w32 * np.float32(1.2 + 1.0)
@@ -576,7 +700,7 @@ class Searcher:
         else:
             w = 0.0
             for t in terms:
-                w = w + self._idf64(term_stats[t][0])
+                w = w + self._idf64(term_stats.get(t, (0, 0))[0])
             weight_value = q_boost * w * (1.2 + 1)
             cache_vals = self.cache64.tolist()
         cache_arr = F.array(*[F.lit(float(v)) for v in cache_vals])

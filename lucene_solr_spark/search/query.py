@@ -44,6 +44,28 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase accepting ANY of several terms at each position — the
+    synonym-phrase query (lucene/core/src/java/org/apache/lucene/search/
+    MultiPhraseQuery.java:52-88; execution merges each slot's postings
+    via UnionDocsAndPositionsEnum :418-520). idf is summed over EVERY
+    term of every position array in array order (MultiPhraseWeight
+    ctor :146-159) — a term in two arrays contributes twice, and a
+    zero-df term still contributes idf(0, maxDoc)."""
+
+    positions: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def __init__(self, positions, slop: int = 0, boost: float = 1.0):
+        object.__setattr__(
+            self, "positions", tuple(tuple(p) for p in positions)
+        )
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: Query
     occur: str = "SHOULD"  # MUST | SHOULD | MUST_NOT
@@ -169,6 +191,24 @@ def rewrite(q: Query) -> Query:
     what makes stopword-stripped phrases like '"the scan"~2' legal)."""
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.boost)
+    if isinstance(q, MultiPhraseQuery):
+        # MultiPhraseQuery.rewrite (MultiPhraseQuery.java:281-295): a
+        # single-slot multi-phrase is a plain disjunction of its
+        # alternatives; all-singleton slots are an ordinary phrase
+        if len(q.positions) == 1:
+            return rewrite(
+                BooleanQuery(
+                    [
+                        BooleanClause(TermQuery(t, q.boost), "SHOULD")
+                        for t in q.positions[0]
+                    ]
+                )
+            )
+        if all(len(arr) == 1 for arr in q.positions):
+            return PhraseQuery(
+                [arr[0] for arr in q.positions], q.slop, q.boost
+            )
+        return q
     if isinstance(q, BooleanQuery):
         clauses = tuple(
             BooleanClause(rewrite(c.query), c.occur) for c in q.clauses
