@@ -1917,6 +1917,33 @@ def q_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: connected components of the minhash
+    candidate-pair graph via alternating large-star/small-star
+    contraction (O(log n) rounds, datapipe/components.py). Oracle:
+    recursive-CTE reachability — both sides label a node with the
+    minimum reachable doc_id."""
+    from lucene_solr_spark.datapipe.components import connected_components
+
+    pairs = minhash_candidate_pairs(_docs(spark, sf_dir))
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Dedup-by-clustering: keep one doc per component (the minimum
+    doc_id) plus all unpaired docs — the stage a training pipeline runs
+    after MinHash banding."""
+    from lucene_solr_spark.datapipe.components import keep_canonical
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(d)
+    return keep_canonical(d, pairs).select("doc_id").orderBy("doc_id")
+
+
 def q_quality(spark, sf_dir):
     d = with_quality_score(_docs(spark, sf_dir).select("doc_id", "text"))
     return d.select(
@@ -2257,6 +2284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "multi_phrase": q_multi_phrase,
         "multi_phrase_sloppy": q_multi_phrase_sloppy,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
@@ -2595,6 +2624,8 @@ def oracle_sql() -> dict[str, str]:
         "block_join": O.block_join_orders(),
         "dedup_exact": O.dedup_exact_doubled(),
         "dedup_minhash": O.minhash_pairs(),
+        "dedup_components": O.dedup_components(),
+        "dedup_canonical": O.dedup_canonical(),
         "dedup_minhash_capped": O.minhash_pairs(bucket_cap=2),
         "dedup_simhash": O.simhash_sql(),
         "dedup_simhash_pairs": O.simhash_pairs_sql(3),

@@ -1372,6 +1372,56 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+def dedup_components(
+    num_hashes: int = 128,
+    band_size: int = 8,
+    bucket_cap: int = 1000,
+    table: str = "documents",
+) -> str:
+    """Connected components of the minhash candidate-pair graph:
+    component = min doc_id reachable. The recursive CTE enumerates
+    every (node, reachable) pair — O(Σ comp²), fine at oracle scale;
+    the engine's large-star/small-star contraction must produce the
+    identical labeling (both are 'minimum reachable id')."""
+    pairs_sql = minhash_pairs(num_hashes, band_size, bucket_cap, table)
+    return f"""
+WITH RECURSIVE
+p AS ({pairs_sql}),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM p
+),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r0.node, e.v FROM reach r0 JOIN e ON e.u = r0.r
+)
+SELECT node AS doc_id, min(r) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+""".strip()
+
+
+def dedup_canonical(
+    num_hashes: int = 128,
+    band_size: int = 8,
+    bucket_cap: int = 1000,
+    table: str = "documents",
+) -> str:
+    """Doc ids kept by dedup-by-clustering: every doc except non-minimum
+    members of a pair-graph component."""
+    comp_sql = dedup_components(num_hashes, band_size, bucket_cap, table)
+    # strip the trailing ORDER BY of the inner query before wrapping
+    inner = comp_sql.rsplit("ORDER BY doc_id", 1)[0].rstrip()
+    return f"""
+WITH c AS ({inner})
+SELECT d.doc_id FROM {table} d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM c WHERE doc_id <> component)
+ORDER BY d.doc_id
+""".strip()
+
+
 def _simhash_ctes(bits: int = 64, table: str = "documents") -> str:
     """Shared WITH-body computing (doc_id, simhash): term-hash bits
     0..59 come from md5 hex chars 1-15, bits 60..63 from the low 4 bits
