@@ -503,6 +503,54 @@ def q_bm25_update(spark, sf_dir):
     )
 
 
+def _atomic_reader(spark, sf_dir):
+    """Versioned ingest + atomic partial update: every doc stamped
+    _version_=1 at add, then every 7th doc gets {'inc': n_chars+100,
+    'set': lang='xx'} under a must-exist (versionOnUpdate=1) check —
+    the getUpdatedDocument + versionAdd flow
+    (DistributedUpdateProcessor.java:444-660)."""
+    key = f"atom:{sf_dir}"
+    r = _STREAM_CACHE.get(key)
+    if r is None:
+        import tempfile
+
+        from lucene_solr_spark.streaming.incremental import (
+            IncrementalIndexWriter,
+        )
+
+        d = tempfile.mkdtemp(prefix="lss_gate_atom_")
+        docs = _docs(spark, sf_dir).withColumn("uid", F.col("doc_id"))
+        w = IncrementalIndexWriter(spark, d, order_cols=("uid",))
+        w.add_versioned(docs, 0, key_col="uid")
+        upd = docs.where(F.col("uid") % 7 == 0).select(
+            "uid",
+            F.lit(100).cast("long").alias("n_chars"),
+            F.lit("xx").alias("lang"),
+            F.lit(1).cast("long").alias("_version_"),
+        )
+        w.atomic_update(
+            upd, 1, modifiers={"n_chars": "inc", "lang": "set"},
+            key_col="uid",
+        )
+        w.compact()
+        r = w.reader()
+        _STREAM_CACHE[key] = r
+    return r
+
+
+def q_atomic_update(spark, sf_dir):
+    """Final stored-field state after the atomic-update flow; version
+    2 on updated docs (one clock tick per versioned batch), 1 on the
+    rest."""
+    r = _atomic_reader(spark, sf_dir)
+    return r.docs.select(
+        F.col("uid").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_version_").cast("long").alias("version"),
+    ).orderBy("doc_id")
+
+
 def q_bm25_delete(spark, sf_dir):
     """Delete path: tombstone lang='de' -> compact == batch build over
     the survivors (df/N/avgdl all refreshed at merge)."""
@@ -2286,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase_sloppy": q_multi_phrase_sloppy,
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
+        "atomic_update": q_atomic_update,
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
@@ -2626,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": O.minhash_pairs(),
         "dedup_components": O.dedup_components(),
         "dedup_canonical": O.dedup_canonical(),
+        "atomic_update": O.atomic_update_view(),
         "dedup_minhash_capped": O.minhash_pairs(bucket_cap=2),
         "dedup_simhash": O.simhash_sql(),
         "dedup_simhash_pairs": O.simhash_pairs_sql(3),

@@ -1372,6 +1372,21 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+def atomic_update_view(table: str = "documents") -> str:
+    """Expected stored-field state after the q_atomic_update flow:
+    docs ingested at version 1, every 7th doc atomically updated
+    (inc n_chars+100, set lang='xx') at version 2."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+       CASE WHEN doc_id % 7 = 0 THEN n_chars + 100 ELSE n_chars END
+         AS n_chars,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS version
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
 def dedup_components(
     num_hashes: int = 128,
     band_size: int = 8,

@@ -42,6 +42,15 @@ from ..index.docids import assign_doc_ids
 
 MANIFEST = "streaming_manifest.json"
 
+VERSION_FIELD = "_version_"
+
+
+class VersionConflict(Exception):
+    """Optimistic-concurrency failure — the Solr 409 CONFLICT analogue
+    (DistributedUpdateProcessor.versionAdd,
+    solr/core/src/java/org/apache/solr/update/processor/
+    DistributedUpdateProcessor.java:500-512)."""
+
 
 def _commit(index_dir: str, manifest: dict) -> None:
     tmp = os.path.join(index_dir, MANIFEST + ".tmp")
@@ -175,6 +184,185 @@ class IncrementalIndexWriter:
         if man["segments"]:
             self.delete_by_keys(batch_df.select(key_col), key_col)
         self.process_batch(batch_df, batch_id)
+
+    # -- optimistic concurrency + atomic updates ---------------------------
+
+    def _found_versions(self, keys_df: DataFrame, key_col: str) -> DataFrame:
+        """(key, __found) for live docs holding the keys; missing keys
+        are absent (callers coalesce to -1, VersionInfo.lookupVersion
+        returning null)."""
+        cur = self.reader().docs
+        vexpr = (
+            F.col(VERSION_FIELD).cast("long")
+            if VERSION_FIELD in cur.columns
+            else F.lit(1).cast("long")
+        )
+        return cur.join(
+            F.broadcast(keys_df.select(key_col).distinct()),
+            key_col,
+            "left_semi",
+        ).select(key_col, vexpr.alias("__found"))
+
+    def add_versioned(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key_col: str = "uid",
+        on_conflict: str = "fail",
+    ) -> int:
+        """Overwrite-by-uniqueKey add with optimistic concurrency —
+        versionAdd leader logic (DistributedUpdateProcessor.java:444-520):
+        a row's ``_version_`` is its versionOnUpdate; the add is legal
+        when versionOnUpdate == 0 (no check), == foundVersion (exact
+        match), < 0 with the doc absent (must-not-exist), or == 1 with
+        the doc present (must-exist). Anything else is a conflict:
+        ``on_conflict='fail'`` raises :class:`VersionConflict` (the 409
+        path), ``'skip'`` drops the conflicting rows and applies the
+        rest. Accepted docs are stamped with one new version from the
+        manifest's monotone version clock (getNewClock analogue —
+        deterministic instead of wall-clock so replays agree) and go
+        through the delete-then-add update path. Returns the number of
+        rows applied.
+
+        Distribution shape: ONE broadcast semi-join computes found
+        versions; the conflict filter is a Catalyst predicate; no
+        per-row driver work."""
+        if on_conflict not in ("fail", "skip"):
+            raise ValueError("on_conflict must be 'fail' or 'skip'")
+        man = _read(self.index_dir)
+        if str(batch_id) in man["segments"]:
+            return 0  # checkpoint replay
+        has_v = VERSION_FIELD in batch_df.columns
+        vcol = (
+            F.coalesce(F.col(VERSION_FIELD).cast("long"), F.lit(0))
+            if has_v
+            else F.lit(0).cast("long")
+        )
+        checked = batch_df.withColumn("__v", vcol)
+        if man["segments"]:
+            found = self._found_versions(
+                checked.select(key_col), key_col
+            )
+            checked = checked.join(found, key_col, "left")
+        else:
+            checked = checked.withColumn(
+                "__found", F.lit(None).cast("long")
+            )
+        checked = checked.withColumn(
+            "__found", F.coalesce(F.col("__found"), F.lit(-1))
+        )
+        ok = (
+            (F.col("__v") == 0)
+            | (F.col("__v") == F.col("__found"))
+            | ((F.col("__v") < 0) & (F.col("__found") < 0))
+            | ((F.col("__v") == 1) & (F.col("__found") > 0))
+        )
+        checked = checked.persist()
+        try:
+            n_conf = checked.where(~ok).count()
+            if n_conf and on_conflict == "fail":
+                sample = [
+                    (r[key_col], int(r["__v"]), int(r["__found"]))
+                    for r in checked.where(~ok).limit(5).collect()
+                ]
+                raise VersionConflict(
+                    f"{n_conf} version conflict(s); first (key, "
+                    f"expected, actual): {sample}"
+                )
+            accepted = checked.where(ok).drop("__v", "__found")
+            n_acc = accepted.count()
+            if n_acc == 0:
+                return 0
+            new_version = int(man.get("version_clock", 0)) + 1
+            stamped = accepted.withColumn(
+                VERSION_FIELD, F.lit(new_version).cast("long")
+            )
+            self.update_documents(stamped, batch_id, key_col)
+        finally:
+            checked.unpersist()
+        man2 = _read(self.index_dir)
+        man2["version_clock"] = new_version
+        _commit(self.index_dir, man2)
+        return int(n_acc)
+
+    def atomic_update(
+        self,
+        updates_df: DataFrame,
+        batch_id: int,
+        modifiers: dict[str, str],
+        key_col: str = "uid",
+        on_conflict: str = "fail",
+    ) -> int:
+        """Atomic (partial) document update — getUpdatedDocument
+        (DistributedUpdateProcessor.java:573-660): fetch the current
+        stored doc by uniqueKey (the RealTimeGetComponent view), apply
+        per-field modifiers, then run the result through the versioned
+        overwrite path. ``modifiers`` maps column -> op:
+
+          - ``'set'``: replace the stored value with the update's
+          - ``'inc'``: numeric add; a doc without the field gets the
+            increment as the initial value (:616-620)
+          - ``'add'``: append to a multiValued (array) field
+
+        Update columns without a modifier entry are 'set'. A key with
+        no live doc creates a new document when its versionOnUpdate
+        <= 0 and conflicts otherwise (:588-595); stored fields absent
+        from the update are carried over unchanged.
+
+        Distribution shape: ONE join of the update batch against the
+        live doc view (AQE broadcasts the small side), all modifier
+        arithmetic in Catalyst; then the add_versioned machinery."""
+        for c, op in modifiers.items():
+            if op not in ("set", "inc", "add"):
+                raise ValueError(f"unknown modifier {op!r} for {c!r}")
+            if c not in updates_df.columns:
+                raise ValueError(f"modifier column {c!r} not in updates")
+        man = _read(self.index_dir)
+        if str(batch_id) in man["segments"]:
+            return 0  # checkpoint replay
+        cur = self.reader().docs.drop("doc_id")
+        upd_cols = [c for c in updates_df.columns if c != key_col]
+        cur_cols = [c for c in cur.columns if c != key_col]
+        u = updates_df.alias("u")
+        c_ = cur.alias("c")
+        joined = u.join(c_, F.col(f"u.{key_col}") == F.col(f"c.{key_col}"), "left")
+        exists = F.col(f"c.{key_col}").isNotNull()
+        out_cols = [F.col(f"u.{key_col}").alias(key_col)]
+        seen = {key_col}
+        for col in cur_cols:
+            if col == VERSION_FIELD:
+                continue  # re-stamped by add_versioned
+            seen.add(col)
+            cv = F.col(f"c.{col}")
+            if col in upd_cols:
+                uv = F.col(f"u.{col}")
+                op = modifiers.get(col, "set")
+                if op == "set":
+                    merged = uv
+                elif op == "inc":
+                    merged = F.when(
+                        exists & cv.isNotNull(), cv + uv
+                    ).otherwise(uv)
+                else:  # add: append to array field
+                    merged = F.when(
+                        exists & cv.isNotNull(),
+                        F.concat(cv, F.array(uv)),
+                    ).otherwise(F.array(uv))
+            else:
+                merged = cv
+            out_cols.append(merged.alias(col))
+        for col in upd_cols:
+            if col in seen or col == VERSION_FIELD:
+                continue
+            out_cols.append(F.col(f"u.{col}").alias(col))
+        if VERSION_FIELD in updates_df.columns:
+            out_cols.append(
+                F.col(f"u.{VERSION_FIELD}").alias(VERSION_FIELD)
+            )
+        merged_df = joined.select(*out_cols)
+        return self.add_versioned(
+            merged_df, batch_id, key_col, on_conflict
+        )
 
     def add_with_signature_dedup(
         self,
