@@ -331,6 +331,48 @@ def q_multi_phrase_sloppy(spark, sf_dir):
     )
 
 
+def _payloaded_docs(spark, sf_dir):
+    """Documents with per-token float payloads in DelimitedPayload
+    syntax: token at 0-based whitespace position i becomes
+    ``token|((i % 5) + 1)`` — built in pure Catalyst so the payload
+    parse (search/payloads.py) has something deterministic to chew."""
+    words = F.filter(
+        F.split(F.col("text"), " "), lambda w: w != F.lit("")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    w, F.lit("|"), (i % 5 + 1).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def q_payload_term(spark, sf_dir):
+    """PayloadTermQuery with AveragePayloadFunction: BM25 term score *
+    mean per-occurrence payload (PayloadTermQuery.java:80-150;
+    DelimitedPayloadTokenFilter parse)."""
+    from lucene_solr_spark.search.payloads import payload_term_topk
+
+    return payload_term_topk(
+        _payloaded_docs(spark, sf_dir), "scan", func="avg", k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_payload_term_max(spark, sf_dir):
+    """PayloadTermQuery with MaxPayloadFunction (MaxPayloadFunction.java)."""
+    from lucene_solr_spark.search.payloads import payload_term_topk
+
+    return payload_term_topk(
+        _payloaded_docs(spark, sf_dir), "merge", func="max", k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_page2(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     q = _bool(should=["scan", "merge"])
@@ -2335,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "atomic_update": q_atomic_update,
+        "payload_term": q_payload_term,
+        "payload_term_max": q_payload_term_max,
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
@@ -2676,6 +2720,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": O.dedup_components(),
         "dedup_canonical": O.dedup_canonical(),
         "atomic_update": O.atomic_update_view(),
+        "payload_term": O.payload_term("scan", "avg"),
+        "payload_term_max": O.payload_term("merge", "max"),
         "dedup_minhash_capped": O.minhash_pairs(bucket_cap=2),
         "dedup_simhash": O.simhash_sql(),
         "dedup_simhash_pairs": O.simhash_pairs_sql(3),

@@ -1372,6 +1372,56 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+def payload_term(
+    term: str, func: str = "avg", k: int = 10, table: str = "documents"
+) -> str:
+    """PayloadTermQuery oracle over the gate's payloaded view of
+    ``table``: whitespace token at (1-based) position p carries payload
+    ((p-1) % 5) + 1 (what the gate's DelimitedPayload construction
+    attaches), score = BM25 term score over the whitespace-token doc
+    length * the payload function (PayloadTermQuery.java:144-149)."""
+    agg = {"avg": "avg", "max": "max", "min": "min"}[func]
+    words = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, lower(tok) AS term, pos,
+         CAST(((pos - 1) % 5) + 1 AS DOUBLE) AS payload
+  FROM (
+    SELECT doc_id,
+           unnest({words}) AS tok,
+           generate_subscripts({words}, 1) AS pos
+    FROM {table}
+  )
+),
+pdls AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pcoll AS (
+  SELECT (SELECT count(*) FROM {table}) AS max_doc,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM pdls)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM {table}) AS avgdl
+),
+pdf AS (
+  SELECT count(DISTINCT doc_id) AS df FROM ptok
+  WHERE term = '{_sq(term)}'
+),
+qdl AS (SELECT * FROM (VALUES {_qdl()}) AS t(lo, hi, q)),
+m AS (
+  SELECT doc_id, count(*) AS tf,
+         COALESCE({agg}(payload), 1.0) AS pf
+  FROM ptok WHERE term = '{_sq(term)}' GROUP BY doc_id
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + ((SELECT max_doc FROM pcoll) - (SELECT df FROM pdf) + 0.5)
+              / ((SELECT df FROM pdf) + 0.5))
+           * ({K1}+1) * m.tf
+           / (m.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM pcoll)))
+           * m.pf AS score
+  FROM m JOIN pdls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 def atomic_update_view(table: str = "documents") -> str:
     """Expected stored-field state after the q_atomic_update flow:
     docs ingested at version 1, every 7th doc atomically updated

@@ -1,0 +1,70 @@
+"""DelimitedPayloadTokenFilter parse + PayloadFunction semantics
+(DelimitedPayloadTokenFilter.java:30-75, AveragePayloadFunction.java,
+PayloadTermQuery.java:80-150)."""
+
+import math
+
+from lucene_solr_spark.search.payloads import (
+    payload_term_topk,
+    payload_token_rows,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_parse_splits_at_last_delimiter(spark):
+    d = _df(spark, [(0, "Cat|3.0 dog|0.5 plain a|b|2")])
+    got = {
+        (r["pos"], r["term"], r["payload"])
+        for r in payload_token_rows(d).collect()
+    }
+    assert (0, "cat", 3.0) in got
+    assert (1, "dog", 0.5) in got
+    assert (2, "plain", None) in got
+    # LAST delimiter wins: term keeps everything before the first '|'
+    # per substring_index(token, '|', 1); payload = after the last
+    assert (3, "a", 2.0) in got
+
+
+def test_no_payload_seen_defaults_to_one(spark):
+    # 'plain' has tf=1 and no payloads -> payloadScore falls back to 1,
+    # so its score equals the bare BM25 term score
+    d = _df(
+        spark,
+        [(0, "plain x y"), (1, "other x z")],
+    )
+    got = {
+        int(r["doc_id"]): float(r["score"])
+        for r in payload_term_topk(d, "plain", "avg").collect()
+    }
+    # manual BM25: N=2, df=1, tf=1, dl=3 (floatToByte315 quantizes
+    # dl=3 to 4.0 — byte 120 decodes to 0.5, 1/0.5^2), avgdl=3
+    idf = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+    want = idf * 2.2 * 1 / (1 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    assert abs(got[0] - want) < 1e-9
+
+
+def test_avg_vs_max_vs_min(spark):
+    d = _df(spark, [(0, "t|1 t|5 t|3 u|9")])
+    for func, want_pf in (("avg", 3.0), ("max", 5.0), ("min", 1.0)):
+        got = payload_term_topk(d, "t", func).collect()[0]
+        # tf=3, dl=4; score = bm25 * pf -> the pf ratio is exact
+        base = payload_term_topk(d, "u", func).collect()[0]
+        # u: tf=1 pf=9
+        assert got["score"] > 0 and base["score"] > 0
+        # derive pf by dividing out the bm25 part computed from formula
+        idf = math.log(1 + (1 - 1 + 0.5) / (1 + 0.5))
+        bm25_t = idf * 2.2 * 3 / (3 + 1.2 * (0.25 + 0.75 * 4 / 4.0))
+        assert abs(got["score"] - bm25_t * want_pf) < 1e-9
+
+
+def test_mixed_payload_and_plain_occurrences(spark):
+    # only payloaded occurrences feed the average (payloadsSeen)
+    d = _df(spark, [(0, "t|4 t t|2")])
+    got = payload_term_topk(d, "t", "avg").collect()[0]
+    idf = math.log(1 + 0.5 / 1.5)
+    # dl=3 quantizes to 4.0 (floatToByte315), avgdl=3
+    bm25_t = idf * 2.2 * 3 / (3 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    assert abs(got["score"] - bm25_t * 3.0) < 1e-9
