@@ -373,6 +373,36 @@ def q_payload_term_max(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_boosting(spark, sf_dir):
+    """BoostingQuery(match='scan', context='merge', boost=0.2): docs
+    containing 'merge' keep matching but are demoted 5×
+    (BoostingQuery.java:40-83 — MUST match + zero-boost SHOULD context
+    under the overridden coord)."""
+    from lucene_solr_spark.search.boosting import boosting_topk
+
+    return boosting_topk(
+        _searcher(spark, sf_dir),
+        TermQuery("scan"),
+        TermQuery("merge"),
+        0.2,
+        k=10,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_custom_score(spark, sf_dir):
+    """CustomScoreQuery(TermQuery('scan'), recip(n_chars,...)) — default
+    provider combine: subQueryScore * valSrcScore
+    (CustomScoreProvider.java:73-78)."""
+    from lucene_solr_spark.search.boosting import custom_score_topk
+
+    return custom_score_topk(
+        _searcher(spark, sf_dir),
+        TermQuery("scan"),
+        ["recip(n_chars,1,500,500)"],
+        k=10,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_page2(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     q = _bool(should=["scan", "merge"])
@@ -2379,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atomic_update": q_atomic_update,
         "payload_term": q_payload_term,
         "payload_term_max": q_payload_term_max,
+        "boosting": q_boosting,
+        "custom_score": q_custom_score,
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
@@ -2722,6 +2754,10 @@ def oracle_sql() -> dict[str, str]:
         "atomic_update": O.atomic_update_view(),
         "payload_term": O.payload_term("scan", "avg"),
         "payload_term_max": O.payload_term("merge", "max"),
+        "boosting": O.boosting("scan", "merge", 0.2),
+        "custom_score": O.custom_score(
+            "scan", "500.0 / (1.0 * d.n_chars + 500.0)"
+        ),
         "dedup_minhash_capped": O.minhash_pairs(bucket_cap=2),
         "dedup_simhash": O.simhash_sql(),
         "dedup_simhash_pairs": O.simhash_pairs_sql(3),

@@ -1422,6 +1422,54 @@ scored AS (
 """.strip()
 
 
+def boosting(
+    match: str,
+    context: str,
+    boost: float,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """BoostingQuery oracle: match-term BM25 score, multiplied by
+    ``boost`` when the doc also contains the context term — the coord
+    table in BoostingQuery.java:57-72 (context contributes nothing
+    additive)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([match, context], table)},
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = '{_sq(match)}' THEN score END) AS ms,
+         max(CASE WHEN term = '{_sq(context)}' THEN 1 ELSE 0 END) AS ctx
+  FROM scored GROUP BY doc_id
+),
+final AS (
+  SELECT doc_id,
+         ms * CASE WHEN ctx = 1 THEN CAST({boost!r} AS DOUBLE)
+              ELSE 1.0 END AS score
+  FROM agg WHERE ms IS NOT NULL
+)
+{_topk('final', k)}
+""".strip()
+
+
+def custom_score(
+    term: str,
+    vs_sql: str,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """CustomScoreQuery oracle: BM25 term score * the value-source
+    expression ``vs_sql`` (a SQL scalar over ``d.*`` stored fields) —
+    CustomScoreProvider.java:73-78 default combine."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+final AS (
+  SELECT s.doc_id, s.score * ({vs_sql}) AS score
+  FROM scored s JOIN {table} d USING (doc_id)
+)
+{_topk('final', k)}
+""".strip()
+
+
 def atomic_update_view(table: str = "documents") -> str:
     """Expected stored-field state after the q_atomic_update flow:
     docs ingested at version 1, every 7th doc atomically updated
