@@ -403,6 +403,49 @@ def q_custom_score(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_edge_ngram_freq(spark, sf_dir):
+    """EdgeNGramTokenFilter (FRONT side, minGram=2, maxGram=4) over the
+    analyzed stream (lucene/analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java:34,67-69): top-20 edge grams by count —
+    one gram per size that fits, pure Catalyst."""
+    from lucene_solr_spark.analysis.ngram import edge_ngrams_expr
+    from lucene_solr_spark.functions.spark_text import analyzed_tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(analyzed_tokens(F.col("text"))).alias("term")
+        )
+        .select(
+            F.explode(edge_ngrams_expr(F.col("term"), 2, 4)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+def q_spellcheck_wordbreak(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks('hashjoin'): single-split
+    suggestions whose halves are both index terms
+    (WordBreakSpellChecker.java:94-135,267-299)."""
+    from lucene_solr_spark.search.spellcheck import word_breaks
+
+    return word_breaks(_index(spark, sf_dir).terms_stats, "hashjoin", k=5)
+
+
+def q_spellcheck_wordcombine(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordCombinations(['s','can','d','up']):
+    adjacent pairs whose concatenation is an index term, at least one
+    original absent (WordBreakSpellChecker.java:165-264)."""
+    from lucene_solr_spark.search.spellcheck import word_combinations
+
+    return word_combinations(
+        _index(spark, sf_dir).terms_stats, ["s", "can", "d", "up"], k=5
+    )
+
+
 def q_bm25_page2(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     q = _bool(should=["scan", "merge"])
@@ -2411,6 +2454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_term_max": q_payload_term_max,
         "boosting": q_boosting,
         "custom_score": q_custom_score,
+        "edge_ngram_freq": q_edge_ngram_freq,
+        "spellcheck_wordbreak": q_spellcheck_wordbreak,
+        "spellcheck_wordcombine": q_spellcheck_wordcombine,
         "facet_date": q_facet_date,
         "signature_dedup": q_signature_dedup,
         "mlt_interesting": q_mlt_interesting,
@@ -2755,6 +2801,11 @@ def oracle_sql() -> dict[str, str]:
         "payload_term": O.payload_term("scan", "avg"),
         "payload_term_max": O.payload_term("merge", "max"),
         "boosting": O.boosting("scan", "merge", 0.2),
+        "edge_ngram_freq": O.edge_ngram_freq(2, 4),
+        "spellcheck_wordbreak": O.word_breaks("hashjoin"),
+        "spellcheck_wordcombine": O.word_combinations(
+            ["s", "can", "d", "up"]
+        ),
         "custom_score": O.custom_score(
             "scan", "500.0 / (1.0 * d.n_chars + 500.0)"
         ),

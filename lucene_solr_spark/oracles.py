@@ -937,6 +937,27 @@ GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
 """.strip()
 
 
+def edge_ngram_freq(
+    min_gram: int = 2,
+    max_gram: int = 4,
+    k: int = 20,
+    table: str = "documents",
+) -> str:
+    """EdgeNGramTokenFilter (FRONT) twin: top-k front-edge grams of
+    sizes min..max over the analyzed token stream."""
+    return f"""
+WITH {tok_ctes(table)},
+grams AS (
+  SELECT unnest(list_transform(
+           range({min_gram}, least({max_gram}, length(term)) + 1),
+           n -> substr(term, 1, n::INT))) AS gram
+  FROM tok
+)
+SELECT gram, count(*) AS cnt FROM grams
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
+""".strip()
+
+
 def match_all(table: str = "documents") -> str:
     return (
         f"SELECT doc_id, 1.0 AS score FROM {table} ORDER BY doc_id"
@@ -1419,6 +1440,63 @@ scored AS (
   FROM m JOIN pdls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
 )
 {_topk('scored', k)}
+""".strip()
+
+
+def word_breaks(
+    word: str, k: int = 5, table: str = "documents"
+) -> str:
+    """WordBreakSpellChecker.suggestWordBreaks twin (maxChanges=1,
+    SUGGEST_WHEN_NOT_IN_INDEX, NUM_CHANGES_THEN_MAX_FREQUENCY): every
+    single split whose halves are both index terms, unless the word
+    itself is one."""
+    w = _sq(word)
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+splits AS (
+  SELECT substr('{w}', 1, i::INT) AS l, substr('{w}', i::INT + 1) AS r
+  FROM range(1, {len(word)}) t(i)
+),
+cand AS (
+  SELECT s.l AS "left", s.r AS "right",
+         dl.df AS left_df, dr.df AS right_df
+  FROM splits s
+  JOIN dfs dl ON dl.term = s.l
+  JOIN dfs dr ON dr.term = s.r
+  WHERE NOT EXISTS (SELECT 1 FROM dfs WHERE term = '{w}')
+)
+SELECT * FROM cand
+ORDER BY greatest(left_df, right_df) DESC, "left" ASC LIMIT {k}
+""".strip()
+
+
+def word_combinations(
+    words: list[str], k: int = 5, table: str = "documents"
+) -> str:
+    """WordBreakSpellChecker.suggestWordCombinations twin (maxChanges=1
+    adjacent pairs, SUGGEST_WHEN_NOT_IN_INDEX — at least one original
+    absent from the index, combined present)."""
+    vals = ", ".join(
+        f"({i}, '{_sq(words[i])}', '{_sq(words[i + 1])}', "
+        f"'{_sq(words[i] + words[i + 1])}')"
+        for i in range(len(words) - 1)
+    )
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+pairs AS (
+  SELECT * FROM (VALUES {vals}) AS t(idx, first, second, combined)
+),
+cand AS (
+  SELECT p.idx, p.first, p.second, p.combined, dc.df
+  FROM pairs p
+  JOIN dfs dc ON dc.term = p.combined
+  LEFT JOIN dfs df1 ON df1.term = p.first
+  LEFT JOIN dfs df2 ON df2.term = p.second
+  WHERE COALESCE(df1.df, 0) = 0 OR COALESCE(df2.df, 0) = 0
+)
+SELECT * FROM cand ORDER BY df DESC, idx ASC LIMIT {k}
 """.strip()
 
 

@@ -78,3 +78,122 @@ def collate(
         corrected.append(top[0]["term"] if top else t)
     hits = searcher.score(And(*corrected)).count()
     return " ".join(corrected), int(hits)
+
+
+def word_breaks(
+    terms_stats: DataFrame,
+    word: str,
+    k: int = 5,
+    min_break_word_length: int = 1,
+    min_suggestion_frequency: int = 1,
+    suggest_always: bool = False,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks with maxChanges=1 (one
+    split; lucene/suggest/src/java/org/apache/lucene/search/spell/
+    WordBreakSpellChecker.java:94-135,267-299): every split point i in
+    [minBreakWordLength, len-minBreakWordLength) yields (left, right);
+    a suggestion survives when BOTH parts have df >=
+    minSuggestionFrequency. Default SUGGEST_WHEN_NOT_IN_INDEX mode
+    returns nothing when the word itself is an index term (:113-115);
+    ``suggest_always`` mirrors SuggestMode.SUGGEST_ALWAYS. Order is the
+    default NUM_CHANGES_THEN_MAX_FREQUENCY comparator — all rows here
+    have one break, so max(left_df, right_df) desc — with (left asc) as
+    the deterministic tie-break.
+
+    Scale shape: the split candidates are a broadcast-size literal
+    frame (at most len(word) rows); two broadcast hash joins against
+    terms_stats resolve both dfs with NO shuffle of the term dict, and
+    the not-in-index check is an aggregated scalar cross-joined in —
+    one job, no collect."""
+    spark = terms_stats.sparkSession
+    lo = max(1, min_break_word_length)
+    cands = [
+        (word[:i], word[i:]) for i in range(lo, max(len(word) - lo + 1, lo))
+        if len(word) > 2 * lo - 1 and len(word[i:]) >= lo
+    ]
+    if not cands:
+        return spark.createDataFrame(
+            [], "left string, right string, left_df long, right_df long"
+        )
+    splits = spark.createDataFrame(cands, "left string, right string")
+    ts = terms_stats.select("term", F.col("df").cast("long").alias("df"))
+    out = (
+        F.broadcast(splits)
+        .join(ts.withColumnRenamed("term", "left"), "left")
+        .withColumnRenamed("df", "left_df")
+        .join(
+            ts.withColumnRenamed("term", "right").withColumnRenamed(
+                "df", "right_df"
+            ),
+            "right",
+        )
+        .where(
+            (F.col("left_df") >= min_suggestion_frequency)
+            & (F.col("right_df") >= min_suggestion_frequency)
+        )
+    )
+    if not suggest_always:
+        orig = ts.where(F.col("term") == word).agg(
+            F.count(F.lit(1)).alias("_orig_df")
+        )
+        out = out.crossJoin(F.broadcast(orig)).where(
+            F.col("_orig_df") == 0
+        )
+    return out.select(
+        "left", "right", "left_df", "right_df"
+    ).orderBy(
+        F.desc(F.greatest("left_df", "right_df")), F.asc("left")
+    ).limit(k)
+
+
+def word_combinations(
+    terms_stats: DataFrame,
+    words: list[str],
+    k: int = 5,
+    max_combine_word_length: int = 20,
+    min_suggestion_frequency: int = 1,
+    suggest_always: bool = False,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations with maxChanges=1
+    (adjacent pairs; WordBreakSpellChecker.java:165-264): each adjacent
+    (words[i], words[i+1]) whose concatenation is an index term with
+    df >= minSuggestionFrequency suggests the combined word. Default
+    SUGGEST_WHEN_NOT_IN_INDEX keeps a pair only when at least one
+    original word is absent from the index (minFreq == 0, :230-232).
+    Order: combined df desc (one combination each), then index asc."""
+    spark = terms_stats.sparkSession
+    pairs = [
+        (i, words[i], words[i + 1], words[i] + words[i + 1])
+        for i in range(len(words) - 1)
+        if len(words[i]) + len(words[i + 1]) <= max_combine_word_length
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "idx int, first string, second string, "
+            "combined string, df long"
+        )
+    pf = spark.createDataFrame(
+        pairs, "idx int, first string, second string, combined string"
+    )
+    ts = terms_stats.select("term", F.col("df").cast("long").alias("df"))
+    out = F.broadcast(pf).join(
+        ts.withColumnRenamed("term", "combined"), "combined"
+    ).where(F.col("df") >= min_suggestion_frequency)
+    if not suggest_always:
+        ofs = ts.withColumnRenamed("term", "first").withColumnRenamed(
+            "df", "first_df"
+        )
+        oss = ts.withColumnRenamed("term", "second").withColumnRenamed(
+            "df", "second_df"
+        )
+        out = (
+            out.join(ofs, "first", "left")
+            .join(oss, "second", "left")
+            .where(
+                (F.coalesce(F.col("first_df"), F.lit(0)) == 0)
+                | (F.coalesce(F.col("second_df"), F.lit(0)) == 0)
+            )
+        )
+    return out.select(
+        "idx", "first", "second", "combined", "df"
+    ).orderBy(F.desc("df"), F.asc("idx")).limit(k)
