@@ -389,6 +389,59 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_surround_w_or(spark, sf_dir):
+    """Surround parser: ``(scan or merge) 3w key`` — an OR clause
+    (union of term spans) in ordered distance 3 (slop 2) before 'key'
+    (lucene/queryparser/.../surround/parser/QueryParser.jj:370,
+    query/DistanceQuery.java:100 slop = dist - 1)."""
+    from lucene_solr_spark.search.surround import surround_doc_ids
+
+    return surround_doc_ids(
+        _searcher(spark, sf_dir), "(scan or merge) 3w key"
+    )
+
+
+def q_surround_n(spark, sf_dir):
+    """Surround prefix-form unordered distance: ``3N(scan, hash)``
+    (QueryParser.jj PrefixOperatorQuery:403)."""
+    from lucene_solr_spark.search.surround import surround_doc_ids
+
+    return surround_doc_ids(_searcher(spark, sf_dir), "3N(scan, hash)")
+
+
+def q_surround_bool(spark, sf_dir):
+    """Surround boolean algebra with explicit grouping:
+    ``scan AND ((merge OR join) NOT commit)``
+    (surround/query/SrndBooleanQuery.java + NotQuery.java)."""
+    from lucene_solr_spark.search.surround import surround_doc_ids
+
+    return surround_doc_ids(
+        _searcher(spark, sf_dir),
+        "scan AND ((merge OR join) NOT commit)",
+    )
+
+
+def q_surround_nested(spark, sf_dir):
+    """Nested distance inside distance: ``(scan w merge) 4n key`` — the
+    inner ordered pair composes to a width-2 span; the outer unordered
+    window rule (max_end - min_start) - total_len <= slop
+    (NearSpansUnordered.java:124-176)."""
+    from lucene_solr_spark.search.surround import surround_doc_ids
+
+    return surround_doc_ids(
+        _searcher(spark, sf_dir), "(scan w merge) 4n key"
+    )
+
+
+def q_surround_prefix(spark, sf_dir):
+    """Prefix expansion inside a distance op: ``mer* w key``
+    (SrndPrefixQuery expanded against the terms dictionary, capped by
+    MAX_BASIC_QUERIES as in query/BasicQueryFactory.java)."""
+    from lucene_solr_spark.search.surround import surround_doc_ids
+
+    return surround_doc_ids(_searcher(spark, sf_dir), "mer* w key")
+
+
 def q_custom_score(spark, sf_dir):
     """CustomScoreQuery(TermQuery('scan'), recip(n_chars,...)) — default
     provider combine: subQueryScore * valSrcScore
@@ -2445,6 +2498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "surround_w_or": q_surround_w_or,
+        "surround_n": q_surround_n,
+        "surround_bool": q_surround_bool,
+        "surround_nested": q_surround_nested,
+        "surround_prefix": q_surround_prefix,
         "multi_phrase": q_multi_phrase,
         "multi_phrase_sloppy": q_multi_phrase_sloppy,
         "dedup_components": q_dedup_components,
@@ -2634,6 +2692,17 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "surround_w_or": O.surround_or_near(
+            ["scan", "merge"], "key", 3, ordered=True
+        ),
+        "surround_n": O.span_near_docs(
+            ["scan", "hash"], 2, in_order=False
+        ),
+        "surround_bool": O.surround_bool(
+            "scan", ["merge", "join"], "commit"
+        ),
+        "surround_nested": O.surround_nested("scan", "merge", "key", 4),
+        "surround_prefix": O.surround_prefix_near("mer", "key", 1),
         "multi_phrase": O.bm25_multi_phrase(
             [["key", "hash"], ["order", "join"]]
         ),

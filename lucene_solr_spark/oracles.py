@@ -3639,3 +3639,101 @@ pairs AS (
 SELECT gram, CAST(count(*) AS BIGINT) AS cnt
 FROM pairs GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
 """.strip()
+
+
+def surround_or_near(
+    or_terms: list[str],
+    term: str,
+    dist: int,
+    ordered: bool = True,
+    table: str = "documents",
+) -> str:
+    """Surround ``(t1 OR t2 ...) <dist>W/N term`` twin: an OR clause is
+    the union of its terms' length-1 spans
+    (surround/query/OrQuery.java via SpanNearClauseFactory ->
+    SpanOrQuery); SpanNear slop = dist - 1 (DistanceQuery.java:100)."""
+    slop = dist - 1
+    in_list = ", ".join(f"'{_sq(t)}'" for t in or_terms)
+    if ordered:
+        cond = f"b.pos > a.pos AND (b.pos - a.pos - 1) <= {slop}"
+    else:
+        cond = f"a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= {slop}"
+    return f"""
+WITH {_rawtok(table)},
+a AS (SELECT doc_id, pos FROM rawtok WHERE term IN ({in_list})),
+b AS (SELECT doc_id, pos FROM rawtok WHERE term = '{_sq(term)}')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON b.doc_id = a.doc_id
+WHERE {cond}
+ORDER BY doc_id
+""".strip()
+
+
+def surround_prefix_near(
+    prefix: str, term: str, dist: int, table: str = "documents"
+) -> str:
+    """Surround ``pre* W term`` twin: trailing-* prefix expansion
+    (SrndPrefixQuery) unioned into one span clause, then ordered
+    distance. The prefix filter excludes stopwords — the engine expands
+    against the terms dictionary, which never contains them."""
+    slop = dist - 1
+    return f"""
+WITH {_rawtok(table)},
+a AS (SELECT doc_id, pos FROM rawtok
+      WHERE starts_with(term, '{_sq(prefix)}')
+        AND term NOT IN ({STOP_LIST})),
+b AS (SELECT doc_id, pos FROM rawtok WHERE term = '{_sq(term)}')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON b.doc_id = a.doc_id
+WHERE b.pos > a.pos AND (b.pos - a.pos - 1) <= {slop}
+ORDER BY doc_id
+""".strip()
+
+
+def surround_nested(
+    t1: str,
+    t2: str,
+    term: str,
+    outer_dist: int,
+    table: str = "documents",
+) -> str:
+    """Surround ``(t1 W t2) <outer>N term`` twin: the inner adjacent
+    ordered pair composes to span (p1, p2+1); the outer unordered
+    window rule is (max_end - min_start) - sum(lengths) <= slop with
+    lengths 2 + 1 (NearSpansUnordered.java:124-176)."""
+    slop = outer_dist - 1
+    return f"""
+WITH {_rawtok(table)},
+ab AS (
+  SELECT a.doc_id AS doc_id, a.pos AS s, b.pos + 1 AS e
+  FROM rawtok a JOIN rawtok b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{_sq(t1)}' AND b.term = '{_sq(t2)}'
+),
+k AS (SELECT doc_id, pos FROM rawtok WHERE term = '{_sq(term)}')
+SELECT DISTINCT ab.doc_id AS doc_id
+FROM ab JOIN k ON k.doc_id = ab.doc_id
+WHERE greatest(ab.e, k.pos + 1) - least(ab.s, k.pos) - 3 <= {slop}
+ORDER BY doc_id
+""".strip()
+
+
+def surround_bool(
+    must: str,
+    or_terms: list[str],
+    not_term: str,
+    table: str = "documents",
+) -> str:
+    """Surround ``must AND ((x OR y) NOT z)`` twin — doc-level boolean
+    algebra (AndQuery/OrQuery/NotQuery make BooleanQuery clauses,
+    surround/query/SrndBooleanQuery.java)."""
+    in_list = ", ".join(f"'{_sq(t)}'" for t in or_terms)
+    return f"""
+WITH {_rawtok(table)}
+SELECT DISTINCT doc_id FROM rawtok WHERE term = '{_sq(must)}'
+INTERSECT
+(SELECT DISTINCT doc_id FROM rawtok WHERE term IN ({in_list})
+ EXCEPT
+ SELECT DISTINCT doc_id FROM rawtok WHERE term = '{_sq(not_term)}')
+ORDER BY doc_id
+""".strip()

@@ -413,6 +413,13 @@ def _fq_doc_ids(searcher: Searcher, expr: str) -> DataFrame | None:
         )
     if ptype == "lucene":
         return searcher.score(parse_lucene(body)).select("doc_id")
+    if ptype == "surround":
+        # SurroundQParserPlugin (solr/core/.../search/
+        # SurroundQParserPlugin.java — maxBasicQueries dispatch into
+        # the surround QueryParser); constant-score doc set
+        from .surround import surround_doc_ids
+
+        return surround_doc_ids(searcher, body)
     raise ValueError(f"unknown fq local-params type {ptype!r}")
 
 
