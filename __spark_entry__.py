@@ -389,6 +389,49 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_select_fq_join(spark, sf_dir):
+    """{!join from= to=} filter query (JoinQParserPlugin.java /
+    JoinUtil.createJoinQuery): keep docs whose source equals the source
+    of ANY doc matching 'dup' — the from-value set broadcasts into a
+    semi-join, the JoinUtil term-enumeration shape."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        fq=["{!join from=source to=source}dup"],
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
+def q_select_boost_local(spark, sf_dir):
+    """q-side {!boost b=func}query dispatch (BoostQParserPlugin.java):
+    BM25 of 'scan' multiplied by recip(n_chars,1,1000,1000)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="{!boost b=recip(n_chars,1,1000,1000)}scan",
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
+def q_select_field_phrase(spark, sf_dir):
+    """{!field f=text}hash join (FieldQParserPlugin.java:40-55): the
+    analyzed multi-token body becomes an exact PhraseQuery; membership
+    via the fq path, constant-scored here (field-filter role)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="{!field f=text}hash join",
+        rows=100,
+    )
+    return out["response"].select("doc_id")
+
+
 def q_surround_w_or(spark, sf_dir):
     """Surround parser: ``(scan or merge) 3w key`` — an OR clause
     (union of term spans) in ordered distance 3 (slop 2) before 'key'
@@ -2498,6 +2541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "select_fq_join": q_select_fq_join,
+        "select_boost_local": q_select_boost_local,
+        "select_field_phrase": q_select_field_phrase,
         "surround_w_or": q_surround_w_or,
         "surround_n": q_surround_n,
         "surround_bool": q_surround_bool,
@@ -2692,6 +2738,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "select_fq_join": O.join_fq_filter("scan", "dup"),
+        "select_boost_local": O.func_boost("scan"),
+        "select_field_phrase": O.phrase_docs(["hash", "join"]),
         "surround_w_or": O.surround_or_near(
             ["scan", "merge"], "key", 3, ordered=True
         ),

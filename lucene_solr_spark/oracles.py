@@ -3737,3 +3737,47 @@ INTERSECT
  SELECT DISTINCT doc_id FROM rawtok WHERE term = '{_sq(not_term)}')
 ORDER BY doc_id
 """.strip()
+
+
+def phrase_docs(terms: list[str], table: str = "documents") -> str:
+    """Exact-phrase doc set (PhraseQuery slop=0 membership): clause
+    positions strictly consecutive. Twin of the {!field} multi-token
+    dispatch (FieldQParserPlugin.java:40-55)."""
+    n = len(terms)
+    joins = []
+    conds = [f"a0.term = '{_sq(terms[0])}'"]
+    for i in range(1, n):
+        joins.append(
+            f"JOIN rawtok a{i} ON a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.pos = a0.pos + {i}"
+        )
+        conds.append(f"a{i}.term = '{_sq(terms[i])}'")
+    return f"""
+WITH {_rawtok(table)}
+SELECT DISTINCT a0.doc_id AS doc_id
+FROM rawtok a0 {' '.join(joins)}
+WHERE {' AND '.join(conds)}
+ORDER BY doc_id
+""".strip()
+
+
+def join_fq_filter(
+    q_term: str,
+    join_term: str,
+    field: str = "source",
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """{!join from=field to=field}join_term fq twin: BM25 top-k of
+    q_term restricted to docs whose `field` value equals the `field`
+    of any doc matching join_term (JoinQParserPlugin.java:55-90)."""
+    return bm25_bool(
+        must=[q_term],
+        k=k,
+        table=table,
+        fq=(
+            f"d.{field} IN (SELECT DISTINCT d2.{field} FROM {table} d2 "
+            f"JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = "
+            f"'{_sq(join_term)}') m ON d2.doc_id = m.doc_id)"
+        ),
+    )

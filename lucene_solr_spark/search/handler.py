@@ -97,19 +97,40 @@ def select(
     negative, percentage, conditional 'bound<spec') and ``tie`` the
     dismax tie-breaker.
     """
-    if def_type == "lucene":
-        query = parse_lucene(q)
-    elif def_type == "edismax":
-        from .qparser import parse_edismax
+    # q-side LocalParams dispatch (QParser.getParser registry):
+    # {!lucene}body reroutes the string, {!boost b=f}body multiplies the
+    # wrapped query's score by a ValueSource (BoostQParserPlugin.java),
+    # any other registered type yields its (constant-score) doc set
+    scored = None
+    lp = parse_local_params(q) if q.lstrip().startswith("{!") else None
+    if lp is not None:
+        ptype, lparams, body = lp
+        if ptype == "lucene":
+            q = body
+        elif ptype == "boost":
+            q = lparams.get("v", body)
+            b_ = lparams["b"]
+            boost = b_ if boost is None else f"product({boost},{b_})"
+        else:
+            ids = _fq_doc_ids(searcher, q)
+            scored = ids.select(
+                "doc_id",
+                F.lit(1.0).cast(searcher._score_type).alias("score"),
+            )
+    if scored is None:
+        if def_type == "lucene":
+            query = parse_lucene(q)
+        elif def_type == "edismax":
+            from .qparser import parse_edismax
 
-        query = parse_edismax(q, tie=tie, mm=mm)
-    elif def_type == "dismax":
-        from .qparser import parse_dismax
+            query = parse_edismax(q, tie=tie, mm=mm)
+        elif def_type == "dismax":
+            from .qparser import parse_dismax
 
-        query = parse_dismax(q, tie=tie, mm=mm)
-    else:
-        raise ValueError(f"unknown defType {def_type!r}")
-    scored = searcher.score(query)
+            query = parse_dismax(q, tie=tie, mm=mm)
+        else:
+            raise ValueError(f"unknown defType {def_type!r}")
+        scored = searcher.score(query)
 
     docs = searcher.index.docs
     if fq:
@@ -420,6 +441,87 @@ def _fq_doc_ids(searcher: Searcher, expr: str) -> DataFrame | None:
         from .surround import surround_doc_ids
 
         return surround_doc_ids(searcher, body)
+    if ptype == "field":
+        # FieldQParserPlugin.java:40-55: the body is analyzed with the
+        # field's analyzer — multiple tokens make a PhraseQuery,
+        # one token a TermQuery; non-text (string) fields are not
+        # analyzed, so the body is an exact match value
+        from ..analysis.tokenizer import analyze
+        from .query import PhraseQuery, TermQuery
+
+        f_ = params.get("f", "text")
+        if f_ != "text":
+            return (
+                searcher.index.docs.where(F.col(f_) == F.lit(body))
+                .select("doc_id")
+            )
+        terms, _ = analyze(body)
+        if not terms:
+            return searcher.index.spark.createDataFrame([], "doc_id long")
+        q_ = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else PhraseQuery(terms, slop=0)
+        )
+        return searcher.score(q_).select("doc_id")
+    if ptype == "prefix":
+        # PrefixQParserPlugin.java:37-44 — no analysis of the body
+        from .query import PrefixQuery
+
+        f_ = params.get("f", "text")
+        if f_ != "text":
+            return (
+                searcher.index.docs.where(F.col(f_).startswith(body))
+                .select("doc_id")
+            )
+        return searcher.score(PrefixQuery(body)).select("doc_id")
+    if ptype == "raw":
+        # RawQParserPlugin.java:35-42 — a single raw term, never
+        # analyzed (TermQuery on the exact bytes)
+        from .query import TermQuery
+
+        f_ = params.get("f", "text")
+        if f_ != "text":
+            return (
+                searcher.index.docs.where(F.col(f_) == F.lit(body))
+                .select("doc_id")
+            )
+        return searcher.score(TermQuery(body)).select("doc_id")
+    if ptype in ("query", "boost"):
+        # NestedQParserPlugin.java ({!query v=...}) re-enters the
+        # parser registry; {!boost} membership in a NON-SCORING fq
+        # context is just its wrapped query's doc set
+        # (BoostQParserPlugin.java — the b= function changes scores,
+        # never membership)
+        sub = params.get("v", body)
+        nested = _fq_doc_ids(searcher, sub)
+        if nested is not None:
+            return nested
+        return searcher.score(parse_lucene(sub)).select("doc_id")
+    if ptype == "join":
+        # JoinQParserPlugin.java:55-90 / JoinUtil.createJoinQuery:
+        # gather the from-field values of docs matching the wrapped
+        # query, then admit docs whose to-field holds one of them.
+        # JoinUtil enumerates the from-terms into a filter — the
+        # broadcast-join shape (the from set is the small side by
+        # construction; a from set too big to broadcast would OOM the
+        # reference the same way).
+        sub = params.get("v", body)
+        from_f, to_f = params["from"], params["to"]
+        sub_ids = _fq_doc_ids(searcher, sub)
+        if sub_ids is None:
+            sub_ids = searcher.score(parse_lucene(sub)).select("doc_id")
+        d = searcher.index.docs
+        vals = (
+            d.join(sub_ids, "doc_id", "left_semi")
+            .select(F.col(from_f).alias("__join_v"))
+            .distinct()
+        )
+        return d.join(
+            F.broadcast(vals),
+            d[to_f] == F.col("__join_v"),
+            "left_semi",
+        ).select("doc_id")
     raise ValueError(f"unknown fq local-params type {ptype!r}")
 
 

@@ -239,3 +239,71 @@ def test_explain_self_consistent(searcher):
         "freq", "parameter k1", "parameter b",
         "avgFieldLength", "fieldLength",
     ]
+
+
+def test_qparser_plugin_registry_dispatch(searcher, tiny_pdf):
+    """{!field}/{!prefix}/{!raw}/{!query}/{!join} route through the
+    QParserPlugin registry analogue (FieldQParserPlugin.java,
+    PrefixQParserPlugin.java, RawQParserPlugin.java,
+    NestedQParserPlugin.java, JoinQParserPlugin.java)."""
+    from lucene_solr_spark.search.handler import _fq_doc_ids, select
+
+    def brute(pred):
+        from lucene_solr_spark.analysis.tokenizer import analyze
+
+        return sorted(
+            int(d)
+            for d, t in zip(tiny_pdf["doc_id"], tiny_pdf["text"])
+            if pred(analyze(t)[0])
+        )
+
+    def got(expr):
+        return sorted(
+            r["doc_id"] for r in _fq_doc_ids(searcher, expr).collect()
+        )
+
+    # {!field} single token == analyzed term query
+    assert got("{!field f=text}Merge") == brute(lambda ts: "merge" in ts)
+    # {!field} on a non-text column = exact value, no analysis
+    roles = set(tiny_pdf["role"])
+    some_role = sorted(roles)[0]
+    assert got("{!field f=role}" + some_role) == sorted(
+        int(d)
+        for d, r in zip(tiny_pdf["doc_id"], tiny_pdf["role"])
+        if r == some_role
+    )
+    # {!prefix} — no analysis of the body
+    assert got("{!prefix f=text}shar") == brute(
+        lambda ts: any(t.startswith("shar") for t in ts)
+    )
+    # {!raw} — exact term, never analyzed: uppercase matches nothing
+    assert got("{!raw f=text}Merge") == []
+    assert got("{!raw f=text}merge") == brute(lambda ts: "merge" in ts)
+    # {!query v=...} re-enters the registry
+    assert got("{!query v='{!prefix f=text}shar'}") == got(
+        "{!prefix f=text}shar"
+    )
+    # {!join}: docs sharing conv_id with any 'error' match
+    convs = {
+        c
+        for c, t in zip(tiny_pdf["conv_id"], tiny_pdf["text"])
+        if "error" in __import__(
+            "lucene_solr_spark.analysis.tokenizer",
+            fromlist=["analyze"],
+        ).analyze(t)[0]
+    }
+    want = sorted(
+        int(d)
+        for d, c in zip(tiny_pdf["doc_id"], tiny_pdf["conv_id"])
+        if c in convs
+    )
+    assert got("{!join from=conv_id to=conv_id}error") == want
+    # q-side {!boost}: same membership as the bare query, scaled scores
+    base = select(searcher, q="error", rows=50)["response"].collect()
+    boosted = select(
+        searcher,
+        q="{!boost b=recip(turn_idx,1,1000,1000)}error",
+        rows=50,
+    )["response"].collect()
+    bs = {r["doc_id"]: r["score"] for r in base}
+    assert {r["doc_id"] for r in boosted} == set(bs)
