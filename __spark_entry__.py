@@ -389,6 +389,104 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_fuzzy_like_this(spark, sf_dir):
+    """FuzzyLikeThisQuery over misspelled input 'scann mergee'
+    (lucene/sandbox/.../FuzzyLikeThisQuery.java, ignoreTF): fuzzy
+    variants per token, boost^2*idf clause weights, constant-score
+    disjunction summed per doc."""
+    from lucene_solr_spark.search.fuzzylikethis import fuzzy_like_this
+
+    return fuzzy_like_this(
+        _searcher(spark, sf_dir), "scann mergee", min_similarity=0.5
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_filter_chained(spark, sf_dir):
+    """ChainedFilter with a per-step logic array [OR, ANDNOT, XOR]
+    (lucene/queries/.../ChainedFilter.java:49-190): ((scan) ANDNOT
+    merge) XOR key as pure doc-set algebra."""
+    from lucene_solr_spark.search.filters import (
+        ANDNOT,
+        OR,
+        XOR,
+        chained_filter,
+        terms_filter,
+    )
+
+    s = _searcher(spark, sf_dir)
+    return chained_filter(
+        _index(spark, sf_dir).docs,
+        [
+            terms_filter(s, ["scan"]),
+            terms_filter(s, ["merge"]),
+            terms_filter(s, ["key"]),
+        ],
+        [OR, ANDNOT, XOR],
+    )
+
+
+def q_filter_boolean(spark, sf_dir):
+    """BooleanFilter (lucene/queries/.../BooleanFilter.java:47-107):
+    MUST scan, SHOULD {merge, key}, MUST_NOT dup — non-scoring."""
+    from lucene_solr_spark.search.filters import boolean_filter
+
+    return boolean_filter(
+        _searcher(spark, sf_dir),
+        must=["scan"],
+        should=["merge", "key"],
+        must_not=["dup"],
+    )
+
+
+def q_filter_duplicate(spark, sf_dir):
+    """DuplicateFilter KM_USE_FIRST_OCCURRENCE (lucene/sandbox/.../
+    DuplicateFilter.java:38-78): one doc per distinct source value."""
+    from lucene_solr_spark.search.filters import duplicate_filter
+
+    return duplicate_filter(
+        _index(spark, sf_dir).docs, "source", keep_mode="first"
+    )
+
+
+def q_filter_terms(spark, sf_dir):
+    """TermsFilter (lucene/queries/.../TermsFilter.java): docs holding
+    any of an explicit term list."""
+    from lucene_solr_spark.search.filters import terms_filter
+
+    return terms_filter(_searcher(spark, sf_dir), ["dup", "vector"])
+
+
+def q_group_query(spark, sf_dir):
+    """group.query (Grouping.java CommandQuery): each named query is a
+    group; its page is the main query's ('scan') top-3 among that
+    group's matches — all groups in ONE window job."""
+    from lucene_solr_spark.search.grouping import grouped_by_queries
+
+    s = _searcher(spark, sf_dir)
+    return grouped_by_queries(
+        s.score(TermQuery("scan")),
+        {
+            "merge": s.score(TermQuery("merge")).select("doc_id"),
+            "key": s.score(TermQuery("key")).select("doc_id"),
+        },
+        per_group=3,
+    )
+
+
+def q_group_func(spark, sf_dir):
+    """group.func (Grouping.java CommandFunc): collapse on a
+    ValueSource — mod(n_chars,100) buckets — top-2 per bucket."""
+    from lucene_solr_spark.search.grouping import grouped_by_func
+
+    s = _searcher(spark, sf_dir)
+    return grouped_by_func(
+        s.score(TermQuery("scan")),
+        _index(spark, sf_dir).docs,
+        "mod(n_chars,100)",
+        per_group=2,
+    )
+
+
 def q_select_fq_join(spark, sf_dir):
     """{!join from= to=} filter query (JoinQParserPlugin.java /
     JoinUtil.createJoinQuery): keep docs whose source equals the source
@@ -2541,6 +2639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "fuzzy_like_this": q_fuzzy_like_this,
+        "filter_chained": q_filter_chained,
+        "filter_boolean": q_filter_boolean,
+        "filter_duplicate": q_filter_duplicate,
+        "filter_terms": q_filter_terms,
+        "group_query": q_group_query,
+        "group_func": q_group_func,
         "select_fq_join": q_select_fq_join,
         "select_boost_local": q_select_boost_local,
         "select_field_phrase": q_select_field_phrase,
@@ -2738,6 +2843,17 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "fuzzy_like_this": O.fuzzy_like_this(["scann", "mergee"], 0.5),
+        "filter_chained": O.chained_filter_docs("scan", "merge", "key"),
+        "filter_boolean": O.boolean_filter_docs(
+            ["scan"], ["merge", "key"], ["dup"]
+        ),
+        "filter_duplicate": O.duplicate_filter_docs("source", "first"),
+        "filter_terms": O.terms_filter_docs(["dup", "vector"]),
+        "group_query": O.group_query_topk(
+            "scan", {"merge": "merge", "key": "key"}, 3
+        ),
+        "group_func": O.group_func_topk("scan", "d.n_chars % 100", 2),
         "select_fq_join": O.join_fq_filter("scan", "dup"),
         "select_boost_local": O.func_boost("scan"),
         "select_field_phrase": O.phrase_docs(["hash", "join"]),

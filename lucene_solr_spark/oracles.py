@@ -3781,3 +3781,179 @@ def join_fq_filter(
             f"'{_sq(join_term)}') m ON d2.doc_id = m.doc_id)"
         ),
     )
+
+
+def group_query_topk(
+    term: str,
+    groups: dict,
+    per_group: int = 3,
+    table: str = "documents",
+) -> str:
+    """group.query twin (Grouping.java CommandQuery): per named group
+    query, the main query's top-k docs among that group's matches."""
+    ctes = [tok_ctes(table), _scored_cte([term], table)]
+    selects = []
+    for i, (name, gterm) in enumerate(sorted(groups.items())):
+        ctes.append(
+            f"g{i} AS (SELECT '{_sq(name)}' AS group_q, doc_id, "
+            f"round(score, 4) AS score FROM scored WHERE doc_id IN "
+            f"(SELECT doc_id FROM tok WHERE term = '{_sq(gterm)}') "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {per_group})"
+        )
+        selects.append(f"SELECT * FROM g{i}")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY group_q, doc_id"
+    )
+
+
+def group_func_topk(
+    term: str,
+    func_sql: str,
+    per_group: int = 2,
+    table: str = "documents",
+) -> str:
+    """group.func twin (Grouping.java CommandFunc): group key is a
+    function of doc columns; top-k per key by (score desc, doc_id)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT group_f, doc_id, round(score, 4) AS score FROM (
+  SELECT CAST({func_sql} AS DOUBLE) AS group_f, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY CAST({func_sql} AS DOUBLE)
+           ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN {table} d USING (doc_id)
+) WHERE rn <= {per_group} ORDER BY group_f, doc_id
+""".strip()
+
+
+def terms_filter_docs(terms: list[str], table: str = "documents") -> str:
+    """TermsFilter twin: union of the exact terms' doc sets."""
+    in_list = ", ".join(f"'{_sq(t)}'" for t in terms)
+    return (
+        f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
+        f"WHERE term IN ({in_list}) ORDER BY doc_id"
+    )
+
+
+def boolean_filter_docs(
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    table: str = "documents",
+) -> str:
+    """BooleanFilter twin: all MUST, >=1 SHOULD, no MUST_NOT."""
+    parts = [tok_ctes(table)]
+    exprs = []
+    if should:
+        sl = ", ".join(f"'{_sq(t)}'" for t in should)
+        exprs.append(
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({sl}))"
+        )
+    for t in must:
+        exprs.append(
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(t)}')"
+        )
+    body = " INTERSECT ".join(exprs)
+    if must_not:
+        ml = ", ".join(f"'{_sq(t)}'" for t in must_not)
+        body = (
+            f"({body}) EXCEPT "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({ml}))"
+        )
+    return f"WITH {', '.join(parts)} SELECT doc_id FROM ({body}) ORDER BY doc_id"
+
+
+def chained_filter_docs(
+    t1: str, t2: str, t3: str, table: str = "documents"
+) -> str:
+    """ChainedFilter twin for logicArray [OR, ANDNOT, XOR] over three
+    term filters: ((t1) ANDNOT t2) XOR t3 (ChainedFilter.java doChain,
+    initial OR fold from the empty set == the first filter)."""
+    return f"""
+WITH {tok_ctes(table)},
+a AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(t1)}'),
+b AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(t2)}'),
+c AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(t3)}'),
+s2 AS (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+SELECT doc_id FROM (
+  (SELECT doc_id FROM s2 UNION SELECT doc_id FROM c)
+  EXCEPT
+  (SELECT doc_id FROM s2 INTERSECT SELECT doc_id FROM c)
+) ORDER BY doc_id
+""".strip()
+
+
+def duplicate_filter_docs(
+    field: str, keep_mode: str = "first", table: str = "documents"
+) -> str:
+    """DuplicateFilter twin: one doc per field value (min/max doc_id)."""
+    agg = "min" if keep_mode == "first" else "max"
+    return (
+        f"SELECT {agg}(doc_id) AS doc_id FROM {table} "
+        f"WHERE {field} IS NOT NULL GROUP BY {field} ORDER BY doc_id"
+    )
+
+
+def fuzzy_like_this(
+    sources: list[str],
+    min_sim: float = 0.5,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """FuzzyLikeThisQuery twin (ignoreTF): per source token, variants
+    with 1 - lev/min(len) > minSim get boost = (sim-minSim)/(1-minSim);
+    clause weight = boost^2 * (ln(N/(df+1))+1) with df = source term's
+    df or the INT-AVERAGE of variant dfs when absent
+    (FuzzyLikeThisQuery.java:191-318, SlowFuzzyTermsEnum.java:234).
+    Doc score = sum of matched clause weights (tf ignored). Caps
+    (50 variants/term, maxNumTerms) assumed non-binding at test scale."""
+    scale = 1.0 / (1.0 - min_sim)
+    parts = [
+        tok_ctes(table),
+        "ts AS (SELECT term, count(DISTINCT doc_id) AS df "
+        "FROM tok GROUP BY term)",
+        f"nd AS (SELECT count(*) AS c FROM {table})",
+    ]
+    w_sel = []
+    for i, s in enumerate(set(sources)):
+        sl = _sq(s)
+        n = len(s)
+        parts.append(
+            f"v{i} AS (SELECT term, df, "
+            f"(1.0 - CAST(levenshtein(term, '{sl}') AS DOUBLE) "
+            f"/ least(CAST(length(term) AS DOUBLE), {float(n)!r})) AS sim "
+            f"FROM ts) "
+        )
+        parts.append(
+            f"b{i} AS (SELECT term, df, (sim - {min_sim!r}) * {scale!r} "
+            f"AS boost FROM v{i} WHERE sim > {min_sim!r})"
+        )
+        parts.append(
+            f"d{i} AS (SELECT coalesce("
+            f"(SELECT df FROM b{i} WHERE term = '{sl}'), "
+            f"(SELECT CAST(sum(df) // count(*) AS BIGINT) FROM b{i})"
+            f") AS df)"
+        )
+        w_sel.append(
+            f"SELECT term, boost * boost * "
+            f"(ln((SELECT c FROM nd) / ((SELECT df FROM d{i}) + 1.0)) "
+            f"+ 1.0) AS w FROM b{i}"
+        )
+    parts.append(
+        "weights AS (SELECT term, sum(w) AS w FROM ("
+        + " UNION ALL ".join(w_sel)
+        + ") GROUP BY term)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT doc_id, round(sum(w), 4) AS score FROM "
+        "(SELECT DISTINCT doc_id, term FROM tok) t "
+        "JOIN weights USING (term) GROUP BY doc_id "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )

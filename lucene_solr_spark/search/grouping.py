@@ -85,3 +85,53 @@ def group_facet(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy(facet_field)
     )
+
+
+def grouped_by_queries(
+    scored_main: DataFrame,
+    group_queries: dict[str, DataFrame],
+    per_group: int = 2,
+) -> DataFrame:
+    """group.query (Grouping.java CommandQuery, :~640): each named
+    query IS one group — its page is the main query's top
+    ``per_group`` docs restricted to that query's doc set.
+
+    One plan for all N groups: tag each semi-joined restriction with
+    the group name, union, and take a per-name window top-k — the same
+    single-job fusion facet_queries uses (no per-group driver loop)."""
+    tagged = None
+    for name, ids in group_queries.items():
+        t = scored_main.join(
+            ids.select("doc_id"), "doc_id", "left_semi"
+        ).withColumn("group_q", F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        raise ValueError("group.query needs at least one query")
+    w = Window.partitionBy("group_q").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_group)
+        .select("group_q", "doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def grouped_by_func(
+    scored: DataFrame,
+    docs: DataFrame,
+    func_expr: str,
+    per_group: int = 2,
+    ngroups: bool = False,
+) -> DataFrame:
+    """group.func (Grouping.java CommandFunc, :~520): the group key is
+    a ValueSource value per doc — compiled by search.funcquery into a
+    Catalyst column, then the ordinary field-collapse window applies
+    (the function stays in whole-stage codegen; no extra shuffle beyond
+    the group key's own)."""
+    from .funcquery import parse_func
+
+    keyed = docs.withColumn("group_f", parse_func(func_expr))
+    return grouped_topk(
+        scored, keyed, "group_f", per_group=per_group, ngroups=ngroups
+    )
