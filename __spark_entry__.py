@@ -389,6 +389,88 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def q_ingest_csv(spark, sf_dir):
+    """CSVLoader roundtrip (solr/core/.../loader/CSVLoaderBase.java:
+    45-60): documents written as quoted CSV, re-ingested through the
+    loader (header, encapsulator, native distributed source) — must
+    reproduce the table exactly."""
+    import os
+
+    from lucene_solr_spark.io.loaders import load_csv
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join("/tmp", "lss_ingest_csv")
+    docs.coalesce(4).write.mode("overwrite").option(
+        "header", "true"
+    ).option("quoteAll", "true").csv(path)
+    return load_csv(spark, path, _DOCS_SCHEMA)
+
+
+def q_ingest_json(spark, sf_dir):
+    """JsonLoader roundtrip (solr/core/.../loader/JsonLoader.java):
+    one {"add":{"doc":{...}}} command string per row, parsed back in
+    one Arrow mapInPandas pass."""
+    from lucene_solr_spark.io.loaders import load_json_commands
+
+    docs = _docs(spark, sf_dir)
+    payloads = docs.select(
+        F.concat(
+            F.lit('{"add":{"doc":'),
+            F.to_json(
+                F.struct("doc_id", "text", "lang", "source", "n_chars")
+            ),
+            F.lit("}}"),
+        ).alias("payload")
+    )
+    return load_json_commands(payloads, "payload", _DOCS_SCHEMA)
+
+
+def q_ingest_xml(spark, sf_dir):
+    """XMLLoader roundtrip (solr/core/.../loader/XMLLoader.java):
+    <add><doc><field name=...> command strings (entity-escaped text),
+    parsed back distributed; values re-cast from XML strings."""
+    from lucene_solr_spark.io.loaders import load_xml_commands
+
+    docs = _docs(spark, sf_dir)
+
+    def esc(c):
+        x = F.regexp_replace(F.col(c).cast("string"), "&", "&amp;")
+        x = F.regexp_replace(x, "<", "&lt;")
+        return F.regexp_replace(x, ">", "&gt;")
+
+    payloads = docs.select(
+        F.concat(
+            F.lit("<add><doc>"),
+            F.lit('<field name="doc_id">'), esc("doc_id"), F.lit("</field>"),
+            F.lit('<field name="text">'), esc("text"), F.lit("</field>"),
+            F.lit('<field name="lang">'), esc("lang"), F.lit("</field>"),
+            F.lit('<field name="source">'), esc("source"), F.lit("</field>"),
+            F.lit('<field name="n_chars">'), esc("n_chars"), F.lit("</field>"),
+            F.lit("</doc></add>"),
+        ).alias("payload")
+    )
+    parsed = load_xml_commands(
+        payloads,
+        "payload",
+        "doc_id string, text string, lang string, source string, "
+        "n_chars string",
+    )
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_fuzzy_like_this(spark, sf_dir):
     """FuzzyLikeThisQuery over misspelled input 'scann mergee'
     (lucene/sandbox/.../FuzzyLikeThisQuery.java, ignoreTF): fuzzy
@@ -2639,6 +2721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "ingest_csv": q_ingest_csv,
+        "ingest_json": q_ingest_json,
+        "ingest_xml": q_ingest_xml,
         "fuzzy_like_this": q_fuzzy_like_this,
         "filter_chained": q_filter_chained,
         "filter_boolean": q_filter_boolean,
@@ -2843,6 +2928,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "ingest_csv": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ingest_json": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ingest_xml": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
         "fuzzy_like_this": O.fuzzy_like_this(["scann", "mergee"], 0.5),
         "filter_chained": O.chained_filter_docs("scan", "merge", "key"),
         "filter_boolean": O.boolean_filter_docs(
