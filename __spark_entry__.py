@@ -389,6 +389,31 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_replica_search(spark, sf_dir):
+    """Replication roundtrip (ReplicationHandler/SnapShooter/SnapPuller):
+    snapshot the committed segment store, fetchindex into a replica
+    dir, open the REPLICA, and answer bm25 top-10 for 'scan' — must be
+    identical to the master (and to the flat-index oracle)."""
+    import tempfile
+
+    from lucene_solr_spark.index.replication import fetch_index
+    from lucene_solr_spark.index.segments import SegmentIndex
+
+    master = _seg_searcher(spark, sf_dir)  # ensures store is built
+    replica_dir = _REPLICA_CACHE.get(sf_dir)
+    if replica_dir is None:
+        replica_dir = tempfile.mkdtemp(prefix="lss_gate_replica_")
+        assert fetch_index(master.index.index_dir, replica_dir)
+        # already-current slave: second pull is a no-op
+        assert not fetch_index(master.index.index_dir, replica_dir)
+        _REPLICA_CACHE[sf_dir] = replica_dir
+    replica = Searcher(SegmentIndex.open(spark, replica_dir))
+    return _topk_rounded(replica.search(TermQuery("scan"), 10))
+
+
+_REPLICA_CACHE: dict = {}
+
+
 _DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
@@ -2721,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "replica_search": q_replica_search,
         "ingest_csv": q_ingest_csv,
         "ingest_json": q_ingest_json,
         "ingest_xml": q_ingest_xml,
@@ -2928,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "replica_search": O.bm25_term("scan"),
         "ingest_csv": (
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"

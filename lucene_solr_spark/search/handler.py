@@ -51,6 +51,7 @@ def select(
     def_type: str = "lucene",
     mm: int | str = 0,
     tie: float = 0.0,
+    sort_missing: str | None = None,
     func_now=None,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
@@ -205,7 +206,8 @@ def select(
         else:
             joined = scored.join(docs, "doc_id")
             ordered = joined.orderBy(
-                *_sort_cols(sort, now=func_now), F.asc("doc_id")
+                *_sort_cols(sort, now=func_now, missing=sort_missing),
+                F.asc("doc_id")
             ).select("doc_id", "score")
         # plan-side offset: the skip happens in the JVM's final limit
         # stage, nothing is collected to the Python driver
@@ -748,11 +750,18 @@ def _split_sort_spec(sort: str) -> list[str]:
     return [p for p in (s.strip() for s in parts) if p]
 
 
-def _sort_cols(sort: str, now=None):
+def _sort_cols(sort: str, now=None, missing: str | None = None):
     """sort= spec -> Catalyst sort columns. Each part is either a doc
     column ('n_chars desc') or a ValueSource function expression
     ('recip(n_chars,1,1000,1000) asc' — Solr sort-by-function,
-    solr/core/.../search/SortSpecParsing / FunctionQParser sort)."""
+    solr/core/.../search/SortSpecParsing / FunctionQParser sort).
+
+    ``missing`` places docs WITHOUT the sort value: 'last' / 'first'
+    (schema sortMissingLast/sortMissingFirst —
+    solr/core/.../search/MissingStringLastComparatorSource.java,
+    S/schema/FieldType sortMissingLast). None keeps Lucene's default
+    missing-sorts-lowest (Spark's null ordering is identical: nulls
+    first under asc, last under desc)."""
     out = []
     for part in _split_sort_spec(sort):
         bits = part.rsplit(None, 1)
@@ -766,5 +775,16 @@ def _sort_cols(sort: str, now=None):
             col = parse_func(expr, now=now)
         else:
             col = F.col(expr)
-        out.append(F.desc(col) if desc else F.asc(col))
+        if missing == "last":
+            out.append(
+                F.desc_nulls_last(col) if desc else F.asc_nulls_last(col)
+            )
+        elif missing == "first":
+            out.append(
+                F.desc_nulls_first(col)
+                if desc
+                else F.asc_nulls_first(col)
+            )
+        else:
+            out.append(F.desc(col) if desc else F.asc(col))
     return out

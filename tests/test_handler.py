@@ -307,3 +307,31 @@ def test_qparser_plugin_registry_dispatch(searcher, tiny_pdf):
     )["response"].collect()
     bs = {r["doc_id"]: r["score"] for r in base}
     assert {r["doc_id"] for r in boosted} == set(bs)
+
+
+def test_sort_missing_first_last(spark):
+    """sortMissingLast/sortMissingFirst placement
+    (MissingStringLastComparatorSource.java; default = missing sorts
+    lowest, like Lucene's string ords)."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.handler import _sort_cols
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, v string"
+    )
+
+    def order(missing):
+        cols = _sort_cols("v asc", missing=missing)
+        return [
+            r["doc_id"]
+            for r in df.orderBy(*cols, F.asc("doc_id")).collect()
+        ]
+
+    assert order(None) == [2, 1, 3]  # default: missing lowest
+    assert order("last") == [1, 3, 2]
+    assert order("first") == [2, 1, 3]
+    cols = _sort_cols("v desc", missing="first")
+    assert [
+        r["doc_id"] for r in df.orderBy(*cols, F.asc("doc_id")).collect()
+    ] == [2, 3, 1]
