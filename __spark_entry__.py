@@ -389,6 +389,88 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_length_filter_freq(spark, sf_dir):
+    """LengthFilter [4,5] in the analyzer slot (lucene/analysis/common/
+    .../miscellaneous/LengthFilter.java — FilteringTokenFilter, so
+    position gaps are kept): top-20 surviving terms by count."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(length=(4, 5))
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_pattern_replace_freq(spark, sf_dir):
+    """PatternReplaceFilter (lucene/analysis/common/.../pattern/
+    PatternReplaceFilter.java, replaceAll): digits -> '#', then top-20
+    terms — arity/position preserving rewrite in the analyzer slot."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(pattern_replace=(r"[0-9]", "#"))
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser: '"scan~1 order"~1' — a fuzzy slot
+    (edit distance 1) followed by 'order' within SpanNear slop 1
+    (lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java:
+    197-283)."""
+    from lucene_solr_spark.search.complexphrase import (
+        complex_phrase_doc_ids,
+    )
+
+    return complex_phrase_doc_ids(
+        _searcher(spark, sf_dir), "scan~1 order", slop=1
+    )
+
+
+def q_complex_phrase_wild(spark, sf_dir):
+    """ComplexPhraseQueryParser wildcard slot: '"sc?n key"' exact
+    adjacency (slop 0) with a ?-wildcard first slot."""
+    from lucene_solr_spark.search.complexphrase import (
+        complex_phrase_doc_ids,
+    )
+
+    return complex_phrase_doc_ids(
+        _searcher(spark, sf_dir), "sc?n key", slop=0
+    )
+
+
 def q_replica_search(spark, sf_dir):
     """Replication roundtrip (ReplicationHandler/SnapShooter/SnapPuller):
     snapshot the committed segment store, fetchindex into a replica
@@ -2746,6 +2828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "length_filter_freq": q_length_filter_freq,
+        "pattern_replace_freq": q_pattern_replace_freq,
+        "complex_phrase": q_complex_phrase,
+        "complex_phrase_wild": q_complex_phrase_wild,
         "replica_search": q_replica_search,
         "ingest_csv": q_ingest_csv,
         "ingest_json": q_ingest_json,
@@ -2954,6 +3040,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "length_filter_freq": O.length_filter_freq(4, 5),
+        "pattern_replace_freq": O.pattern_replace_freq("[0-9]", "#"),
+        "complex_phrase": O.complex_phrase_docs(
+            [{"fuzzy": ("scan", 1)}, {"term": "order"}], slop=1
+        ),
+        "complex_phrase_wild": O.complex_phrase_docs(
+            [{"pattern": "sc.n"}, {"term": "key"}], slop=0
+        ),
         "replica_search": O.bm25_term("scan"),
         "ingest_csv": (
             "SELECT doc_id, text, lang, source, n_chars "

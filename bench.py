@@ -80,6 +80,15 @@ HEADLINE = [
     "cjk_bigram_freq",
     "wdf_freq",
     "result_clustering",
+    # round-4 late additions: surround spans, filter algebra, grouping
+    # extras, plugin dispatch, loaders
+    "surround_w_or",
+    "surround_nested",
+    "filter_chained",
+    "fuzzy_like_this",
+    "group_query",
+    "select_fq_join",
+    "ingest_csv",
 ]
 
 

@@ -389,6 +389,9 @@ def make_analyzer(
     cjk_bigram: bool = False,
     word_delimiter: bool = False,
     common_grams: bool = False,
+    length: tuple[int, int] | None = None,
+    pattern_replace: tuple[str, str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -421,6 +424,22 @@ def make_analyzer(
         from .folding import fold_to_ascii as fold_fn
     if stem:
         from .porter import porter_stem as stem_fn
+    # LengthFilter (LA/miscellaneous/LengthFilter.java): drop tokens
+    # outside [min,max]; a FilteringTokenFilter, so position gaps are
+    # preserved exactly like stop removal.
+    # PatternReplaceFilter (LA/pattern/PatternReplaceFilter.java,
+    # replaceAll): in-place token rewrite, arity/position preserving.
+    # KeywordMarkerFilter (LA/miscellaneous/SetKeywordMarkerFilter):
+    # protected words bypass the stemmer.
+    pr_rx = None
+    if pattern_replace is not None:
+        import re as _re
+
+        pr_rx = (_re.compile(pattern_replace[0]), pattern_replace[1])
+    if (length or pattern_replace) and common_grams:
+        raise ValueError(
+            "length/pattern_replace cannot combine with common_grams"
+        )
     if cjk_bigram and (ngram or edge_ngram or shingle):
         raise ValueError("cjk_bigram cannot combine with gram filters")
     if word_delimiter and (
@@ -485,7 +504,16 @@ def make_analyzer(
         for pos, tok in enumerate(raw):
             if stop and tok in ENGLISH_STOP_WORDS:
                 continue
-            tok = stem_fn(tok) if stem_fn else tok
+            if pr_rx is not None:
+                tok = pr_rx[0].sub(pr_rx[1], tok)
+            if length is not None and not (
+                length[0] <= len(tok) <= length[1]
+            ):
+                continue
+            if stem_fn and not (
+                stem_exclusions and tok in stem_exclusions
+            ):
+                tok = stem_fn(tok)
             if gram_fn is not None:
                 # all grams of one source token share its position
                 # (NGramTokenFilter keeps posIncrement of the first gram

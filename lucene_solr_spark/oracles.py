@@ -3957,3 +3957,83 @@ def fuzzy_like_this(
         "JOIN weights USING (term) GROUP BY doc_id "
         f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def complex_phrase_docs(
+    slots: list[dict],
+    slop: int = 0,
+    table: str = "documents",
+) -> str:
+    """ComplexPhraseQueryParser twin: ordered span-near over expanded
+    slots (ComplexPhraseQueryParser.java:197-283, slop = SpanNear slop
+    directly). Each slot dict is one of {'term': t}, {'prefix': p},
+    {'fuzzy': (word, edits)} — expansions exclude stopwords (the terms
+    dictionary never holds them)."""
+    ctes = [_rawtok(table)]
+    conds = []
+    join = ""
+    for i, slot in enumerate(slots):
+        if "term" in slot:
+            pred = f"term = '{_sq(slot['term'])}'"
+        elif "prefix" in slot:
+            pred = (
+                f"starts_with(term, '{_sq(slot['prefix'])}') "
+                f"AND term NOT IN ({STOP_LIST})"
+            )
+        elif "pattern" in slot:
+            pred = (
+                f"regexp_matches(term, '^{_sq(slot['pattern'])}$') "
+                f"AND term NOT IN ({STOP_LIST})"
+            )
+        else:
+            w, ed = slot["fuzzy"]
+            pred = (
+                f"levenshtein(term, '{_sq(w)}') <= {int(ed)} "
+                f"AND term NOT IN ({STOP_LIST})"
+            )
+        ctes.append(
+            f"p{i} AS (SELECT doc_id, pos AS v{i} FROM rawtok "
+            f"WHERE {pred})"
+        )
+        if i == 0:
+            join = "p0"
+        else:
+            join += f" JOIN p{i} USING (doc_id)"
+            conds.append(f"v{i} > v{i-1}")
+    gaps = " + ".join(
+        f"greatest(0, v{i} - v{i-1} - 1)" for i in range(1, len(slots))
+    )
+    conds.append(f"({gaps}) <= {slop}")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT DISTINCT doc_id FROM {join}
+WHERE {' AND '.join(conds)}
+ORDER BY doc_id
+""".strip()
+
+
+def length_filter_freq(
+    min_len: int, max_len: int, k: int = 20, table: str = "documents"
+) -> str:
+    """LengthFilter twin: post-stop terms with length in [min,max]."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT term, count(*) AS cnt FROM tok
+WHERE length(term) BETWEEN {min_len} AND {max_len}
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def pattern_replace_freq(
+    pattern: str, repl: str, k: int = 20, table: str = "documents"
+) -> str:
+    """PatternReplaceFilter (replaceAll) twin: rewrite each post-stop
+    term, then count."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT regexp_replace(term, '{_sq(pattern)}', '{_sq(repl)}', 'g')
+         AS term,
+       count(*) AS cnt
+FROM tok
+GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()

@@ -421,20 +421,44 @@ def _distance_spans(searcher: Searcher, node: SrndDistance) -> DataFrame:
     n = len(node.clauses)
     if n < 2:
         raise SurroundParseError("distance operator needs >= 2 operands")
-    slop = node.distance - 1
-    frames = []
+    frames = [_spans(searcher, c) for c in node.clauses]
+    # identical clauses must occupy distinct spans
+    # (NearSpansUnordered SpansCell overlap rule :157-176)
+    groups: dict[object, list[int]] = {}
     for i, c in enumerate(node.clauses):
-        frames.append(
-            _spans(searcher, c)
-            .distinct()
-            .select(
-                "doc_id",
-                F.col("s").alias(f"s{i}"),
-                F.col("e").alias(f"e{i}"),
-            )
+        groups.setdefault(c, []).append(i)
+    return join_span_frames(
+        frames,
+        slop=node.distance - 1,
+        ordered=node.ordered,
+        same_clause_groups=list(groups.values()),
+    )
+
+
+def join_span_frames(
+    frames: list[DataFrame],
+    slop: int,
+    ordered: bool,
+    same_clause_groups: list[list[int]] | None = None,
+) -> DataFrame:
+    """SpanNear over pre-built (doc_id, s, e) span frames — the shared
+    kernel for surround distance ops and complex phrases. Ordered:
+    strictly increasing starts (ties by end) with
+    Σ max(0, s[i+1]-e[i]) <= slop (NearSpansOrdered.java:226-330);
+    unordered: (max_end - min_start) - Σ lengths <= slop
+    (NearSpansUnordered.java:124-176), with lexicographically ascending
+    (s, e) inside each same-clause group."""
+    n = len(frames)
+    frames = [
+        f.distinct().select(
+            "doc_id",
+            F.col("s").alias(f"s{i}"),
+            F.col("e").alias(f"e{i}"),
         )
+        for i, f in enumerate(frames)
+    ]
     cur = frames[0]
-    if node.ordered:
+    if ordered:
         for i in range(1, n):
             cur = cur.join(frames[i], on="doc_id").where(
                 (F.col(f"s{i-1}") < F.col(f"s{i}"))
@@ -457,12 +481,7 @@ def _distance_spans(searcher: Searcher, node: SrndDistance) -> DataFrame:
     # unordered
     for i in range(1, n):
         cur = cur.join(frames[i], on="doc_id")
-    # identical clauses must occupy distinct spans, ascending
-    # (NearSpansUnordered SpansCell overlap rule :157-176)
-    groups: dict[object, list[int]] = {}
-    for i, c in enumerate(node.clauses):
-        groups.setdefault(c, []).append(i)
-    for idxs in groups.values():
+    for idxs in same_clause_groups or []:
         for prev, i in zip(idxs, idxs[1:]):
             cur = cur.where(
                 (F.col(f"s{i}") > F.col(f"s{prev}"))

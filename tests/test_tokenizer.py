@@ -223,3 +223,26 @@ def test_common_grams_javadoc_example():
     # gram on the right side too: 'of' common
     t3, _ = an("queen of hearts")
     assert "queen_of" in t3 and "of_hearts" in t3
+
+
+def test_length_pattern_and_keyword_marker_slots():
+    """LengthFilter (position-gap preserving), PatternReplaceFilter
+    (arity preserving), SetKeywordMarkerFilter (stemmer bypass)."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(length=(4, 5))
+    terms, positions = an("a scan of merges and keys")
+    # 'a'/'of'/'and' are stopwords; 'keys' (4) and 'scan' (4) survive,
+    # 'merges' (6) is dropped by length but its position gap remains
+    assert terms == ["scan", "keys"]
+    assert positions == [1, 5]
+
+    an = make_analyzer(pattern_replace=(r"[0-9]+", "#"))
+    terms, positions = an("scan42 x9 merge")
+    assert terms == ["scan#", "x#", "merge"]
+    assert positions == [0, 1, 2]
+
+    an = make_analyzer(stem=True, stem_exclusions=frozenset({"merges"}))
+    terms, _ = an("merges scanning")
+    assert terms[0] == "merges"  # protected from Porter
+    assert terms[1] != "scanning"  # stemmed
