@@ -389,6 +389,30 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_elevation_exclude(spark, sf_dir):
+    """QueryElevationComponent with elevate.xml exclude entries: pin
+    [7] for 'scan' and EXCLUDE the two top organic docs — they must
+    vanish from the page (QueryElevationComponent.java excluded set)."""
+    from lucene_solr_spark.search.handler import elevate
+
+    return elevate(
+        _searcher(spark, sf_dir),
+        "scan",
+        {"scan": [7]},
+        rows=10,
+        exclusions={"scan": [6, 361]},  # sf0.01's top-2 organic docs
+    )
+
+
+def q_span_position_range(spark, sf_dir):
+    """SpanPositionRangeQuery: 'merge' spans fully inside positions
+    [3, 12) (SpanPositionRangeQuery.java acceptPosition; SpanFirst is
+    the start=0 case)."""
+    from lucene_solr_spark.search.spans import span_position_range
+
+    return span_position_range(_searcher(spark, sf_dir), "merge", 3, 12)
+
+
 def q_length_filter_freq(spark, sf_dir):
     """LengthFilter [4,5] in the analyzer slot (lucene/analysis/common/
     .../miscellaneous/LengthFilter.java — FilteringTokenFilter, so
@@ -2828,6 +2852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "elevation_exclude": q_elevation_exclude,
+        "span_position_range": q_span_position_range,
         "length_filter_freq": q_length_filter_freq,
         "pattern_replace_freq": q_pattern_replace_freq,
         "complex_phrase": q_complex_phrase,
@@ -3040,6 +3066,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "elevation_exclude": O.query_elevation(
+            "scan", [7], exclude=[6, 361]
+        ),
+        "span_position_range": O.span_position_range_docs("merge", 3, 12),
         "length_filter_freq": O.length_filter_freq(4, 5),
         "pattern_replace_freq": O.pattern_replace_freq("[0-9]", "#"),
         "complex_phrase": O.complex_phrase_docs(

@@ -979,19 +979,32 @@ LIMIT {k}
 
 
 def query_elevation(
-    term: str, ids: list[int], k: int = 10, table: str = "documents"
+    term: str,
+    ids: list[int],
+    k: int = 10,
+    table: str = "documents",
+    exclude: list[int] | None = None,
 ) -> str:
     """QueryElevationComponent twin: pinned ids first in config order
-    (score 0 when the query does not match them), organic after."""
+    (score 0 when the query does not match them), organic after;
+    ``exclude`` ids (elevate.xml exclude="true") are removed."""
     vals = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(ids))
+    ex = (
+        "WHERE s.doc_id NOT IN ("
+        + ", ".join(str(int(d)) for d in exclude)
+        + ")"
+        if exclude
+        else ""
+    )
     return f"""
 WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+kept AS (SELECT * FROM scored s {ex}),
 elev(e_doc, elev_rank) AS (VALUES {vals}),
 j AS (
   SELECT COALESCE(s.doc_id, e.e_doc) AS doc_id,
          COALESCE(s.score, 0.0) AS score,
          e.elev_rank
-  FROM scored s FULL OUTER JOIN elev e ON s.doc_id = e.e_doc
+  FROM kept s FULL OUTER JOIN elev e ON s.doc_id = e.e_doc
 )
 SELECT doc_id, round(score, 4) AS score,
        CAST(elev_rank IS NOT NULL AS INTEGER) AS elevated
@@ -4036,4 +4049,19 @@ SELECT regexp_replace(term, '{_sq(pattern)}', '{_sq(repl)}', 'g')
        count(*) AS cnt
 FROM tok
 GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def span_position_range_docs(
+    term: str, start: int, end: int, table: str = "documents"
+) -> str:
+    """SpanPositionRangeQuery twin: engine positions are 0-based,
+    rawtok's are 1-based -> p >= start maps to pos >= start+1 and
+    p+1 <= end maps to pos <= end."""
+    return f"""
+WITH {_rawtok(table)}
+SELECT DISTINCT doc_id FROM rawtok
+WHERE term = '{_sq(term)}'
+  AND pos >= {int(start) + 1} AND pos <= {int(end)}
+ORDER BY doc_id
 """.strip()

@@ -691,12 +691,17 @@ def elevate(
     q: str,
     elevations: dict[str, list[int]],
     rows: int = 10,
+    exclusions: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """QueryElevationComponent (S/handler/component/
     QueryElevationComponent.java): for a configured query string, pin
     the listed doc ids to the top IN CONFIG ORDER regardless of score;
     organic results follow in normal (score desc, doc_id) order.
-    Returns (doc_id, score, elevated).
+    ``exclusions`` carries elevate.xml's ``<doc id=.. exclude="true"/>``
+    entries — those ids are REMOVED from the result set entirely
+    (QueryElevationComponent ElevationComparatorSource + the excluded
+    set turned into a MUST_NOT filter). Returns (doc_id, score,
+    elevated).
 
     Shape: the elevation map is a broadcast literal frame joined into
     the scored set — one extra column, no extra shuffle beyond the
@@ -704,6 +709,12 @@ def elevate(
     ids = elevations.get(q.strip().lower(), [])
     scored = searcher.score(parse_lucene(q))
     spark = searcher.index.spark
+    excl = (exclusions or {}).get(q.strip().lower(), [])
+    if excl:
+        exf = spark.createDataFrame(
+            [(int(d),) for d in excl], "doc_id long"
+        )
+        scored = scored.join(F.broadcast(exf), "doc_id", "left_anti")
     if ids:
         elev = spark.createDataFrame(
             [(int(d), i) for i, d in enumerate(ids)],

@@ -127,3 +127,25 @@ def span_not(
     )
     kept = inc.join(exc, on=["doc_id", "pos"], how="left_anti")
     return kept.select("doc_id").distinct()
+
+
+def span_position_range(
+    searcher: Searcher, term: str, start: int, end: int
+) -> DataFrame:
+    """SpanPositionRangeQuery (lucene/core/.../search/spans/
+    SpanPositionRangeQuery.java:30-60 acceptPosition): spans with
+    start() >= start and end() <= end — SpanFirst is the start=0
+    special case. Term spans have length 1, so a position p matches
+    iff start <= p and p + 1 <= end. Constant-score doc set."""
+    stats = searcher.index.term_stats([term])
+    if term not in stats:
+        return searcher.index.spark.createDataFrame([], "doc_id long")
+    p = _positions(searcher, term, "pos")
+    return (
+        p.where(
+            (F.col("pos") >= F.lit(int(start)))
+            & (F.col("pos") + 1 <= F.lit(int(end)))
+        )
+        .select("doc_id")
+        .distinct()
+    )
