@@ -389,6 +389,36 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_field_masking_span(spark, sf_dir):
+    """FieldMaskingSpanQuery: 'scan' from the TITLE field (substr 80)
+    near 'merge' from the BODY field, masked into one SpanNear slop 3
+    ordered (FieldMaskingSpanQuery.java:30-70)."""
+    from lucene_solr_spark.search.spans import field_masking_span_near
+
+    return field_masking_span_near(
+        _fielded(spark, sf_dir),
+        [("title", "scan"), ("body", "merge")],
+        slop=3,
+        in_order=True,
+    )
+
+
+def q_sweetspot_or(spark, sf_dir):
+    """SweetSpotSimilarity OR (lucene/misc/.../SweetSpotSimilarity.java:
+    125-190): plateau length-norm sweet spot [4, 12], steepness 0.5,
+    baseline tf at defaults (sqrt)."""
+    from lucene_solr_spark.search.similarities import sweetspot_search
+
+    return sweetspot_search(
+        _searcher(spark, sf_dir),
+        ["scan", "merge"],
+        k=10,
+        ln_min=4,
+        ln_max=12,
+        steepness=0.5,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_elevation_exclude(spark, sf_dir):
     """QueryElevationComponent with elevate.xml exclude entries: pin
     [7] for 'scan' and EXCLUDE the two top organic docs — they must
@@ -2852,6 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "field_masking_span": q_field_masking_span,
+        "sweetspot_or": q_sweetspot_or,
         "elevation_exclude": q_elevation_exclude,
         "span_position_range": q_span_position_range,
         "length_filter_freq": q_length_filter_freq,
@@ -3066,6 +3098,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "field_masking_span": O.field_masking_span_docs(
+            "scan", "merge", 3
+        ),
+        "sweetspot_or": O.sweetspot_or(["scan", "merge"], 4, 12, 0.5),
         "elevation_exclude": O.query_elevation(
             "scan", [7], exclude=[6, 361]
         ),

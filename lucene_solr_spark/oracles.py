@@ -4065,3 +4065,98 @@ WHERE term = '{_sq(term)}'
   AND pos >= {int(start) + 1} AND pos <= {int(end)}
 ORDER BY doc_id
 """.strip()
+
+
+def sweetspot_or(
+    terms: list[str],
+    ln_min: int,
+    ln_max: int,
+    steepness: float = 0.5,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """SweetSpotSimilarity twin (SweetSpotSimilarity.java:125-190,
+    default tf factors base=min=0 -> sqrt(tf)): plateau length norm
+    over the quantized dl, classic idf/queryNorm/coord."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in terms)
+    qn_terms = " + ".join(
+        f"((SELECT idf FROM idfs WHERE term = '{_sq(t)}') * "
+        f"(SELECT idf FROM idfs WHERE term = '{_sq(t)}'))"
+        for t in sorted(set(terms))
+    )
+    maxo = len(set(terms))
+    lo, hi, st = float(ln_min), float(ln_max), float(steepness)
+    lnorm = (
+        f"(1.0 / sqrt({st!r} * (abs(q.q - {lo!r}) + abs(q.q - {hi!r}) "
+        f"- ({hi!r} - {lo!r})) + 1.0))"
+    )
+    return f"""
+WITH {tok_ctes(table)},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({tl}) GROUP BY term
+),
+idfs AS (
+  SELECT term,
+         ln(CAST((SELECT max_doc FROM coll) AS DOUBLE) / (df + 1.0)) + 1
+           AS idf
+  FROM dfs
+),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+partials AS (
+  SELECT t.doc_id, t.term,
+         sqrt(CAST(t.tf AS DOUBLE)) * (i.idf * i.idf) * {lnorm}
+           AS partial
+  FROM tfs t
+  JOIN idfs i USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+scored AS (
+  SELECT doc_id,
+         ((1.0 / sqrt({qn_terms}))
+          * (CAST(count(DISTINCT term) AS DOUBLE) / {maxo}.0))
+         * sum(partial) AS score
+  FROM partials GROUP BY doc_id
+)
+{_topk('scored', k)}
+""".strip()
+
+
+def field_masking_span_docs(
+    title_term: str,
+    body_term: str,
+    slop: int,
+    title_chars: int = 80,
+    table: str = "documents",
+) -> str:
+    """FieldMaskingSpanQuery twin: the 'title' field is
+    substr(text, 1, title_chars) (the gate's fielded corpus), the
+    'body' field the full text; ordered near with cross-field raw
+    positions (FieldMaskingSpanQuery.java:30-70). Both sides 1-based,
+    so position differences match the engine's 0-based counters."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           lower(substr(text, 1, {title_chars})), {PATTERN_LIT})) AS term,
+         generate_subscripts(regexp_extract_all(
+           lower(substr(text, 1, {title_chars})), {PATTERN_LIT}), 1) AS pos
+  FROM {table}
+),
+b AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+  FROM {table}
+)
+SELECT DISTINCT t.doc_id AS doc_id
+FROM t JOIN b ON b.doc_id = t.doc_id
+WHERE t.term = '{_sq(title_term)}' AND b.term = '{_sq(body_term)}'
+  AND b.pos > t.pos AND (b.pos - t.pos - 1) <= {slop}
+ORDER BY doc_id
+""".strip()

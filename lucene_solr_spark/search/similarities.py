@@ -316,3 +316,88 @@ def bm25_no_norms_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def sweetspot_search(
+    searcher: Searcher,
+    terms: list[str],
+    k: int = 10,
+    ln_min: int = 1,
+    ln_max: int = 1,
+    steepness: float = 0.5,
+    tf_base: float = 0.0,
+    tf_min: float = 0.0,
+) -> DataFrame:
+    """SweetSpotSimilarity (lucene/misc/src/java/org/apache/lucene/
+    misc/SweetSpotSimilarity.java:46-160) — DefaultSimilarity with a
+    plateau length norm and a baseline tf:
+
+      lengthNorm(x) = 1/sqrt(steepness*(|x-min|+|x-max|-(max-min))+1)
+        (:125-155 — flat 1.0 inside [min,max], sloping off outside)
+      baselineTf(freq) = base                      if freq <= min
+                         sqrt(freq + base^2 - min) otherwise (:172-190;
+        degrades to sqrt(freq) at base=min=0)
+
+    Same pipeline as tfidf_search (one pruned scan + one groupBy).
+    Deviation noted for parity: the reference byte-encodes
+    lengthNorm(dl) at index time; this engine stores the quantized dl
+    and computes lengthNorm at query time — the same 8-bit
+    quantization channel applied to dl instead of the norm (the SQL
+    oracle defines the identical arithmetic)."""
+    idx = searcher.index
+    stats = idx.term_stats(sorted(set(terms)))
+    present = sorted(t for t in set(terms) if t in stats)
+    if not present:
+        return idx.spark.createDataFrame([], "doc_id long, score double")
+    n = idx.stats.max_doc
+    idfs = {t: classic_idf(stats[t][0], n) for t in present}
+    sumsq = 0.0
+    for t in sorted(set(terms)):
+        ti = idfs.get(t, classic_idf(0, n))
+        sumsq += ti * ti
+    query_norm = 1.0 / math.sqrt(sumsq)
+    max_overlap = len(set(terms))
+
+    lo, hi, steep = float(ln_min), float(ln_max), float(steepness)
+    length_norms = [
+        1.0
+        / math.sqrt(
+            steep * (abs(x - lo) + abs(x - hi) - (hi - lo)) + 1.0
+        )
+        for x in (float(v) for v in NORM_TABLE.tolist())
+    ]
+    norm_arr = F.array(*[F.lit(v) for v in length_norms])
+    wmap = F.create_map(
+        *[
+            x
+            for t in present
+            for x in (F.lit(t), F.lit(idfs[t] * idfs[t]))
+        ]
+    )
+    tfd = F.col("tf").cast("double")
+    baseline_tf = F.when(
+        tfd <= F.lit(float(tf_min)), F.lit(float(tf_base))
+    ).otherwise(
+        F.sqrt(tfd + F.lit(float(tf_base * tf_base - tf_min)))
+    )
+    partial = (
+        searcher._postings_for(present)
+        .select("term", "doc_id", "tf", "norm_byte")
+        .withColumn(
+            "partial",
+            baseline_tf
+            * wmap[F.col("term")]
+            * F.element_at(norm_arr, F.col("norm_byte") + 1),
+        )
+    )
+    scored = partial.groupBy("doc_id").agg(
+        (
+            F.lit(query_norm)
+            * (
+                F.countDistinct("term").cast("double")
+                / F.lit(float(max_overlap))
+            )
+            * F.sum("partial")
+        ).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -149,3 +149,43 @@ def span_position_range(
         .select("doc_id")
         .distinct()
     )
+
+
+def field_masking_span_near(
+    fielded_searcher,
+    clauses: list[tuple[str, str]],
+    slop: int,
+    in_order: bool = True,
+) -> DataFrame:
+    """FieldMaskingSpanQuery composition (lucene/core/.../spans/
+    FieldMaskingSpanQuery.java:30-70): each (field, term) clause's
+    spans come from ITS OWN field's postings, but are treated as if
+    they belonged to one field so SpanNear accepts them — raw position
+    counters are compared across fields exactly as the reference does
+    (the javadoc's "same analyzer / parallel fields" caveat applies
+    unchanged). ``fielded_searcher`` is a FieldedSearcher; clause
+    order matters for ordered near. Constant-score doc set."""
+    from .surround import join_span_frames
+
+    frames = []
+    for field, term in clauses:
+        s = fielded_searcher.searchers[field]
+        stats = s.index.term_stats([term])
+        if term not in stats:
+            return fielded_searcher.index.spark.createDataFrame(
+                [], "doc_id long"
+            )
+        frames.append(
+            s._postings_for([term], want_positions=True)
+            .select("doc_id", F.explode("positions").alias("s"))
+            .select(
+                "doc_id",
+                F.col("s").cast("int").alias("s"),
+                (F.col("s") + 1).cast("int").alias("e"),
+            )
+        )
+    return (
+        join_span_frames(frames, slop=slop, ordered=in_order)
+        .select("doc_id")
+        .distinct()
+    )
