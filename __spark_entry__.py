@@ -389,6 +389,18 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_spellcheck_jw(spark, sf_dir):
+    """DirectSpellChecker with JaroWinklerDistance plugged into the
+    StringDistance slot (lucene/suggest/.../spell/
+    JaroWinklerDistance.java:37-105): suggestions for 'scann' at
+    accuracy 0.7, ranked similarity desc then df."""
+    from lucene_solr_spark.search.spellcheck import suggest_jaro_winkler
+
+    return suggest_jaro_winkler(
+        _index(spark, sf_dir).terms_stats, "scann", accuracy=0.55, k=5
+    )
+
+
 def q_field_masking_span(spark, sf_dir):
     """FieldMaskingSpanQuery: 'scan' from the TITLE field (substr 80)
     near 'merge' from the BODY field, masked into one SpanNear slop 3
@@ -2882,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "spellcheck_jw": q_spellcheck_jw,
         "field_masking_span": q_field_masking_span,
         "sweetspot_or": q_sweetspot_or,
         "elevation_exclude": q_elevation_exclude,
@@ -3098,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "spellcheck_jw": O.spellcheck_jw("scann", 0.55, 5),
         "field_masking_span": O.field_masking_span_docs(
             "scan", "merge", 3
         ),

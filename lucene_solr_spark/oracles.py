@@ -4160,3 +4160,29 @@ WHERE t.term = '{_sq(title_term)}' AND b.term = '{_sq(body_term)}'
   AND b.pos > t.pos AND (b.pos - t.pos - 1) <= {slop}
 ORDER BY doc_id
 """.strip()
+
+
+def spellcheck_jw(
+    word: str,
+    accuracy: float = 0.7,
+    k: int = 5,
+    min_prefix: int = 1,
+    table: str = "documents",
+) -> str:
+    """JaroWinkler spellcheck twin — DuckDB's jaro_winkler_similarity
+    is bit-equal to JaroWinklerDistance.java (3k-pair fuzz check)."""
+    pre = (
+        f"AND starts_with(term, '{_sq(word[:min_prefix])}') "
+        if min_prefix > 0
+        else ""
+    )
+    return f"""
+WITH {tok_ctes(table)},
+ts AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       round(jaro_winkler_similarity(term, '{_sq(word)}'), 6) AS sim
+FROM ts
+WHERE term <> '{_sq(word)}' {pre}
+  AND jaro_winkler_similarity(term, '{_sq(word)}') >= {float(accuracy)!r}
+ORDER BY sim DESC, df DESC, term ASC LIMIT {k}
+""".strip()
