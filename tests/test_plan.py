@@ -108,3 +108,63 @@ def test_chunk_dedup_shuffles_on_hash_only(spark):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_surround_distance_joins_on_doc_id_no_cartesian(small_index):
+    """The surround distance join must be a doc_id-keyed equi-join
+    (SortMergeJoin/HashJoin), never a cartesian product — the property
+    that keeps the span algebra viable at 10^12 docs."""
+    from lucene_solr_spark.search.surround import surround_doc_ids
+
+    s = Searcher(small_index)
+    plan = _plan(surround_doc_ids(s, "(error or merge) 3w shard"))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" in plan, plan
+
+
+def test_join_fq_broadcasts_from_values(small_index):
+    """{!join} admits docs via a BROADCAST semi-join of the from-value
+    set (the JoinUtil term-enumeration shape) — no shuffle of the big
+    doc store on the join key."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.handler import _fq_doc_ids
+
+    s = Searcher(small_index)
+    ids = _fq_doc_ids(s, "{!join from=conv_id to=conv_id}error")
+    plan = _plan(ids)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_group_query_single_window_job(spark):
+    """grouped_by_queries fuses N group queries into ONE window plan —
+    no per-group driver loop (one Window over a tagged union).
+    Synthetic lineage-free frames so the only Window is the group
+    page's own."""
+    from lucene_solr_spark.search.grouping import grouped_by_queries
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)],
+        "doc_id long, score double",
+    )
+    g1 = spark.createDataFrame([(i,) for i in range(0, 60)], "doc_id long")
+    g2 = spark.createDataFrame([(i,) for i in range(40, 100)], "doc_id long")
+    out = grouped_by_queries(scored, {"a": g1, "b": g2}, per_group=2)
+    plan = _plan(out)
+    assert plan.count("+- Window ") == 1, plan
+    assert "Union" in plan, plan
+    assert "Cartesian" not in plan
+
+
+def test_duplicate_filter_is_one_hash_agg(spark):
+    """DuplicateFilter compiles to a hash aggregate (min per value) —
+    no window, no sort (lineage-free input frame)."""
+    from lucene_solr_spark.search.filters import duplicate_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(50)], "doc_id long, role string"
+    )
+    out = duplicate_filter(docs, "role", keep_mode="first")
+    plan = _plan(out)
+    assert "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan
