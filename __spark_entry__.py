@@ -389,6 +389,26 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_select_fl_func(spark, sf_dir):
+    """ReturnFields pseudo-fields (S/search/ReturnFields.java): fl
+    mixes a stored field with an aliased ValueSource —
+    fl=lang,half:div(n_chars,2)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        fl=["lang", "half:div(n_chars,2)"],
+        rows=10,
+    )
+    return out["response"].select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "lang",
+        F.round("half", 4).alias("half"),
+    )
+
+
 def q_spellcheck_jw(spark, sf_dir):
     """DirectSpellChecker with JaroWinklerDistance plugged into the
     StringDistance slot (lucene/suggest/.../spell/
@@ -2894,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "select_fl_func": q_select_fl_func,
         "spellcheck_jw": q_spellcheck_jw,
         "field_masking_span": q_field_masking_span,
         "sweetspot_or": q_sweetspot_or,
@@ -3111,6 +3132,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "select_fl_func": O.select_fl_func("scan"),
         "spellcheck_jw": O.spellcheck_jw("scann", 0.55, 5),
         "field_masking_span": O.field_masking_span_docs(
             "scan", "merge", 3

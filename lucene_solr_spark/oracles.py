@@ -4186,3 +4186,19 @@ WHERE term <> '{_sq(word)}' {pre}
   AND jaro_winkler_similarity(term, '{_sq(word)}') >= {float(accuracy)!r}
 ORDER BY sim DESC, df DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def select_fl_func(term: str, k: int = 10, table: str = "documents") -> str:
+    """ReturnFields pseudo-field twin: top-k BM25 plus a stored field
+    and an aliased function column."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+topk AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.doc_id, t.score, d.lang,
+       round(CAST(d.n_chars AS DOUBLE) / 2.0, 4) AS half
+FROM topk t JOIN {table} d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id
+""".strip()

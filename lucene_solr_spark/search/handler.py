@@ -213,9 +213,30 @@ def select(
         # stage, nothing is collected to the Python driver
         page = (ordered.offset(start) if start else ordered).limit(rows)
     if fl:
-        page = page.join(docs.select("doc_id", *fl), "doc_id").select(
-            "doc_id", "score", *fl
-        )
+        # ReturnFields (S/search/ReturnFields.java): each entry is a
+        # stored field, or an aliased ValueSource pseudo-field
+        # 'alias:func(...)' — compiled to a Catalyst column over the
+        # doc store (fl=price,discount:product(price,0.9))
+        cols = []
+        names = []
+        for entry in fl:
+            alias, sep, expr = entry.partition(":")
+            if sep and ("(" in expr or expr in docs.columns):
+                from .funcquery import parse_func
+
+                col = (
+                    parse_func(expr, now=func_now)
+                    if "(" in expr
+                    else F.col(expr)
+                )
+                cols.append(col.alias(alias))
+                names.append(alias)
+            else:
+                cols.append(F.col(entry))
+                names.append(entry)
+        page = page.join(
+            docs.select("doc_id", *cols), "doc_id"
+        ).select("doc_id", "score", *names)
 
     facets: dict[str, DataFrame] = {}
     if facet_field:
