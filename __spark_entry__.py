@@ -389,6 +389,34 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_spellcheck_hf(spark, sf_dir):
+    """DirectSpellChecker over a HighFrequencyDictionary-thresholded
+    dictionary (HighFrequencyDictionary.java:35-60): candidates must
+    appear in >= 10% of docs."""
+    from lucene_solr_spark.search.spellcheck import suggest
+
+    idx = _index(spark, sf_dir)
+    return suggest(
+        idx.terms_stats,
+        "scann",
+        k=5,
+        threshold=0.1,
+        max_doc=idx.stats.max_doc,
+    )
+
+
+def q_spellcheck_ngram(spark, sf_dir):
+    """DirectSpellChecker with NGramDistance in the StringDistance slot
+    (NGramDistance.java:52-142, Kondrak 2005) — rows-only driver check
+    (the gram DP has no SQL twin); pinned by value in
+    tests/test_components.py."""
+    from lucene_solr_spark.search.spellcheck import suggest_with_distance
+
+    return suggest_with_distance(
+        _index(spark, sf_dir).terms_stats, "scann", metric="ngram", k=5
+    )
+
+
 def q_select_fl_func(spark, sf_dir):
     """ReturnFields pseudo-fields (S/search/ReturnFields.java): fl
     mixes a stored field with an aliased ValueSource —
@@ -2914,6 +2942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "spellcheck_hf": q_spellcheck_hf,
+        "spellcheck_ngram": q_spellcheck_ngram,
         "select_fl_func": q_select_fl_func,
         "spellcheck_jw": q_spellcheck_jw,
         "field_masking_span": q_field_masking_span,
@@ -3132,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "spellcheck_hf": O.spellcheck_hf("scann", 2, 0.1),
         "select_fl_func": O.select_fl_func("scan"),
         "spellcheck_jw": O.spellcheck_jw("scann", 0.55, 5),
         "field_masking_span": O.field_masking_span_docs(

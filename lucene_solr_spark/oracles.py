@@ -4202,3 +4202,26 @@ SELECT t.doc_id, t.score, d.lang,
 FROM topk t JOIN {table} d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id
 """.strip()
+
+
+def spellcheck_hf(
+    word: str,
+    max_edits: int = 2,
+    threshold: float = 0.1,
+    k: int = 5,
+    table: str = "documents",
+) -> str:
+    """HighFrequencyDictionary-thresholded spellcheck twin: candidates
+    need df >= thresh * numDocs (HighFrequencyDictionary.java:35-60)."""
+    return f"""
+WITH {tok_ctes(table)},
+ts AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       levenshtein(term, '{_sq(word)}') AS dist
+FROM ts
+WHERE term <> '{_sq(word)}'
+  AND starts_with(term, '{_sq(word[:1])}')
+  AND levenshtein(term, '{_sq(word)}') <= {int(max_edits)}
+  AND df >= {float(threshold)!r} * (SELECT max_doc FROM coll)
+ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
+""".strip()

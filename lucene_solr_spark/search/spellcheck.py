@@ -26,14 +26,26 @@ def suggest(
     max_edits: int = 2,
     k: int = 5,
     min_prefix: int = 1,
+    threshold: float = 0.0,
+    max_doc: int | None = None,
 ) -> DataFrame:
     """Top-k suggestions: DataFrame(term, df, dist).
 
     ``min_prefix`` mirrors DirectSpellChecker.minPrefix=1 (candidates must
     share the first character) — it also turns the scan into a prefix
-    range that Parquet min/max stats can prune.
+    range that Parquet min/max stats can prune. ``threshold`` (with
+    ``max_doc``) is HighFrequencyDictionary's thresh
+    (lucene/suggest/.../spell/HighFrequencyDictionary.java:35-60):
+    candidates must appear in at least thresh * numDocs documents —
+    the IndexBasedSpellChecker thresholdTokenFrequency knob.
     """
     cand = terms_stats.where(F.col("term") != word)
+    if threshold > 0.0:
+        if max_doc is None:
+            raise ValueError("threshold needs max_doc")
+        cand = cand.where(
+            F.col("df") >= F.lit(float(threshold) * float(max_doc))
+        )
     if min_prefix > 0:
         cand = cand.where(
             F.col("term").startswith(word[:min_prefix])
@@ -270,6 +282,125 @@ def suggest_jaro_winkler(
     return (
         cand.withColumn("sim", jw(F.col("term")))
         .where(F.col("sim") >= F.lit(float(accuracy)))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def lucene_levenshtein(a: str, b: str) -> float:
+    """LuceneLevenshteinDistance.getDistance (lucene/suggest/.../spell/
+    LuceneLevenshteinDistance.java:49-108): OSA edit distance — the
+    restricted-transposition DP (d[i-2][j-2]+cost), NOT full Damerau —
+    normalized as 1 - dist/min(len). 'ab' vs 'bca' has raw distance 3
+    (the class javadoc's parallel-edits example)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return 0.0 if n == m else float(max(n, m))
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for j in range(1, m + 1):
+        for i in range(1, n + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return 1.0 - d[n][m] / float(min(n, m))
+
+
+def ngram_distance(a: str, b: str, n: int = 2) -> float:
+    """NGramDistance.getDistance (lucene/suggest/.../spell/
+    NGramDistance.java:52-142): sliding n-gram DP similarity — the
+    source is prefixed with n-1 NUL pad chars (:80-87), per-cell cost
+    is mismatching gram positions / n with NUL-on-NUL matches
+    discounted from the denominator (:120-129), tri-directional DP,
+    returned as 1 - dist/max(len) (:141); strings shorter than n fall
+    back to positional char overlap / max(len) (:65-73). The algorithm
+    is Kondrak's published N-gram distance (G. Kondrak, "N-gram
+    similarity and distance", SPIRE 2005)."""
+    sl, tl = len(a), len(b)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        cost = 0
+        for ca, cb in zip(a, b):
+            if ca == cb:
+                cost += 1
+        return cost / float(max(sl, tl))
+    sa = ("\x00" * (n - 1)) + a
+    p = [0.0] * (sl + 1)
+    d = [0.0] * (sl + 1)
+    for i in range(sl + 1):
+        p[i] = float(i)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = ("\x00" * (n - j)) + b[:j]
+        else:
+            t_j = b[j - n:j]
+        d[0] = float(j)
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for k in range(n):
+                if sa[i - 1 + k] != t_j[k]:
+                    cost += 1
+                elif sa[i - 1 + k] == "\x00":
+                    tn -= 1
+            ec = cost / float(tn)
+            d[i] = min(d[i - 1] + 1.0, p[i] + 1.0, p[i - 1] + ec)
+        p, d = d, p
+    return 1.0 - p[sl] / float(max(sl, tl))
+
+
+def suggest_with_distance(
+    terms_stats: DataFrame,
+    word: str,
+    metric: str = "ngram",
+    k: int = 5,
+    min_prefix: int = 1,
+    min_similarity: float = 0.0,
+) -> DataFrame:
+    """DirectSpellChecker with a pluggable StringDistance
+    (setDistance): 'ngram' (NGramDistance, the DirectSpellChecker
+    default comparator family) or 'lucene_levenshtein'
+    (LuceneLevenshteinDistance — distributed-spellcheck merge metric).
+    Ranked similarity desc, df desc, term asc. Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = (
+        ngram_distance
+        if metric == "ngram"
+        else lucene_levenshtein
+        if metric == "lucene_levenshtein"
+        else None
+    )
+    if fn is None:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    @pandas_udf("double")
+    def sim(col: pd.Series) -> pd.Series:
+        return col.map(lambda t: float(fn(t, word)))
+
+    cand = terms_stats.where(F.col("term") != word)
+    if min_prefix > 0:
+        cand = cand.where(F.col("term").startswith(word[:min_prefix]))
+    return (
+        cand.withColumn("sim", sim(F.col("term")))
+        .where(F.col("sim") >= F.lit(float(min_similarity)))
         .select(
             "term",
             F.col("df").cast("long").alias("df"),

@@ -81,3 +81,53 @@ def test_keep_canonical(spark):
     assert kept == [0, 1, 3, 4, 6]
     # schema is preserved (component/node helper columns dropped)
     assert keep_canonical(docs, pairs).columns == ["doc_id", "text"]
+
+
+def test_string_distances_match_reference_semantics():
+    """LuceneLevenshteinDistance (OSA + transposition primitive;
+    'ab'/'bca' raw distance 3 per the class javadoc) and NGramDistance
+    (NUL-padded sliding-gram DP, Kondrak 2005)."""
+    from lucene_solr_spark.search.spellcheck import (
+        lucene_levenshtein,
+        ngram_distance,
+    )
+
+    # javadoc example: parallel edits -> raw distance 3, 1 - 3/2
+    assert lucene_levenshtein("ab", "bca") == -0.5
+    # transposition is ONE primitive edit: 1 - 1/4
+    assert lucene_levenshtein("abcd", "abdc") == 0.75
+    # plain edit with no transposition == classic levenshtein
+    assert lucene_levenshtein("scan", "scann") == 1.0 - 1.0 / 4.0
+    # degenerate empty cases mirror the reference's raw returns
+    assert lucene_levenshtein("", "") == 0.0
+    assert lucene_levenshtein("", "abc") == 3.0
+
+    assert ngram_distance("abc", "abc") == 1.0
+    # short-string fallback: positional overlap / max(len)
+    assert ngram_distance("a", "ab") == 0.5
+    assert ngram_distance("", "") == 1.0
+    assert ngram_distance("", "x") == 0.0
+    # symmetric on same-length inputs; decreasing with divergence
+    d1 = ngram_distance("scan", "scann")
+    d2 = ngram_distance("scan", "merge")
+    assert 0.0 <= d2 < d1 < 1.0
+
+
+def test_suggest_with_distance_and_hf_threshold(spark, tiny_index):
+    from lucene_solr_spark.search.spellcheck import (
+        suggest,
+        suggest_with_distance,
+    )
+
+    ts = tiny_index.terms_stats
+    rows = suggest_with_distance(ts, "erro", metric="ngram", k=3).collect()
+    assert rows and rows[0]["term"] == "error"
+    rows2 = suggest_with_distance(
+        ts, "erro", metric="lucene_levenshtein", k=3
+    ).collect()
+    assert rows2 and rows2[0]["term"] == "error"
+    # HighFrequencyDictionary threshold: a high bar prunes candidates
+    n = tiny_index.stats.max_doc
+    all_s = suggest(ts, "erro", k=10).collect()
+    thr = suggest(ts, "erro", k=10, threshold=0.9, max_doc=n).collect()
+    assert len(thr) < len(all_s) or not thr
