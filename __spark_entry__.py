@@ -389,6 +389,16 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_leading_wildcard(spark, sf_dir):
+    """Leading wildcard '*an' answered over the REVERSED dictionary —
+    prefix-pruned trailing wildcard on reverse(term)
+    (ReversedWildcardFilter.java + SolrQueryParser.getWildcardQuery
+    :196-230)."""
+    from lucene_solr_spark.search.reversed import leading_wildcard_docs
+
+    return leading_wildcard_docs(_searcher(spark, sf_dir), "*an")
+
+
 def q_spellcheck_hf(spark, sf_dir):
     """DirectSpellChecker over a HighFrequencyDictionary-thresholded
     dictionary (HighFrequencyDictionary.java:35-60): candidates must
@@ -2942,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "leading_wildcard": q_leading_wildcard,
         "spellcheck_hf": q_spellcheck_hf,
         "spellcheck_ngram": q_spellcheck_ngram,
         "select_fl_func": q_select_fl_func,
@@ -3162,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "leading_wildcard": O.leading_wildcard_docs("*an"),
         "spellcheck_hf": O.spellcheck_hf("scann", 2, 0.1),
         "select_fl_func": O.select_fl_func("scan"),
         "spellcheck_jw": O.spellcheck_jw("scann", 0.55, 5),

@@ -4225,3 +4225,14 @@ WHERE term <> '{_sq(word)}'
   AND df >= {float(threshold)!r} * (SELECT max_doc FROM coll)
 ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def leading_wildcard_docs(suffixish: str, table: str = "documents") -> str:
+    """Leading-wildcard twin: docs with any term matching the pattern
+    (ReversedWildcardFilter semantics are pure query-plan — results
+    equal the naive dictionary scan)."""
+    rx = "^" + suffixish.replace("*", ".*").replace("?", ".") + "$"
+    return (
+        f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
+        f"WHERE regexp_matches(term, '{_sq(rx)}') ORDER BY doc_id"
+    )
