@@ -389,6 +389,48 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_xml_query_bool(spark, sf_dir):
+    """XML query syntax (CoreParser.java:67-105): BooleanQuery of
+    Clause elements with a raw TermQuery and a SHOULD TermQuery —
+    scored identically to the hand-built boolean."""
+    from lucene_solr_spark.search.xmlparser import parse_xml_query
+
+    q = parse_xml_query(
+        "<BooleanQuery>"
+        '<Clause occurs="must"><TermQuery>scan</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
+
+
+def q_xml_query_dismax(spark, sf_dir):
+    """XML DisjunctionMaxQuery with tieBreaker
+    (DisjunctionMaxQueryBuilder.java)."""
+    from lucene_solr_spark.search.xmlparser import parse_xml_query
+
+    q = parse_xml_query(
+        '<DisjunctionMaxQuery tieBreaker="0.3">'
+        "<TermQuery>scan</TermQuery><TermQuery>merge</TermQuery>"
+        "</DisjunctionMaxQuery>"
+    )
+    return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
+
+
+def q_xml_span_near(spark, sf_dir):
+    """XML span tree: SpanNear(slopFactor=3, inOrder) over SpanOr +
+    SpanTerm children (SpanNearBuilder/SpanOrBuilder), constant-score
+    doc set over the span-frame kernel."""
+    from lucene_solr_spark.search.xmlparser import xml_span_doc_ids
+
+    return xml_span_doc_ids(
+        _searcher(spark, sf_dir),
+        '<SpanNear slopFactor="2" inOrder="true">'
+        "<SpanOr><SpanTerm>scan</SpanTerm><SpanTerm>merge</SpanTerm>"
+        "</SpanOr><SpanTerm>key</SpanTerm></SpanNear>",
+    )
+
+
 def q_leading_wildcard(spark, sf_dir):
     """Leading wildcard '*an' answered over the REVERSED dictionary —
     prefix-pruned trailing wildcard on reverse(term)
@@ -2952,6 +2994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "xml_query_bool": q_xml_query_bool,
+        "xml_query_dismax": q_xml_query_dismax,
+        "xml_span_near": q_xml_span_near,
         "leading_wildcard": q_leading_wildcard,
         "spellcheck_hf": q_spellcheck_hf,
         "spellcheck_ngram": q_spellcheck_ngram,
@@ -3173,6 +3218,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "xml_query_bool": O.bm25_bool(must=["scan"], should=["merge"]),
+        "xml_query_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
+        "xml_span_near": O.surround_or_near(
+            ["scan", "merge"], "key", 3, ordered=True
+        ),
         "leading_wildcard": O.leading_wildcard_docs("*an"),
         "spellcheck_hf": O.spellcheck_hf("scann", 2, 0.1),
         "select_fl_func": O.select_fl_func("scan"),

@@ -266,3 +266,67 @@ def test_fq_surround_dispatch(searcher, small_pdf):
 
     want = set(_brute_docs(small_pdf, pred))
     assert out and {r["doc_id"] for r in out} <= want
+
+
+def test_xml_parser_elements(searcher, small_pdf):
+    """CoreParser XML elements: UserQuery routing, TermsQuery analysis,
+    SpanFirst/SpanNot doc sets, error paths."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.search.query import (
+        BooleanQuery,
+        MatchAllQuery,
+        TermQuery,
+    )
+    from lucene_solr_spark.search.xmlparser import (
+        XmlQueryError,
+        parse_xml_query,
+        xml_span_doc_ids,
+    )
+
+    assert parse_xml_query("<MatchAllDocsQuery/>") == MatchAllQuery()
+    q = parse_xml_query("<TermsQuery>Error AND shard</TermsQuery>")
+    assert isinstance(q, BooleanQuery)
+    # analyzed: lowercased, stopword 'and' dropped
+    assert [c.query.term for c in q.clauses] == ["error", "shard"]
+    uq = parse_xml_query("<UserQuery>error retry</UserQuery>")
+    assert uq is not None
+    tq = parse_xml_query('<TermQuery boost="2.5">Error</TermQuery>')
+    assert tq == TermQuery("Error", boost=2.5)  # raw, no analysis
+    with _pytest.raises(XmlQueryError):
+        parse_xml_query("<Nope>x</Nope>")
+    with _pytest.raises(XmlQueryError):
+        parse_xml_query(
+            '<BooleanQuery><Clause occurs="weird">'
+            "<TermQuery>x</TermQuery></Clause></BooleanQuery>"
+        )
+
+    # SpanFirst == the span_first semantics (e <= end)
+    got = sorted(
+        r["doc_id"]
+        for r in xml_span_doc_ids(
+            searcher, '<SpanFirst end="3"><SpanTerm>error</SpanTerm></SpanFirst>'
+        ).collect()
+    )
+    from lucene_solr_spark.analysis.tokenizer import analyze
+
+    want = sorted(
+        int(d)
+        for d, t in zip(small_pdf["doc_id"], small_pdf["text"])
+        if any(
+            p + 1 <= 3
+            for tm, p in zip(*analyze(t))
+            if tm == "error"
+        )
+    )
+    assert got == want
+    # SpanNot: include spans minus overlapping excludes
+    got = sorted(
+        r["doc_id"]
+        for r in xml_span_doc_ids(
+            searcher,
+            "<SpanNot><SpanTerm>error</SpanTerm>"
+            "<SpanTerm>error</SpanTerm></SpanNot>",
+        ).collect()
+    )
+    assert got == []  # every include overlaps itself
