@@ -389,6 +389,41 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_html_strip_freq(spark, sf_dir):
+    """HTMLStripCharFilter (LegacyHTMLStripCharFilter.java) in the
+    char-filter slot: each doc wrapped in markup (tags, a comment, a
+    script element, &amp; entities) must analyze to exactly the plain
+    text's token stream — top-20 terms equal the plain corpus's."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(html_strip=True)
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit('<div class="x"><!-- c --><p>'),
+            F.regexp_replace("text", " ", " &amp; "),
+            F.lit("</p><script>var z=1;</script></div>"),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_xml_query_bool(spark, sf_dir):
     """XML query syntax (CoreParser.java:67-105): BooleanQuery of
     Clause elements with a raw TermQuery and a SHOULD TermQuery —
@@ -2994,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "html_strip_freq": q_html_strip_freq,
         "xml_query_bool": q_xml_query_bool,
         "xml_query_dismax": q_xml_query_dismax,
         "xml_span_near": q_xml_span_near,
@@ -3218,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "html_strip_freq": O.length_filter_freq(1, 255),
         "xml_query_bool": O.bm25_bool(must=["scan"], should=["merge"]),
         "xml_query_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "xml_span_near": O.surround_or_near(

@@ -392,6 +392,7 @@ def make_analyzer(
     length: tuple[int, int] | None = None,
     pattern_replace: tuple[str, str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    html_strip: bool = False,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -431,6 +432,16 @@ def make_analyzer(
     # replaceAll): in-place token rewrite, arity/position preserving.
     # KeywordMarkerFilter (LA/miscellaneous/SetKeywordMarkerFilter):
     # protected words bypass the stemmer.
+    # HTMLStripCharFilter runs BEFORE the tokenizer (a CharFilter):
+    # wrap the fold slot so every tokenize path sees stripped text
+    if html_strip:
+        from .htmlstrip import strip_html
+
+        if fold_fn is not None:
+            _inner_fold = fold_fn
+            fold_fn = lambda t: _inner_fold(strip_html(t))  # noqa: E731
+        else:
+            fold_fn = strip_html
     pr_rx = None
     if pattern_replace is not None:
         import re as _re

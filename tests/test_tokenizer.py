@@ -246,3 +246,22 @@ def test_length_pattern_and_keyword_marker_slots():
     terms, _ = an("merges scanning")
     assert terms[0] == "merges"  # protected from Porter
     assert terms[1] != "scanning"  # stemmed
+
+
+def test_html_strip_char_filter():
+    """LegacyHTMLStripCharFilter analogue: comments, script/style with
+    content, tags, named + numeric entities."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(html_strip=True)
+    html = (
+        '<div class="x"><!-- note --><p>scan &amp; merge</p>'
+        "<script>var z=1;</script><style>.a{color:red}</style>"
+        "key&#32;order&#x20;hash</div>"
+    )
+    terms, positions = an(html)
+    assert terms == ["scan", "merge", "key", "order", "hash"]
+    # composes with folding and stemming slots
+    an2 = make_analyzer(html_strip=True, stem=True)
+    terms2, _ = an2("<b>scanning</b>")
+    assert terms2 == ["scan"]
