@@ -389,6 +389,45 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL multimodal audio decode: deterministic per-doc WAV clips
+    (sine at 110*(1+doc_id%8) Hz) decoded with the stdlib PCM reader,
+    per-clip features (rms/peak/zcr/duration) via Arrow mapInPandas —
+    rows-only driver check; values pinned analytically in
+    tests/test_multimodal.py."""
+    import pandas as pd_  # noqa: F401
+
+    from lucene_solr_spark.datapipe.multimodal import (
+        audio_features,
+        make_wav,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 50
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                [int(d), make_wav(110.0 * (1 + int(d) % 8))]
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "audio"])
+
+    media = docs.mapInPandas(synth, "doc_id long, audio binary")
+    out = audio_features(media)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 def q_html_strip_freq(spark, sf_dir):
     """HTMLStripCharFilter (LegacyHTMLStripCharFilter.java) in the
     char-filter slot: each doc wrapped in markup (tags, a comment, a
@@ -3029,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "audio_features": q_audio_features,
         "html_strip_freq": q_html_strip_freq,
         "xml_query_bool": q_xml_query_bool,
         "xml_query_dismax": q_xml_query_dismax,

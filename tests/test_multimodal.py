@@ -65,3 +65,33 @@ def test_resize_images_pure_catalyst(media_df):
     assert set(out) == {0, 1, 4}
     assert (out[0]["target_w"], out[0]["target_h"]) == (256, 192)
     assert (out[1]["target_w"], out[1]["target_h"]) == (120, 80)  # no upscale
+
+
+def test_real_wav_decode_features(spark):
+    """The audio path is a REAL decoder (stdlib PCM), not a stub:
+    RMS of a sine == amp/sqrt(2), zcr == 2*f/sr, duration exact."""
+    import math
+
+    import pandas as pd
+
+    from lucene_solr_spark.datapipe.multimodal import (
+        audio_features,
+        decode_wav,
+        make_wav,
+    )
+
+    w = make_wav(440.0, duration_sec=0.5, sample_rate=8000, amplitude=0.25)
+    sr, ch, x = decode_wav(w)
+    assert (sr, ch, len(x)) == (8000, 1, 4000)
+
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "audio": [w, make_wav(220.0)]})
+    )
+    rows = {r["doc_id"]: r for r in audio_features(media).collect()}
+    r1 = rows[1]
+    assert r1["sample_rate"] == 8000 and r1["n_samples"] == 4000
+    assert abs(r1["duration_sec"] - 0.5) < 1e-9
+    assert abs(r1["rms"] - 0.25 / math.sqrt(2)) < 1e-3
+    # sine at f crosses zero 2f times per second
+    assert abs(r1["zcr"] - (2 * 440.0 / 8000)) < 5e-3
+    assert abs(rows[2]["zcr"] - (2 * 220.0 / 8000)) < 5e-3
