@@ -67,19 +67,21 @@ def _variants(
             )
         )
     )
+    # per-term variant cap runs IN THE PLAN (ScoreTermQueue top-50 →
+    # TakeOrderedAndProject): the driver never collects more than the
+    # cap even against a 10^8-term dictionary
     rows = (
         body.select("term", "df", sim_expr.alias("sim"))
         .where(F.col("sim") > F.lit(float(min_similarity)))
+        .orderBy(F.desc("sim"), F.asc("term"))
+        .limit(MAX_VARIANTS_PER_TERM)
         .collect()
     )
     scale = 1.0 / (1.0 - min_similarity)
-    out = [
+    return [
         (r["term"], int(r["df"]), (float(r["sim"]) - min_similarity) * scale)
         for r in rows
     ]
-    # per-term variant cap: best boost first (ScoreTermQueue)
-    out.sort(key=lambda t: (-t[2], t[0]))
-    return out[:MAX_VARIANTS_PER_TERM]
 
 
 def fuzzy_like_this(
