@@ -389,6 +389,43 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (30 min size, 10 min slide) — the
+    Structured Streaming window() semantics evaluated on the batch
+    table: each event lands in size/slide = 3 windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured props column: get_json_object extraction +
+    bucket aggregate (the JSON-side of the event pipeline)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """REAL multimodal audio decode: deterministic per-doc WAV clips
     (sine at 110*(1+doc_id%8) Hz) decoded with the stdlib PCM reader,
@@ -3068,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "events_sliding": q_events_sliding,
+        "events_props_json": q_events_props_json,
         "audio_features": q_audio_features,
         "html_strip_freq": q_html_strip_freq,
         "xml_query_bool": q_xml_query_bool,
@@ -3294,6 +3333,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "events_sliding": O.events_sliding(),
+        "events_props_json": O.events_props_json(),
         "html_strip_freq": O.length_filter_freq(1, 255),
         "xml_query_bool": O.bm25_bool(must=["scan"], should=["merge"]),
         "xml_query_dismax": O.bm25_dismax(["scan", "merge"], 0.3),

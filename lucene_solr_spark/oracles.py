@@ -4236,3 +4236,37 @@ def leading_wildcard_docs(suffixish: str, table: str = "documents") -> str:
         f"WITH {tok_ctes(table)} SELECT DISTINCT doc_id FROM tok "
         f"WHERE regexp_matches(term, '{_sq(rx)}') ORDER BY doc_id"
     )
+
+
+def events_sliding(table: str = "events") -> str:
+    """Sliding-window twin: every event belongs to the 3 ten-minute-
+    aligned windows of width 30 min covering it (Spark window()
+    epoch-aligned semantics)."""
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS b
+  FROM {table}
+),
+w AS (
+  SELECT event_type,
+         strftime(to_timestamp(b - (k * 600)), '%Y-%m-%d %H:%M:%S')
+           AS win_start
+  FROM base CROSS JOIN (SELECT unnest(range(3)) AS k)
+)
+SELECT win_start, event_type, count(*) AS cnt
+FROM w GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""".strip()
+
+
+def events_props_json(table: str = "events") -> str:
+    """JSON props twin: json_extract + bucket aggregate."""
+    return f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+         AS k_bucket,
+       count(*) AS cnt,
+       round(avg(value), 4) AS avg_value
+FROM {table}
+GROUP BY 1 ORDER BY k_bucket
+""".strip()
