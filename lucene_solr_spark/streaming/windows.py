@@ -25,17 +25,25 @@ def windowed_event_stats(
     ts_col: str = "ts",
     type_col: str = "event_type",
     value_col: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
     """(window, event_type, cnt, sum_value) — works on both batch and
     streaming DataFrames (the same plan, per Structured Streaming's
     unified semantics; on a stream add a sink with append output mode and
-    only watermark-finalized windows emit)."""
+    only watermark-finalized windows emit). ``slide`` < window makes the
+    windows SLIDING (each event lands in window/slide windows; state per
+    live window, still watermark-bounded)."""
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         src.groupBy(
-            F.window(F.col(ts_col), window).alias("win"),
+            win.alias("win"),
             F.col(type_col),
         )
         .agg(

@@ -60,3 +60,23 @@ def test_windowed_stream_equals_batch(spark, tmp_path):
         if r["win_end"] <= wm.to_pydatetime()
     }
     assert got == want
+
+
+def test_sliding_window_batch_counts(spark):
+    """slide < window: each event lands in exactly window/slide
+    windows — total row-weight multiplies accordingly."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tumble = windowed_event_stats(events, window="30 minutes")
+    slide = windowed_event_stats(
+        events, window="30 minutes", slide="10 minutes"
+    )
+    n = events.count()
+    assert (
+        tumble.agg(F.sum("cnt")).collect()[0][0] == n
+    )
+    assert (
+        slide.agg(F.sum("cnt")).collect()[0][0] == 3 * n
+    )
+    # every sliding window start is 10-minute aligned
+    starts = [r["win_start"] for r in slide.select("win_start").collect()]
+    assert all(s.minute % 10 == 0 and s.second == 0 for s in starts)
