@@ -988,11 +988,26 @@ def commit_manifest(index_dir: str, manifest: dict) -> None:
     os.rename(tmp, final)
 
 
-def read_manifest(index_dir: str) -> dict | None:
-    """Latest committed generation (highest segments_N), like
-    SegmentInfos.getLastCommitGeneration."""
+def read_manifest(
+    index_dir: str, generation: int | None = None
+) -> dict | None:
+    """Committed manifest — the latest generation (highest segments_N,
+    SegmentInfos.getLastCommitGeneration) or, with ``generation``, a
+    SPECIFIC retained commit point (IndexCommit / the
+    KeepOnlyLastCommit-vs-keep-all IndexDeletionPolicy axis,
+    lucene/core/.../index/IndexDeletionPolicy.java +
+    DirectoryReader.open(IndexCommit)); raises FileNotFoundError when
+    that generation was never committed."""
     if not os.path.isdir(index_dir):
         return None
+    if generation is not None:
+        path = f"{index_dir}/segments_{int(generation)}.json"
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"no commit point segments_{generation} under {index_dir}"
+            )
+        with open(path) as f:
+            return json.load(f)
     gens = []
     for name in os.listdir(index_dir):
         if name.startswith("segments_") and name.endswith(".json"):
@@ -1074,8 +1089,17 @@ class SegmentIndex:
         self._bucket_cache: dict[tuple, list[int]] = {}
 
     @classmethod
-    def open(cls, spark: SparkSession, index_dir: str) -> "SegmentIndex":
-        manifest = read_manifest(index_dir)
+    def open(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        generation: int | None = None,
+    ) -> "SegmentIndex":
+        """Open the latest commit, or — time travel — a specific
+        retained commit point (DirectoryReader.open(IndexCommit) over a
+        keep-commits IndexDeletionPolicy; the Iceberg snapshot-id read
+        analogue)."""
+        manifest = read_manifest(index_dir, generation=generation)
         if manifest is None:
             raise FileNotFoundError(f"no segments_N.json under {index_dir}")
         return cls(spark, index_dir, manifest)

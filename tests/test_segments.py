@@ -629,3 +629,38 @@ def test_search_auto_routes_to_wand_on_segment_store(seg_index_splits):
 def test_flat_index_never_routes(small_index):
     s = Searcher(small_index)
     assert s._wand_route(Or("error", "timeout"), 10) is None
+
+
+def test_open_specific_commit_point(spark, seg_index_splits, tmp_path):
+    """Time travel: SegmentIndex.open(generation=N) reads THAT retained
+    commit point (DirectoryReader.open(IndexCommit) analogue); the
+    latest-gen default is unchanged; a never-committed generation
+    raises."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.index.segments import (
+        SegmentIndex,
+        commit_manifest,
+        read_manifest,
+    )
+
+    d = seg_index_splits.index_dir
+    cur = read_manifest(d)
+    gen = int(cur["generation"])
+    # retain a NEW commit point with a doctored max_doc — the old
+    # generation must still read back exactly as before
+    nxt = dict(cur)
+    nxt["generation"] = gen + 1
+    nxt["max_doc"] = cur["max_doc"] + 12345
+    commit_manifest(d, nxt)
+    try:
+        old = SegmentIndex.open(spark, d, generation=gen)
+        new = SegmentIndex.open(spark, d)
+        assert old.stats.max_doc == cur["max_doc"]
+        assert new.stats.max_doc == cur["max_doc"] + 12345
+        with _pytest.raises(FileNotFoundError):
+            SegmentIndex.open(spark, d, generation=gen + 99)
+    finally:
+        import os
+
+        os.remove(f"{d}/segments_{gen + 1}.json")
