@@ -389,6 +389,19 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_func_strdist_jw(spark, sf_dir):
+    """strdist('src1',source,jw) — JaroWinklerDistance through the
+    ValueSource parser (ValueSourceParser strdist measure registry;
+    JaroWinklerDistance.java kernel, Arrow-batched)."""
+    from lucene_solr_spark.search.funcquery import parse_func
+
+    d = _docs(spark, sf_dir)
+    col = parse_func("strdist('src1',source,jw)")
+    return d.select("doc_id", F.round(col, 6).alias("sim")).orderBy(
+        "doc_id"
+    )
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding event-time windows (30 min size, 10 min slide) — the
     Structured Streaming window() semantics evaluated on the batch
@@ -3105,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates already green in the r2 driver record trail.
     return {
         # --- new in round 4 ---
+        "func_strdist_jw": q_func_strdist_jw,
         "events_sliding": q_events_sliding,
         "events_props_json": q_events_props_json,
         "audio_features": q_audio_features,
@@ -3333,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "func_strdist_jw": O.func_strdist_jw("src1"),
         "events_sliding": O.events_sliding(),
         "events_props_json": O.events_props_json(),
         "html_strip_freq": O.length_filter_freq(1, 255),

@@ -4270,3 +4270,13 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
 FROM {table}
 GROUP BY 1 ORDER BY k_bucket
 """.strip()
+
+
+def func_strdist_jw(lit: str, table: str = "documents") -> str:
+    """strdist(lit,source,jw) twin — DuckDB jaro_winkler_similarity is
+    bit-equal to JaroWinklerDistance.java (3k-pair fuzz)."""
+    return (
+        "SELECT doc_id, "
+        f"round(jaro_winkler_similarity(source, '{_sq(lit)}'), 6) AS sim "
+        f"FROM {table} ORDER BY doc_id"
+    )

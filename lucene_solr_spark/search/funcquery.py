@@ -345,12 +345,19 @@ def _compile(node, ctx: _Ctx) -> Column:
     if name == "strdist":
         # StrDistanceFunction (ValueSourceParser "strdist"): similarity
         # in [0,1]. 'edit' = 1 - levenshtein/maxLen (commons-lang
-        # getLevenshteinDistance normalization); jw/ngram measures are
-        # not compiled — loud error, declared narrow.
+        # getLevenshteinDistance normalization); 'jw' =
+        # JaroWinklerDistance and 'ngram' = NGramDistance(2) via the
+        # spellcheck StringDistance kernels (Arrow-batched when one
+        # side is a column); other measures loud-error.
         need(3)
-        if raw_args[2][0] != "str" or raw_args[2][1] != "edit":
+        # the measure may be quoted or a bare word (Solr accepts
+        # strdist("SFO", dist, jw) unquoted)
+        measure = (
+            raw_args[2][1] if raw_args[2][0] in ("str", "field") else None
+        )
+        if measure not in ("edit", "jw", "ngram"):
             raise FuncParseError(
-                "strdist measure must be 'edit' (jw/ngram not compiled)"
+                "strdist measure must be 'edit', 'jw' or 'ngram'"
             )
 
         def _sarg(a):
@@ -361,6 +368,24 @@ def _compile(node, ctx: _Ctx) -> Column:
             if a[0] == "call" and a[1] == "literal":
                 return _compile(a, ctx)
             raise FuncParseError("strdist args must be fields or strings")
+
+        if measure in ("jw", "ngram"):
+            # one side must be a string literal (the Solr idiom:
+            # strdist("target", field, jw)); the other is a column
+            lits = [a for a in raw_args[:2] if a[0] == "str"]
+            cols = [a for a in raw_args[:2] if a[0] != "str"]
+            if len(lits) != 1 or len(cols) != 1:
+                raise FuncParseError(
+                    "strdist jw/ngram needs one literal + one field"
+                )
+            target = lits[0][1]
+            if measure == "jw":
+                from .spellcheck import jaro_winkler_expr
+
+                return jaro_winkler_expr(target)(_sarg(cols[0]))
+            from .spellcheck import ngram_distance_expr
+
+            return ngram_distance_expr(target)(_sarg(cols[0]))
 
         s1, s2 = _sarg(raw_args[0]), _sarg(raw_args[1])
         maxlen = F.greatest(F.length(s1), F.length(s2))

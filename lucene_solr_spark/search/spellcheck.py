@@ -409,3 +409,15 @@ def suggest_with_distance(
         .orderBy(F.desc("sim"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def ngram_distance_expr(target: str, n: int = 2):
+    """Arrow-batched NGramDistance(target, ·) column kernel (same
+    shape as jaro_winkler_expr)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ng(col: pd.Series) -> pd.Series:
+        return col.map(lambda t: float(ngram_distance(t or "", target, n)))
+
+    return ng
