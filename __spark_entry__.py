@@ -3113,10 +3113,11 @@ def q_pack_seq(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness window records only the
     # first ~50 entries per round (CORRECTNESS_r02 truncated at 50), so
-    # gates with no driver-visible row yet are rotated to the FRONT —
-    # r2's 26 unchecked gates + this round's new gates lead; the 50
-    # gates already green in the r2 driver record trail.
-    return {
+    # gates with no driver-visible row yet are rotated to the FRONT.
+    # The r3 verdict's prescribed round-4 gates carry explicit
+    # "Done = ... green in CORRECTNESS_r04" criteria — they outrank
+    # everything else in the window (see the reorder after the dict).
+    base = {
         # --- new in round 4 ---
         "func_strdist_jw": q_func_strdist_jw,
         "events_sliding": q_events_sliding,
@@ -3320,6 +3321,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt": q_mlt,
         "highlight": q_highlight,
     }
+    # r3-verdict prescribed gates FIRST — their "Done" criteria name
+    # CORRECTNESS_r04 explicitly, so they must land driver rows
+    prescribed = [
+        "bm25_and_wand",
+        "bm25_phrase_wand",
+        "func_ms_recency",
+        "func_if_def",
+        "sort_by_func",
+        "join_scored",
+        "block_join_scored",
+        "dedup_simhash",
+        "jaccard",
+        "group_topk_ngroups",
+        "group_facet",
+        "span_near_unord_rpts",
+    ]
+    out = {k: base[k] for k in prescribed}
+    out.update(base)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
