@@ -15,6 +15,8 @@ single-stage scan + TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -421,3 +423,32 @@ def ngram_distance_expr(target: str, n: int = 2):
         return col.map(lambda t: float(ngram_distance(t or "", target, n)))
 
     return ng
+
+
+_QC_RX = re.compile(r"(?:(?!([\w\-.]+:|\d+)))[\w\-]+")
+
+
+def spelling_query_convert(original: str) -> list[str]:
+    """SpellingQueryConverter.convert (solr/core/.../spelling/
+    SpellingQueryConverter.java:97-140): pull the spell-checkable
+    word tokens out of a RAW query string — field prefixes
+    ('field:'), bare numbers, and operator syntax are skipped; AND/
+    OR/NOT/TO operator words are dropped (the uninformed-guess
+    heuristic the class documents). The surviving words are what
+    SpellCheckComponent feeds the checker/collator."""
+    out = []
+    for m in _QC_RX.finditer(original):
+        w = m.group(0)
+        if w in ("AND", "OR", "NOT", "TO"):
+            continue
+        out.append(w.lower())
+    return out
+
+
+def collate_query(searcher, query_string: str, max_edits: int = 2):
+    """spellcheck.collate on a RAW query string: convert -> correct
+    absent terms -> re-run (SpellCheckCollator over the converter's
+    tokens)."""
+    return collate(
+        searcher, spelling_query_convert(query_string), max_edits
+    )

@@ -131,3 +131,27 @@ def test_suggest_with_distance_and_hf_threshold(spark, tiny_index):
     all_s = suggest(ts, "erro", k=10).collect()
     thr = suggest(ts, "erro", k=10, threshold=0.9, max_doc=n).collect()
     assert len(thr) < len(all_s) or not thr
+
+
+def test_spelling_query_converter(spark, tiny_index):
+    """SpellingQueryConverter (SpellingQueryConverter.java:97-140):
+    field prefixes and bare numbers skipped, operator words dropped —
+    then collate_query corrects the surviving words."""
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.spellcheck import (
+        collate_query,
+        spelling_query_convert,
+    )
+
+    toks = spelling_query_convert(
+        "title:scann AND mergee OR 42 n_chars:[1 TO 5]"
+    )
+    assert toks == ["scann", "mergee"]
+    assert spelling_query_convert('erorr^2 "shrd phrase"~3') == [
+        "erorr",
+        "shrd",
+        "phrase",
+    ]
+    s = Searcher(tiny_index)
+    collation, hits = collate_query(s, "role:user erorr AND shardd")
+    assert "error" in collation and "shard" in collation
