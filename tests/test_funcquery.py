@@ -223,8 +223,21 @@ def test_strdist_and_geodist(spark):
     assert df2.select(
         parse_func("strdist(a,b,'edit')").alias("v")
     ).collect()[0]["v"] == pytest.approx(1.0)
+    # jw measure: JaroWinklerDistance kernel ('martha'/'marhta' is the
+    # canonical Winkler example, jw = 0.9611...)
+    df3 = spark.createDataFrame([("marhta",)], "w string")
+    jw = df3.select(
+        parse_func("strdist('martha',w,jw)").alias("v")
+    ).collect()[0]["v"]
+    assert jw == pytest.approx(0.9611, abs=1e-4)
+    # ngram measure: identical -> 1.0
+    ng = df3.select(
+        parse_func("strdist('marhta',w,ngram)").alias("v")
+    ).collect()[0]["v"]
+    assert ng == pytest.approx(1.0)
+    # unknown measures still loud-error
     with pytest.raises(FuncParseError):
-        parse_func("strdist(w,'x','jw')")
+        parse_func("strdist(w,'x','soundex')")
     # geodist: Paris -> London ~343.5 km
     d = df.select(
         parse_func("geodist(lat,lon,51.5074,-0.1278)").alias("d")
