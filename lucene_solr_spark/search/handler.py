@@ -53,6 +53,7 @@ def select(
     tie: float = 0.0,
     sort_missing: str | None = None,
     func_now=None,
+    filter_cache=None,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
     DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
@@ -136,6 +137,28 @@ def select(
     docs = searcher.index.docs
     if fq:
         for expr in fq:
+            if filter_cache is not None:
+                # filterCache routing (SolrIndexSearcher.getDocSet):
+                # each fq's doc set is a persisted DataFrame keyed by
+                # the fq string; repeats skip their scan/postings work.
+                # The Solr trade applies: a cached SQL fq becomes a
+                # materialized semi-join instead of a pushed-down scan
+                # predicate.
+                def _compute(e=expr):
+                    got = _fq_doc_ids(searcher, e)
+                    if got is None:
+                        got = (
+                            searcher.index.docs.where(F.expr(e))
+                            .select("doc_id")
+                        )
+                    return got
+
+                docs = docs.join(
+                    filter_cache.get_or_compute(expr.strip(), _compute),
+                    "doc_id",
+                    "left_semi",
+                )
+                continue
             ids = _fq_doc_ids(searcher, expr)
             if ids is None:
                 docs = docs.where(F.expr(expr))

@@ -335,3 +335,41 @@ def test_sort_missing_first_last(spark):
     assert [
         r["doc_id"] for r in df.orderBy(*cols, F.asc("doc_id")).collect()
     ] == [2, 3, 1]
+
+
+def test_filter_cache_lru(searcher):
+    """filterCache (SolrIndexSearcher.getDocSet + LRUCache): repeated
+    fq strings hit the persisted doc set; capacity evicts LRU-wise;
+    results identical with and without the cache."""
+    from lucene_solr_spark.search.filtercache import FilterCache
+    from lucene_solr_spark.search.handler import select
+
+    fc = FilterCache(max_size=2)
+    plain = select(searcher, q="error", fq=["turn_idx >= 1"], rows=20)[
+        "response"
+    ].collect()
+    cached = select(
+        searcher,
+        q="error",
+        fq=["turn_idx >= 1"],
+        rows=20,
+        filter_cache=fc,
+    )["response"].collect()
+    assert sorted(map(tuple, cached)) == sorted(map(tuple, plain))
+    assert fc.stats() == {
+        "size": 1, "hits": 0, "misses": 1, "evictions": 0
+    }
+    select(
+        searcher, q="error", fq=["turn_idx >= 1"], rows=5,
+        filter_cache=fc,
+    )["response"].collect()
+    assert fc.stats()["hits"] == 1
+    # two more distinct filters -> capacity 2 evicts the oldest
+    for e in ("turn_idx >= 2", "turn_idx >= 3"):
+        select(
+            searcher, q="error", fq=[e], rows=5, filter_cache=fc
+        )["response"].collect()
+    s = fc.stats()
+    assert s["size"] == 2 and s["evictions"] == 1
+    fc.clear()
+    assert fc.stats()["size"] == 0

@@ -50,3 +50,59 @@ def test_catalyst_matches_python(spark):
     for row in got:
         assert row["g"] == ngram_tokens(row["term"], 2, 3)
         assert row["e"] == edge_ngram_tokens(row["term"], 1, 2)
+
+
+def test_ngram_phrase_rewrite_positions():
+    """NGramPhraseQuery.rewrite (NGramPhraseQuery.java:46-77): keep
+    positions i % n == 0 plus the last; short/degenerate inputs pass
+    through unchanged."""
+    from lucene_solr_spark.search.ngramphrase import ngram_phrase_rewrite
+
+    grams = ["sca", "can", "ann", "nni", "nin", "ing"]  # 'scanning' 3-grams
+    kept = ngram_phrase_rewrite(grams, 3)
+    assert kept == [("sca", 0), ("nni", 3), ("ing", 5)]
+    assert ngram_phrase_rewrite(["ab", "bc"], 2) == [("ab", 0), ("bc", 1)]
+    assert ngram_phrase_rewrite(grams, 1) == [
+        (g, i) for i, g in enumerate(grams)
+    ]
+
+
+def test_ngram_phrase_docs_optimized_equals_full(spark, tmp_path):
+    """Optimized n-gram phrase == exhaustive all-grams phrase on an
+    ngram-analyzed index, while decoding fewer gram postings."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.ngram import ngram_tokens
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.ngramphrase import ngram_phrase_docs
+
+    words = ["scanning", "scanner", "spanning", "planning", "scanline"]
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "conv_id": f"c{i:03d}",
+                "turn_idx": 0,
+                "role": "user",
+                "text": " ".join(
+                    " ".join(ngram_tokens(words[(i + j) % len(words)], 3, 3))
+                    for j in range(3)
+                ),
+                "tool": "",
+                "ts": pd.Timestamp("2024-01-01"),
+            }
+        )
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    idx = build_index(spark, docs, cache=True)
+    s = Searcher(idx)
+    grams = ngram_tokens("scanning", 3, 3)
+    full = sorted(
+        r["doc_id"]
+        for r in ngram_phrase_docs(s, grams, 3, optimize=False).collect()
+    )
+    opt = sorted(
+        r["doc_id"]
+        for r in ngram_phrase_docs(s, grams, 3, optimize=True).collect()
+    )
+    assert full and opt == full
