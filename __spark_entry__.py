@@ -389,6 +389,18 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_highlight_snippets(spark, sf_dir):
+    """hl.snippets=3 multi-fragment highlighting: up to 3 token-window
+    fragments per doc, one per 'merge' occurrence, <b> wrapped — whole
+    plan in Catalyst (DefaultSolrHighlighter hl.snippets +
+    hl.simple.pre/post)."""
+    from lucene_solr_spark.search.highlight import highlight_snippets
+
+    return highlight_snippets(
+        _docs(spark, sf_dir), "merge", n_snippets=3, window=3
+    )
+
+
 def q_func_strdist_jw(spark, sf_dir):
     """strdist('src1',source,jw) — JaroWinklerDistance through the
     ValueSource parser (ValueSourceParser strdist measure registry;
@@ -3119,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "highlight_snippets": q_highlight_snippets,
         "func_strdist_jw": q_func_strdist_jw,
         "events_sliding": q_events_sliding,
         "events_props_json": q_events_props_json,
@@ -3367,6 +3380,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "highlight_snippets": O.highlight_snippets("merge", 3, 3),
         "func_strdist_jw": O.func_strdist_jw("src1"),
         "events_sliding": O.events_sliding(),
         "events_props_json": O.events_props_json(),

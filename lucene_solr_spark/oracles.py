@@ -4280,3 +4280,47 @@ def func_strdist_jw(lit: str, table: str = "documents") -> str:
         f"round(jaro_winkler_similarity(source, '{_sq(lit)}'), 6) AS sim "
         f"FROM {table} ORDER BY doc_id"
     )
+
+
+def highlight_snippets(
+    term: str,
+    n: int = 3,
+    window: int = 3,
+    table: str = "documents",
+) -> str:
+    """hl.snippets twin: token-window fragments per occurrence (1-based
+    lambda indices on both engines)."""
+    t = _sq(term)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), {PATTERN_LIT}) AS toks
+  FROM {table}
+),
+occs AS (
+  SELECT doc_id, toks,
+         list_slice(
+           list_filter(
+             list_transform(toks,
+               (x, i) -> CASE WHEN x = '{t}' THEN i ELSE 0 END),
+             p -> p > 0),
+           1, {n}) AS ol
+  FROM tokd
+  WHERE list_contains(toks, '{t}')
+),
+ex AS (
+  SELECT doc_id, toks,
+         generate_subscripts(ol, 1) AS snippet_no,
+         unnest(ol) AS pos
+  FROM occs
+)
+SELECT doc_id, snippet_no,
+       regexp_replace(
+         array_to_string(
+           list_slice(toks,
+             greatest(1, pos - {window}),
+             least(len(toks), pos + {window})),
+           ' '),
+         '\\b{t}\\b', '<b>{t}</b>', 'g') AS snippet
+FROM ex ORDER BY doc_id, snippet_no
+""".strip()

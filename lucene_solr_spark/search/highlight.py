@@ -51,3 +51,69 @@ def highlight(
     frag = F.substring(F.col(text_col), start, fragment_size)
     wrapped = F.regexp_replace(frag, rx_find, f"<b>{term}</b>")
     return matched.select("doc_id", wrapped.alias("snippet"))
+
+
+def highlight_snippets(
+    docs: DataFrame,
+    term: str,
+    n_snippets: int = 3,
+    window: int = 3,
+    text_col: str = "text",
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> DataFrame:
+    """hl.snippets > 1 — up to ``n_snippets`` token-window fragments
+    per doc, one per term occurrence in position order
+    (solr/core/.../highlight/DefaultSolrHighlighter.java hl.snippets +
+    hl.simple.pre/post params; fragments here are TOKEN windows of
+    ±``window`` tokens rather than char offsets — the deterministic,
+    fully-JVM-side formulation of GapFragmenter's fragment-per-match).
+
+    Whole plan in Catalyst: one regexp tokenization per doc, positions
+    via array functions, a bounded posexplode for the per-occurrence
+    fan-out — no Python, no second scan.
+    Returns (doc_id, snippet_no, snippet)."""
+    from ..analysis.tokenizer import TOKEN_PATTERN
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+    t = F.lit(term)
+    base = docs.select("doc_id", toks.alias("toks")).where(
+        F.array_contains("toks", t)
+    )
+    # 1-based positions of every occurrence, in order
+    occs = F.filter(
+        F.transform(
+            "toks",
+            lambda x, i: F.when(x == t, i + 1).otherwise(F.lit(0)),
+        ),
+        lambda p: p > 0,
+    )
+    base = base.select(
+        "doc_id", "toks", F.slice(occs, 1, n_snippets).alias("occs")
+    )
+    ex = base.select(
+        "doc_id",
+        "toks",
+        F.posexplode("occs").alias("snippet_no", "pos"),
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(window))
+    length = (
+        F.least(
+            F.size("toks"), F.col("pos") + F.lit(window)
+        )
+        - start
+        + 1
+    )
+    frag = F.array_join(F.slice("toks", start, length), " ")
+    wrapped = F.regexp_replace(
+        frag,
+        r"\b" + re.escape(term) + r"\b",
+        pre_tag + term + post_tag,
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("snippet_no") + 1).alias("snippet_no"),
+        wrapped.alias("snippet"),
+    )
