@@ -389,6 +389,16 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_check_index(spark, sf_dir):
+    """CheckIndex (lucene/core/.../index/CheckIndex.java:430-700): all
+    integrity checks over the committed segment store — rows-only
+    driver check (a healthy store yields ok=true on every row; the
+    corruption-detection half is pinned in tests/test_segments.py)."""
+    from lucene_solr_spark.index.checkindex import check_index
+
+    return check_index(_seg_searcher(spark, sf_dir).index)
+
+
 def q_highlight_snippets(spark, sf_dir):
     """hl.snippets=3 multi-fragment highlighting: up to 3 token-window
     fragments per doc, one per 'merge' occurrence, <b> wrapped — whole
@@ -3131,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "check_index": q_check_index,
         "highlight_snippets": q_highlight_snippets,
         "func_strdist_jw": q_func_strdist_jw,
         "events_sliding": q_events_sliding,

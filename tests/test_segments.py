@@ -664,3 +664,23 @@ def test_open_specific_commit_point(spark, seg_index_splits, tmp_path):
         import os
 
         os.remove(f"{d}/segments_{gen + 1}.json")
+
+
+def test_check_index_clean_and_corrupt(spark, seg_index_splits):
+    """CheckIndex analogue (CheckIndex.java:430-700): all checks pass
+    on a healthy store; a doctored manifest stat is caught."""
+    from lucene_solr_spark.index.checkindex import check_index
+    from lucene_solr_spark.index.segments import SegmentIndex
+
+    res = {r["check"]: r for r in check_index(seg_index_splits).collect()}
+    assert res and all(r["ok"] for r in res.values()), res
+
+    # corrupt a copy's manifest: sum_total_term_freq off by one
+    bad_man = dict(seg_index_splits.manifest)
+    bad_man["sum_total_term_freq"] = bad_man["sum_total_term_freq"] + 1
+    bad = SegmentIndex(
+        spark, seg_index_splits.index_dir, bad_man
+    )
+    res2 = {r["check"]: r for r in check_index(bad).collect()}
+    assert not res2["sum_total_term_freq"]["ok"]
+    assert res2["terms_stats_vs_postings"]["ok"]

@@ -330,3 +330,84 @@ def test_xml_parser_elements(searcher, small_pdf):
         ).collect()
     )
     assert got == []  # every include overlaps itself
+
+
+# ------------------------------------------------- parser properties
+
+
+def _print_srnd(q) -> str:
+    """Minimal printer for round-trip testing (parenthesizes every
+    composite, so precedence never has to be reproduced)."""
+    from lucene_solr_spark.search.surround import (
+        SrndAnd,
+        SrndDistance,
+        SrndNot,
+        SrndOr,
+        SrndPrefix,
+        SrndTerm,
+        SrndTrunc,
+    )
+
+    if isinstance(q, SrndTerm):
+        return q.text
+    if isinstance(q, SrndPrefix):
+        return q.prefix + "*"
+    if isinstance(q, SrndTrunc):
+        return q.pattern
+    if isinstance(q, SrndOr):
+        return "(" + " OR ".join(_print_srnd(c) for c in q.clauses) + ")"
+    if isinstance(q, SrndAnd):
+        return "(" + " AND ".join(_print_srnd(c) for c in q.clauses) + ")"
+    if isinstance(q, SrndNot):
+        return "(" + " NOT ".join(_print_srnd(c) for c in q.clauses) + ")"
+    if isinstance(q, SrndDistance):
+        op = f"{q.distance}{'W' if q.ordered else 'N'}"
+        return (
+            op + "(" + ", ".join(_print_srnd(c) for c in q.clauses) + ")"
+        )
+    raise TypeError(q)
+
+
+def test_parser_roundtrip_property():
+    """print(parse(x)) reparses to the identical AST for randomly
+    generated query trees (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.search.surround import (
+        SrndAnd,
+        SrndDistance,
+        SrndNot,
+        SrndOr,
+        SrndPrefix,
+        SrndTerm,
+        parse_surround,
+    )
+
+    words = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+    terms = words.map(SrndTerm)
+    prefixes = st.text(alphabet="abcdefg", min_size=3, max_size=6).map(
+        SrndPrefix
+    )
+    leaves = st.one_of(terms, prefixes)
+
+    def composite(children):
+        two_plus = st.lists(children, min_size=2, max_size=3).map(tuple)
+        return st.one_of(
+            two_plus.map(SrndOr),
+            two_plus.map(SrndAnd),
+            two_plus.map(SrndNot),
+            st.tuples(
+                two_plus, st.integers(min_value=1, max_value=99),
+                st.booleans(),
+            ).map(lambda t: SrndDistance(t[0], t[1], t[2])),
+        )
+
+    trees = st.recursive(leaves, composite, max_leaves=8)
+
+    @given(trees)
+    @settings(max_examples=200, deadline=None)
+    def check(q):
+        assert parse_surround(_print_srnd(q)) == q
+
+    check()
