@@ -243,6 +243,14 @@ def select(
         cols = []
         names = []
         for entry in fl:
+            if entry == "*":  # ReturnFields glob: every stored field
+                for c in docs.columns:
+                    if c != "doc_id" and c not in names:
+                        cols.append(F.col(c))
+                        names.append(c)
+                continue
+            if entry == "score":  # score is already on the page
+                continue
             alias, sep, expr = entry.partition(":")
             if sep and ("(" in expr or expr in docs.columns):
                 from .funcquery import parse_func

@@ -452,3 +452,56 @@ def collate_query(searcher, query_string: str, max_edits: int = 2):
     return collate(
         searcher, spelling_query_convert(query_string), max_edits
     )
+
+
+def collations(
+    searcher,
+    query_terms: list[str],
+    max_collations: int = 3,
+    max_tries: int = 10,
+    max_edits: int = 2,
+) -> list[tuple[str, int]]:
+    """spellcheck.maxCollations / maxCollationTries
+    (solr/core/.../spelling/SpellCheckCollator.java:60-140 +
+    PossibilityIterator.java): enumerate correction COMBINATIONS in
+    best-rank-first order (sum of per-term suggestion ranks), re-query
+    each (a conjunction count), and return up to ``max_collations``
+    collations with hits > 0, ordered by the iterator's rank. At most
+    ``max_tries`` combinations are queried — the reference's re-query
+    budget."""
+    import itertools
+
+    from .query import And
+
+    ts = searcher.index.terms_stats
+    present = {
+        r["term"]
+        for r in ts.where(
+            F.col("term").isin(list(set(query_terms)))
+        ).collect()
+    }
+    # per-term candidate lists: the term itself when present, else its
+    # ranked suggestions (keep verbatim as last resort)
+    cands: list[list[str]] = []
+    for t in query_terms:
+        if t in present:
+            cands.append([t])
+            continue
+        sugg = [
+            r["term"]
+            for r in suggest(ts, t, max_edits=max_edits, k=3).collect()
+        ]
+        cands.append(sugg or [t])
+    combos = sorted(
+        itertools.product(*(range(len(c)) for c in cands)),
+        key=lambda ix: (sum(ix), ix),
+    )[:max_tries]
+    out: list[tuple[str, int]] = []
+    for ix in combos:
+        words = [cands[i][j] for i, j in enumerate(ix)]
+        hits = int(searcher.score(And(*words)).count())
+        if hits > 0:
+            out.append((" ".join(words), hits))
+        if len(out) >= max_collations:
+            break
+    return out

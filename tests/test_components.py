@@ -155,3 +155,19 @@ def test_spelling_query_converter(spark, tiny_index):
     s = Searcher(tiny_index)
     collation, hits = collate_query(s, "role:user erorr AND shardd")
     assert "error" in collation and "shard" in collation
+
+
+def test_fl_glob_and_max_collations(spark, tiny_index):
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.handler import select
+    from lucene_solr_spark.search.spellcheck import collations
+
+    s = Searcher(tiny_index)
+    out = select(s, q="error", fl=["*"], rows=3)["response"]
+    # every stored field present exactly once, after doc_id + score
+    assert out.columns[:2] == ["doc_id", "score"]
+    assert set(out.columns) >= {"conv_id", "turn_idx", "role", "text"}
+    assert len(out.columns) == len(set(out.columns))
+
+    got = collations(s, ["erorr", "shardd"], max_collations=2)
+    assert got and got[0][0] == "error shard" and got[0][1] > 0
