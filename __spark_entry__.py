@@ -389,6 +389,21 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_group_offset(spark, sf_dir):
+    """group.offset: skip the first doc inside each lang group, then
+    page 2 (Grouping.java withinGroupOffset)."""
+    from lucene_solr_spark.search.grouping import grouped_topk
+
+    s = _searcher(spark, sf_dir)
+    return grouped_topk(
+        s.score(TermQuery("scan")),
+        _index(spark, sf_dir).docs,
+        "lang",
+        per_group=2,
+        group_offset=1,
+    )
+
+
 def q_check_index(spark, sf_dir):
     """CheckIndex (lucene/core/.../index/CheckIndex.java:430-700): all
     integrity checks over the committed segment store — rows-only
@@ -3141,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "group_offset": q_group_offset,
         "check_index": q_check_index,
         "highlight_snippets": q_highlight_snippets,
         "func_strdist_jw": q_func_strdist_jw,
@@ -3391,6 +3407,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "group_offset": O.group_topk_offset("scan", "lang", 2, 1),
         "highlight_snippets": O.highlight_snippets("merge", 3, 3),
         "func_strdist_jw": O.func_strdist_jw("src1"),
         "events_sliding": O.events_sliding(),

@@ -4324,3 +4324,24 @@ SELECT doc_id, snippet_no,
          '\\b{t}\\b', '<b>{t}</b>', 'g') AS snippet
 FROM ex ORDER BY doc_id, snippet_no
 """.strip()
+
+
+def group_topk_offset(
+    term: str,
+    field: str,
+    per_group: int = 2,
+    offset: int = 1,
+    table: str = "documents",
+) -> str:
+    """group.offset twin: skip the first N docs inside each group."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT {field}, doc_id, round(score, 4) AS score FROM (
+  SELECT d.{field} AS {field}, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.{field} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN {table} d USING (doc_id)
+) WHERE rn > {offset} AND rn <= {offset + per_group}
+ORDER BY {field}, score DESC, doc_id
+""".strip()

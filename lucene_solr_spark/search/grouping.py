@@ -31,12 +31,15 @@ def grouped_topk(
     per_group: int = 2,
     ngroups: bool = False,
     group_sort: str | None = None,
+    group_offset: int = 0,
 ) -> DataFrame:
     """Field-collapse page: top ``per_group`` docs per group by
     (score desc, doc_id asc), or by ``group_sort`` ("field asc|desc" —
     Grouping.java sortWithinGroup/setGroupSort:238) with doc_id as the
     tiebreak. With ``ngroups`` every row also carries the total
-    matching-group count (Grouping.java:581)."""
+    matching-group count (Grouping.java:581). ``group_offset`` skips
+    the first N docs INSIDE each group (Solr group.offset,
+    Grouping.java getDocList withinGroupOffset)."""
     keep = ["doc_id", group_field]
     if group_sort:
         sfield, _, sdir = group_sort.partition(" ")
@@ -54,7 +57,10 @@ def grouped_topk(
     w = Window.partitionBy(group_field).orderBy(*order)
     page = (
         joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= per_group)
+        .where(
+            (F.col("rn") > F.lit(int(group_offset)))
+            & (F.col("rn") <= F.lit(int(group_offset)) + per_group)
+        )
         .select(
             group_field, "doc_id", F.round("score", 4).alias("score")
         )
