@@ -3408,7 +3408,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
         "group_offset": O.group_topk_offset("scan", "lang", 2, 1),
-        "highlight_snippets": O.highlight_snippets("merge", 3, 3),
+        "highlight_snippets": O.highlight_multi_snippets("merge", 3, 3),
         "func_strdist_jw": O.func_strdist_jw("src1"),
         "events_sliding": O.events_sliding(),
         "events_props_json": O.events_props_json(),

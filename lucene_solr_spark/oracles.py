@@ -4282,7 +4282,7 @@ def func_strdist_jw(lit: str, table: str = "documents") -> str:
     )
 
 
-def highlight_snippets(
+def highlight_multi_snippets(
     term: str,
     n: int = 3,
     window: int = 3,
