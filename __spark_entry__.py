@@ -389,6 +389,17 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_select_qop_and(spark, sf_dir):
+    """q.op=AND default operator (QueryParserBase.setDefaultOperator /
+    Solr q.op): bare terms become MUST — 'scan merge' == +scan +merge."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir), q="scan merge", rows=10, q_op="AND"
+    )
+    return _topk_rounded(out["response"])
+
+
 def q_group_offset(spark, sf_dir):
     """group.offset: skip the first doc inside each lang group, then
     page 2 (Grouping.java withinGroupOffset)."""
@@ -3156,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "select_qop_and": q_select_qop_and,
         "group_offset": q_group_offset,
         "check_index": q_check_index,
         "highlight_snippets": q_highlight_snippets,
@@ -3407,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "select_qop_and": O.bm25_bool(must=["scan", "merge"]),
         "group_offset": O.group_topk_offset("scan", "lang", 2, 1),
         "highlight_snippets": O.highlight_multi_snippets("merge", 3, 3),
         "func_strdist_jw": O.func_strdist_jw("src1"),

@@ -54,6 +54,7 @@ def select(
     sort_missing: str | None = None,
     func_now=None,
     filter_cache=None,
+    q_op: str = "OR",
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
     DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
@@ -121,7 +122,7 @@ def select(
             )
     if scored is None:
         if def_type == "lucene":
-            query = parse_lucene(q)
+            query = parse_lucene(q, default_op=q_op)
         elif def_type == "edismax":
             from .qparser import parse_edismax
 

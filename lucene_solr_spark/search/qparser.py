@@ -102,8 +102,15 @@ def _word_query(word: str, boost: float) -> Query | None:
     return PhraseQuery(terms, 0, boost)
 
 
-def parse_lucene(q: str) -> Query:
-    """Parse the classic-syntax subset into a Query AST."""
+def parse_lucene(q: str, default_op: str = "OR") -> Query:
+    """Parse the classic-syntax subset into a Query AST.
+
+    ``default_op`` is Solr's q.op / QueryParser.setDefaultOperator
+    (lucene/queryparser/.../classic/QueryParserBase.java addClause):
+    with AND, bare terms become MUST; an explicit OR between clauses
+    makes the PRECEDING required term optional again, and an explicit
+    AND upgrades the preceding optional term — both directions of the
+    addClause retro-fix."""
     toks = []
     pos = 0
     while pos < len(q):
@@ -123,11 +130,26 @@ def parse_lucene(q: str) -> Query:
         def push(sub: Query | None):
             nonlocal pending_occur, pending_op
             if sub is not None:
-                occur = pending_occur or (
-                    "MUST" if pending_op == "AND" else "SHOULD"
-                )
+                if pending_occur:
+                    occur = pending_occur
+                elif pending_op == "AND":
+                    occur = "MUST"
+                elif pending_op == "OR":
+                    occur = "SHOULD"
+                else:
+                    occur = "MUST" if default_op == "AND" else "SHOULD"
                 if pending_op == "AND" and clauses and clauses[-1].occur == "SHOULD":
                     clauses[-1] = BooleanClause(clauses[-1].query, "MUST")
+                if (
+                    default_op == "AND"
+                    and pending_op == "OR"
+                    and clauses
+                    and clauses[-1].occur == "MUST"
+                ):
+                    # QueryParserBase.addClause: under AND_OPERATOR an
+                    # explicit OR makes the preceding required term
+                    # optional (unless prohibited)
+                    clauses[-1] = BooleanClause(clauses[-1].query, "SHOULD")
                 clauses.append(BooleanClause(sub, occur))
             pending_occur = None
             pending_op = None

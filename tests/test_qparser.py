@@ -240,3 +240,21 @@ def test_edismax_mm_string(spark=None):
     # conditional: at or below the bound, ALL optional clauses required
     q = parse_edismax("scan merge", mm="2<-25%")
     assert q.min_should_match == 2
+
+
+def test_default_operator_and():
+    """q.op semantics (QueryParserBase.addClause): bare terms MUST
+    under AND; explicit OR relaxes the PRECEDING required clause; the
+    default-OR behavior is unchanged."""
+    from lucene_solr_spark.search.qparser import parse_lucene
+
+    q = parse_lucene("scan merge", default_op="AND")
+    assert [c.occur for c in q.clauses] == ["MUST", "MUST"]
+    q = parse_lucene("scan OR merge", default_op="AND")
+    assert [c.occur for c in q.clauses] == ["SHOULD", "SHOULD"]
+    q = parse_lucene("scan merge OR key", default_op="AND")
+    assert [c.occur for c in q.clauses] == ["MUST", "SHOULD", "SHOULD"]
+    q = parse_lucene("scan AND merge OR key", default_op="OR")
+    assert [c.occur for c in q.clauses] == ["MUST", "MUST", "SHOULD"]
+    q = parse_lucene("-scan merge", default_op="AND")
+    assert [c.occur for c in q.clauses] == ["MUST_NOT", "MUST"]
