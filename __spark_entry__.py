@@ -389,6 +389,18 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_select_bq(spark, sf_dir):
+    """DisMax bq boost query (DisMaxQParser.java getBoostQueries):
+    q=scan with bq=merge — merge's BM25 adds onto scan matches without
+    changing membership."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir), q="scan", bq=["merge"], rows=10
+    )
+    return _topk_rounded(out["response"])
+
+
 def q_select_qop_and(spark, sf_dir):
     """q.op=AND default operator (QueryParserBase.setDefaultOperator /
     Solr q.op): bare terms become MUST — 'scan merge' == +scan +merge."""
@@ -3167,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "select_bq": q_select_bq,
         "select_qop_and": q_select_qop_and,
         "group_offset": q_group_offset,
         "check_index": q_check_index,
@@ -3419,6 +3432,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "select_bq": O.select_bq("scan", "merge"),
         "select_qop_and": O.bm25_bool(must=["scan", "merge"]),
         "group_offset": O.group_topk_offset("scan", "lang", 2, 1),
         "highlight_snippets": O.highlight_multi_snippets("merge", 3, 3),

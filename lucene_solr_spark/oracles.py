@@ -4345,3 +4345,20 @@ SELECT {field}, doc_id, round(score, 4) AS score FROM (
 ) WHERE rn > {offset} AND rn <= {offset + per_group}
 ORDER BY {field}, score DESC, doc_id
 """.strip()
+
+
+def select_bq(
+    main: str, boost_term: str, k: int = 10, table: str = "documents"
+) -> str:
+    """DisMax bq twin: membership = main term's matches; score adds the
+    boost query's BM25 where it matches (DisMaxQParser.java:92-150)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([main, boost_term], table)},
+base AS (SELECT doc_id, score FROM scored WHERE term = '{_sq(main)}'),
+bqs AS (SELECT doc_id, score FROM scored
+        WHERE term = '{_sq(boost_term)}')
+SELECT b.doc_id,
+       round(b.score + coalesce(q.score, 0.0), 4) AS score
+FROM base b LEFT JOIN bqs q ON q.doc_id = b.doc_id
+ORDER BY score DESC, b.doc_id ASC LIMIT {k}
+""".strip()

@@ -47,6 +47,7 @@ def select(
     facet_docs: DataFrame | None = None,
     cursor_mark: tuple[float, int] | str | None = None,
     bf: str | None = None,
+    bq: list[str] | None = None,
     boost: str | None = None,
     def_type: str = "lucene",
     mm: int | str = 0,
@@ -134,6 +135,23 @@ def select(
         else:
             raise ValueError(f"unknown defType {def_type!r}")
         scored = searcher.score(query)
+
+    if bq:
+        # DisMax bq boost queries (DisMaxQParser.java:92-150
+        # getBoostQueries): each bq is an optional SHOULD clause of the
+        # outer query — membership stays the MAIN query's, scores of
+        # matching boost queries ADD
+        for qs in bq:
+            bscored = searcher.score(parse_lucene(qs)).select(
+                "doc_id", F.col("score").alias("_bq")
+            )
+            scored = scored.join(bscored, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.coalesce(F.col("_bq"), F.lit(0.0))
+                ).cast(searcher._score_type).alias("score"),
+            )
 
     docs = searcher.index.docs
     if fq:
