@@ -389,6 +389,19 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_spellcheck_popular(spark, sf_dir):
+    """SuggestMode.SUGGEST_MORE_POPULAR (SpellChecker.java:335,396):
+    candidates must beat the query word's own df — absent word 'qery'
+    has goalFreq 0, so every in-range suggestion qualifies (the
+    strictly-filtering case is pinned on the fillN family in
+    tests/test_components.py)."""
+    from lucene_solr_spark.search.spellcheck import suggest_more_popular
+
+    return suggest_more_popular(
+        _index(spark, sf_dir).terms_stats, "qery", max_edits=2, k=5
+    )
+
+
 def q_select_bq(spark, sf_dir):
     """DisMax bq boost query (DisMaxQParser.java getBoostQueries):
     q=scan with bq=merge — merge's BM25 adds onto scan matches without
@@ -3179,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "spellcheck_popular": q_spellcheck_popular,
         "select_bq": q_select_bq,
         "select_qop_and": q_select_qop_and,
         "group_offset": q_group_offset,
@@ -3432,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "spellcheck_popular": O.spellcheck("qery", 2, 5),
         "select_bq": O.select_bq("scan", "merge"),
         "select_qop_and": O.bm25_bool(must=["scan", "merge"]),
         "group_offset": O.group_topk_offset("scan", "lang", 2, 1),

@@ -505,3 +505,32 @@ def collations(
         if len(out) >= max_collations:
             break
     return out
+
+
+def suggest_more_popular(
+    terms_stats: DataFrame,
+    word: str,
+    max_edits: int = 2,
+    k: int = 5,
+    min_prefix: int = 1,
+) -> DataFrame:
+    """SuggestMode.SUGGEST_MORE_POPULAR (lucene/suggest/.../spell/
+    SpellChecker.java:335,396): only candidates whose docFreq EXCEEDS
+    the query word's own frequency qualify (goalFreq = freq(word));
+    with a zero-df word this degrades to the ordinary suggest."""
+    goal = (
+        terms_stats.where(F.col("term") == word)
+        .agg(F.coalesce(F.max("df"), F.lit(0)).alias("goal"))
+    )
+    cand = terms_stats.where(F.col("term") != word)
+    if min_prefix > 0:
+        cand = cand.where(F.col("term").startswith(word[:min_prefix]))
+    return (
+        cand.crossJoin(F.broadcast(goal))
+        .where(F.col("df") > F.col("goal"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .where(F.col("dist") <= max_edits)
+        .select("term", F.col("df").cast("long").alias("df"), "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

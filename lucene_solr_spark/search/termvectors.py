@@ -25,9 +25,13 @@ def term_vector(
     searcher: Searcher,
     doc_id: int,
     with_df: bool = True,
+    with_tf_idf: bool = False,
     text_col: str = "text",
 ) -> DataFrame:
-    """(term, tf[, df]) for one document, ordered by term."""
+    """(term, tf[, df][, tf_idf]) for one document, ordered by term.
+    ``with_tf_idf`` adds TermVectorComponent's tv.tf_idf value —
+    tf / df as a float (S/handler/component/TermVectorComponent.java
+    TVMapper, the literal frequency ratio the component returns)."""
     from ..analysis.tokenizer import analyze
 
     idx = searcher.index
@@ -56,4 +60,13 @@ def term_vector(
             ]
         )
         out = out.withColumn("df", df_map[F.col("term")].cast("long"))
+        if with_tf_idf:
+            out = out.withColumn(
+                "tf_idf",
+                F.round(
+                    F.col("tf").cast("double")
+                    / F.col("df").cast("double"),
+                    6,
+                ),
+            )
     return out.orderBy("term")

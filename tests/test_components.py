@@ -171,3 +171,33 @@ def test_fl_glob_and_max_collations(spark, tiny_index):
 
     got = collations(s, ["erorr", "shardd"], max_collations=2)
     assert got and got[0][0] == "error shard" and got[0][1] > 0
+
+
+def test_suggest_more_popular(spark, tiny_index):
+    """SUGGEST_MORE_POPULAR (SpellChecker.java:335,396): only
+    candidates with df strictly above the query word's own df."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.spellcheck import (
+        suggest,
+        suggest_more_popular,
+    )
+
+    ts = tiny_index.terms_stats
+    # pick the LOWEST-df member of the fill1..fill16 family: every
+    # higher-df sibling within 2 edits must appear; none with lower df
+    fam = sorted(
+        (r["df"], r["term"])
+        for r in ts.where(F.col("term").rlike("^fill[0-9]+$")).collect()
+    )
+    low_df, low = fam[0]
+    got = suggest_more_popular(ts, low, max_edits=2, k=50).collect()
+    assert got, "family guarantees more-popular neighbors"
+    assert all(r["df"] > low_df for r in got)
+    # plain suggest also returns LESS popular family members
+    plain = suggest(ts, low, max_edits=2, k=50).collect()
+    assert {r["term"] for r in got} <= {r["term"] for r in plain}
+    if any(df < low_df for df, _ in fam[1:]) or any(
+        df == low_df for df, _ in fam[1:]
+    ):
+        assert len(got) <= len(plain)
