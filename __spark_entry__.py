@@ -389,6 +389,19 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_highlight_alternate(spark, sf_dir):
+    """hl.alternateField: matched docs get the anchored fragment;
+    docs without 'dup' fall back to a 60-char text prefix
+    (DefaultSolrHighlighter alternateField)."""
+    from lucene_solr_spark.search.highlight import (
+        highlight_with_alternate,
+    )
+
+    return highlight_with_alternate(
+        _docs(spark, sf_dir), "dup", max_alt_length=60
+    )
+
+
 def q_spellcheck_popular(spark, sf_dir):
     """SuggestMode.SUGGEST_MORE_POPULAR (SpellChecker.java:335,396):
     candidates must beat the query word's own df — absent word 'qery'
@@ -3192,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
         "select_bq": q_select_bq,
         "select_qop_and": q_select_qop_and,
@@ -3446,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "highlight_alternate": O.highlight_alternate("dup", 60),
         "spellcheck_popular": O.spellcheck("qery", 2, 5),
         "select_bq": O.select_bq("scan", "merge"),
         "select_qop_and": O.bm25_bool(must=["scan", "merge"]),

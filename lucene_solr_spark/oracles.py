@@ -4362,3 +4362,37 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN bqs q ON q.doc_id = b.doc_id
 ORDER BY score DESC, b.doc_id ASC LIMIT {k}
 """.strip()
+
+
+def highlight_alternate(
+    term: str,
+    max_alt: int = 60,
+    fragment_size: int = 100,
+    table: str = "documents",
+) -> str:
+    """hl.alternateField twin: matched docs reuse the highlight
+    fragment expression; unmatched docs emit the alternate-field
+    prefix with is_alternate=1."""
+    import re as _re
+
+    rx = f"(?i)\\b{_re.escape(term)}\\b"
+    rx_prefix = f"(?is)^(.*?)\\b{_re.escape(term)}\\b"
+    half = fragment_size // 2
+    return f"""
+SELECT doc_id,
+       regexp_replace(
+         substr(text,
+                CAST(greatest(1,
+                     length(regexp_extract(text, '{_sq(rx_prefix)}', 1))
+                     + 1 - {half}) AS BIGINT),
+                {fragment_size}),
+         '{_sq(rx)}', '<b>{_sq(term)}</b>', 'g') AS snippet,
+       0 AS is_alternate
+FROM {table}
+WHERE regexp_matches(text, '{_sq(rx)}')
+UNION ALL
+SELECT doc_id, substr(text, 1, {max_alt}) AS snippet, 1 AS is_alternate
+FROM {table}
+WHERE NOT regexp_matches(text, '{_sq(rx)}')
+ORDER BY doc_id
+""".strip()

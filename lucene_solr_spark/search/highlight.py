@@ -117,3 +117,34 @@ def highlight_snippets(
         (F.col("snippet_no") + 1).alias("snippet_no"),
         wrapped.alias("snippet"),
     )
+
+
+def highlight_with_alternate(
+    docs: DataFrame,
+    term: str,
+    alt_col: str = "text",
+    max_alt_length: int = 60,
+    text_col: str = "text",
+    fragment_size: int = FRAGMENT_SIZE,
+) -> DataFrame:
+    """hl.alternateField / hl.maxAlternateFieldLength
+    (solr/core/.../highlight/DefaultSolrHighlighter.java
+    alternateField handling): docs WITH a whole-word match get the
+    ordinary anchored snippet; docs WITHOUT one fall back to the first
+    ``max_alt_length`` chars of the alternate field, unhighlighted.
+    Returns (doc_id, snippet, is_alternate)."""
+    rx_find = f"(?i)\\b{re.escape(term)}\\b"
+    hl = highlight(docs, term, text_col, fragment_size).withColumn(
+        "is_alternate", F.lit(0)
+    )
+    alt = (
+        docs.where(~F.col(text_col).rlike(rx_find))
+        .select(
+            "doc_id",
+            F.substring(F.col(alt_col), 1, max_alt_length).alias(
+                "snippet"
+            ),
+            F.lit(1).alias("is_alternate"),
+        )
+    )
+    return hl.unionByName(alt)
