@@ -156,7 +156,16 @@ def parse_lucene(q: str, default_op: str = "OR") -> Query:
 
         while i < len(toks):
             m = toks[i]
-            boost = float(m.group("boost")) if m.group("boost") else 1.0
+            try:
+                boost = (
+                    float(m.group("boost")) if m.group("boost") else 1.0
+                )
+            except ValueError as e:
+                # a '^' followed by a non-number is a syntax error, not
+                # a crash (QueryParserBase wraps these as ParseException)
+                raise QueryParseError(
+                    f"bad boost {m.group('boost')!r}"
+                ) from e
             if m.group("lparen"):
                 sub, i = build(i + 1, depth + 1)
                 if boost != 1.0:

@@ -258,3 +258,41 @@ def test_default_operator_and():
     assert [c.occur for c in q.clauses] == ["MUST", "MUST", "SHOULD"]
     q = parse_lucene("-scan merge", default_op="AND")
     assert [c.occur for c in q.clauses] == ["MUST_NOT", "MUST"]
+
+
+def test_parser_crash_freedom_fuzz():
+    """Random query strings either parse or raise the parser's OWN
+    error types — never an uncontrolled exception (the robustness
+    contract of QueryParserBase.parse wrapping TokenMgrError)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.search.qparser import (
+        QueryParseError,
+        parse_lucene,
+    )
+    from lucene_solr_spark.search.surround import (
+        SurroundParseError,
+        TooManyBasicQueries,
+        parse_surround,
+    )
+
+    alphabet = 'abco ORANDT+-!()[]{}"~^*?:\\0123.5_'
+
+    @given(st.text(alphabet=alphabet, max_size=30))
+    @settings(max_examples=400, deadline=None)
+    def check(s):
+        try:
+            parse_lucene(s)
+        except QueryParseError:
+            pass
+        try:
+            parse_lucene(s, default_op="AND")
+        except QueryParseError:
+            pass
+        try:
+            parse_surround(s)
+        except (SurroundParseError, TooManyBasicQueries):
+            pass
+
+    check()
