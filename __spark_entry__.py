@@ -389,6 +389,23 @@ def q_boosting(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_block_join_child(spark, sf_dir):
+    """ToChildBlockJoinQuery: parents = orders over 400k 'scored' by
+    o_totalprice; every lineitem of a matching order matches with its
+    PARENT's score (ToChildBlockJoinQuery.java:40-60)."""
+    from lucene_solr_spark.search.joins import block_join_child_scores
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parents = orders.where(F.col("o_totalprice") > 400000.0).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round("o_totalprice", 4).alias("score"),
+    )
+    return block_join_child_scores(
+        parents, lineitem, "l_orderkey", ["l_linenumber"]
+    )
+
+
 def q_highlight_alternate(spark, sf_dir):
     """hl.alternateField: matched docs get the anchored fragment;
     docs without 'dup' fall back to a 60-char text prefix
@@ -3205,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 ---
+        "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
         "select_bq": q_select_bq,
@@ -3460,6 +3478,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not": O.bm25_bool(must=["scan"], must_not=["merge"]),
         "bm25_dismax": O.bm25_dismax(["scan", "merge"], 0.3),
         "bm25_phrase": O.bm25_phrase(["key", "order"]),
+        "block_join_child": (
+            "SELECT l.l_linenumber, l.l_orderkey, "
+            "round(o.o_totalprice, 4) AS score "
+            "FROM lineitem l JOIN orders o "
+            "ON o.o_orderkey = l.l_orderkey "
+            "WHERE o.o_totalprice > 400000.0 ORDER BY l.l_orderkey"
+        ),
         "highlight_alternate": O.highlight_alternate("dup", 60),
         "spellcheck_popular": O.spellcheck("qery", 2, 5),
         "select_bq": O.select_bq("scan", "merge"),

@@ -87,3 +87,21 @@ def block_join_parent_scores(
             else aggf("score")
         ).alias("score")
     )
+
+
+def block_join_child_scores(
+    parent_scored: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_cols: list[str],
+) -> DataFrame:
+    """ToChildBlockJoinQuery analogue (lucene/join/.../join/
+    ToChildBlockJoinQuery.java:40-60): the join runs DOWNWARD — a
+    parent-matching query admits every child of a matching parent,
+    and with doScores each child carries its PARENT's score
+    (ToChildBlockJoinScorer: childScore = parentScore). One key-equi
+    join; the parent side is the small collected set, so it
+    broadcasts exactly like the collected-terms rewrite."""
+    return children.select(*child_cols, parent_key).join(
+        F.broadcast(parent_scored), parent_key
+    ).select(*child_cols, parent_key, "score")
