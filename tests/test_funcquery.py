@@ -415,3 +415,28 @@ def test_boost_vs(spark, tiny_index):
         cb.alias("b"), cq.alias("q")
     ).collect():
         assert r["b"] == pytest.approx(2.0 * r["q"])
+
+
+def test_funcquery_crash_freedom_fuzz(spark):
+    """Random ValueSource expressions either compile or raise
+    FuncParseError — never IndexError/TypeError/etc. (the r3-advice
+    truncated-call guard, generalized)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.search.funcquery import (
+        FuncParseError,
+        parse_func,
+    )
+
+    alphabet = "abcsum(),'\"0123.5_ -+reciplogmaxif$"
+
+    @given(st.text(alphabet=alphabet, max_size=40))
+    @settings(max_examples=400, deadline=None)
+    def check(s):
+        try:
+            parse_func(s)
+        except FuncParseError:
+            pass
+
+    check()
