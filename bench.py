@@ -89,6 +89,15 @@ HEADLINE = [
     "group_query",
     "select_fq_join",
     "ingest_csv",
+    "complex_phrase",
+    "xml_query_bool",
+    "spellcheck_jw",
+    "highlight_snippets",
+    "block_join_child",
+    "events_sliding",
+    "audio_features",
+    "leading_wildcard",
+    "sweetspot_or",
 ]
 
 
