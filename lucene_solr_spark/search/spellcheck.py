@@ -280,6 +280,10 @@ def suggest_jaro_winkler(
     cand = terms_stats.where(F.col("term") != word)
     if min_prefix > 0:
         cand = cand.where(F.col("term").startswith(word[:min_prefix]))
+    # the prefix-pruned dictionary slice is small relative to the
+    # corpus — coalesce so the Arrow kernel spins a handful of Python
+    # workers instead of one per storage partition
+    cand = cand.coalesce(8)
     jw = jaro_winkler_expr(word)
     return (
         cand.withColumn("sim", jw(F.col("term")))
@@ -400,6 +404,7 @@ def suggest_with_distance(
     cand = terms_stats.where(F.col("term") != word)
     if min_prefix > 0:
         cand = cand.where(F.col("term").startswith(word[:min_prefix]))
+    cand = cand.coalesce(8)
     return (
         cand.withColumn("sim", sim(F.col("term")))
         .where(F.col("sim") >= F.lit(float(min_similarity)))
