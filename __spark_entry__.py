@@ -1370,6 +1370,122 @@ def q_signature_dedup(spark, sf_dir):
     )
 
 
+def _synth_url_col():
+    """Deterministic URL for the url_classify gate — textually in
+    lock-step with oracles._synth_url_sql."""
+    m = (F.col("doc_id") % 5).cast("int")
+    path = (
+        F.when(m == 0, F.lit("/"))
+        .when(
+            m == 1,
+            F.concat(F.lit("/"), F.col("lang"), F.lit("/docs/index.html")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("/"),
+                F.col("lang"),
+                F.lit("/page.html?q="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(m == 3, F.lit("/a/b/welcome.php/"))
+        .otherwise(
+            F.concat(F.lit("/x/"), F.col("source"), F.lit("/data"))
+        )
+    )
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+    )
+
+
+def q_url_classify(spark, sf_dir):
+    """URLClassifyProcessor ingest enrichment
+    (solr/core/.../update/processor/URLClassifyProcessor.java:95-230):
+    length / path levels / toplevel / landingpage flags + domain +
+    canonical URL over a deterministic synthesized URL column. Pure
+    Catalyst projection — map-only at any scale."""
+    from lucene_solr_spark.io.processors import url_classify
+
+    d = _docs(spark, sf_dir).withColumn("url", _synth_url_col())
+    out = url_classify(d, "url", domain=True, canonical=True)
+    return out.select(
+        "doc_id",
+        "url_length",
+        "url_levels",
+        "url_toplevel",
+        "url_landingpage",
+        "url_domain",
+        "url_canonical",
+    ).orderBy("doc_id")
+
+
+def q_chain_mutate(spark, sf_dir):
+    """UpdateRequestProcessorChain of field-mutating processors
+    (solr/core/.../update/processor/FieldMutatingUpdateProcessor.java
+    family): trim, clone+truncate, field length, first/last value,
+    uniq, count-values and the deterministic name-based UUID — one
+    composed Catalyst projection."""
+    from lucene_solr_spark.io import processors as P
+
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn(
+            "padded", F.concat(F.lit("  "), F.col("source"), F.lit("  "))
+        )
+        .withColumn(
+            "toks",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+            ),
+        )
+    )
+    chain = P.ProcessorChain(
+        lambda x: P.trim_fields(x, "padded"),
+        lambda x: P.clone_field(x, "text", "text40"),
+        lambda x: P.truncate_fields(x, 40, "text40"),
+        lambda x: P.field_length(x, "text", "text_len"),
+        lambda x: P.clone_field(x, "toks", "tok_first"),
+        lambda x: P.first_value(x, "tok_first"),
+        lambda x: P.clone_field(x, "toks", "tok_last"),
+        lambda x: P.last_value(x, "tok_last"),
+        lambda x: P.clone_field(x, "toks", "uniq"),
+        lambda x: P.uniq_values(x, "uniq"),
+        lambda x: P.count_field_values(x, "uniq", "n_uniq"),
+        lambda x: P.count_field_values(x, "toks", "n_toks"),
+        lambda x: P.uuid_field(x, "uuid", "doc_id"),
+    )
+    out = chain(d)
+    return out.select(
+        "doc_id",
+        F.col("padded").alias("src_trim"),
+        "text40",
+        "text_len",
+        "n_toks",
+        "tok_first",
+        "tok_last",
+        "n_uniq",
+        "uuid",
+    ).orderBy("doc_id")
+
+
+def q_signature_textprofile(spark, sf_dir):
+    """TextProfileSignature fuzzy content dedup
+    (solr/core/.../update/processor/TextProfileSignature.java:68-140 +
+    SignatureUpdateProcessorFactory overwriteDupes): quantized
+    token-frequency profile -> md5, last-wins per signature. The
+    profile builds inside one map-only projection (sorted in-doc token
+    array fold, no explode); the dedup is a single groupBy on the
+    uniform signature key."""
+    from lucene_solr_spark.io.processors import (
+        signature_dedup_textprofile,
+    )
+
+    return signature_dedup_textprofile(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def q_mlt_interesting(spark, sf_dir):
     """MLT interestingTerms=details: the selected query terms with
     their tf*idf boosts for doc 1."""
@@ -3221,7 +3337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "Done = ... green in CORRECTNESS_r04" criteria — they outrank
     # everything else in the window (see the reorder after the dict).
     base = {
-        # --- new in round 4 ---
+        # --- new in round 4 (latest session first: driver window ~50) ---
+        "signature_textprofile": q_signature_textprofile,
+        "url_classify": q_url_classify,
+        "chain_mutate": q_chain_mutate,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -3588,6 +3707,9 @@ def oracle_sql() -> dict[str, str]:
             _facet_date_bounds(), other=True
         ),
         "signature_dedup": O.signature_dedup(),
+        "signature_textprofile": O.signature_textprofile(),
+        "url_classify": O.url_classify(),
+        "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

@@ -3479,6 +3479,145 @@ FROM fp GROUP BY fingerprint ORDER BY doc_id
 """.strip()
 
 
+def signature_textprofile(table: str = "documents") -> str:
+    """TextProfileSignature twin (TextProfileSignature.java:68-140, the
+    Nutch quantized token-frequency profile): tokens are letter/digit
+    runs of the lowercased text strictly longer than minTokenLen=2;
+    QUANT = round(maxFreq*0.01) floored at 2 when maxFreq>1 else 1;
+    counts round down to a QUANT multiple, sub-QUANT tokens drop;
+    profile lines "tok cnt" ordered cnt desc / tok asc (the engine's
+    deterministic tie-break) joined with newline, md5-hashed. Dedup =
+    last-wins (max doc_id) per signature, as an overwriteDupes ingest
+    leaves it."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM {table}, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+  WHERE length(t.tok) > 2
+),
+freqs AS (
+  SELECT doc_id, tok, CAST(count(*) AS INT) AS cnt FROM toks GROUP BY 1, 2
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN floor(max(cnt) * 0.01 + 0.5) >= 2
+              THEN CAST(floor(max(cnt) * 0.01 + 0.5) AS INT)
+              WHEN max(cnt) > 1 THEN 2 ELSE 1 END AS quant
+  FROM freqs GROUP BY doc_id
+),
+prof AS (
+  SELECT f.doc_id,
+         string_agg(f.tok || ' ' || (f.cnt // q.quant) * q.quant, chr(10)
+                    ORDER BY (f.cnt // q.quant) * q.quant DESC, f.tok) AS profile
+  FROM freqs f JOIN q USING (doc_id)
+  WHERE (f.cnt // q.quant) * q.quant >= q.quant
+  GROUP BY f.doc_id
+),
+sig AS (
+  SELECT d.doc_id, md5(coalesce(p.profile, '')) AS signature
+  FROM {table} d LEFT JOIN prof p USING (doc_id)
+)
+SELECT max(doc_id) AS doc_id, signature,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM sig GROUP BY signature ORDER BY doc_id
+""".strip()
+
+
+def _synth_url_sql(table: str) -> str:
+    """The deterministic URL synthesized for the url_classify gate —
+    must stay textually in lock-step with __spark_entry__._synth_url."""
+    return f"""
+  SELECT doc_id,
+    'https://' || source || '.example.com' ||
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '/'
+      WHEN 1 THEN '/' || lang || '/docs/index.html'
+      WHEN 2 THEN '/' || lang || '/page.html?q=' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 3 THEN '/a/b/welcome.php/'
+      ELSE '/x/' || source || '/data'
+    END AS url
+  FROM {table}
+""".rstrip()
+
+
+def url_classify(table: str = "documents") -> str:
+    """URLClassifyProcessor twin (URLClassifyProcessor.java:95-230)
+    over the synthesized URL: length / path levels / toplevel /
+    landingpage / domain / canonical. The landing suffix is the FIRST
+    entry of landingPageSuffixes the path ends with ("/" outranks
+    index.*/welcome.*); levels strip the suffix then trailing slashes
+    and count '/'; canonical collapses a trailing "/"+suffix to "/"."""
+    suffixes = ["index." + e for e in
+                ("html", "htm", "phtml", "shtml", "xml", "php", "asp", "aspx")]
+    suffixes += ["welcome." + e for e in
+                 ("html", "htm", "phtml", "shtml", "xml", "php", "asp", "aspx")]
+    when_sfx = "\n    ".join(
+        f"WHEN ends_with(path, '{s}') THEN '{s}'" for s in suffixes
+    )
+    return f"""
+WITH u AS (
+{_synth_url_sql(table)}
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^https://([^/?#]*)', 1) AS host,
+    regexp_extract(url, '^https://[^/?#]*([^?#]*)', 1) AS path,
+    (url LIKE '%?%') AS has_q
+  FROM u
+),
+sfx AS (
+  SELECT *, CASE
+    WHEN path LIKE '%/' THEN '/'
+    {when_sfx}
+    ELSE '' END AS suf
+  FROM parts
+),
+strip AS (
+  SELECT *, regexp_replace(
+    CASE WHEN suf <> '' THEN substr(path, 1, length(path) - length(suf))
+         ELSE path END, '/+$', '') AS sp
+  FROM sfx
+)
+SELECT doc_id,
+  CAST(length(url) AS INT) AS url_length,
+  CAST(length(sp) - length(replace(sp, '/', '')) AS INT) AS url_levels,
+  CAST(CASE WHEN length(sp) = 0 AND NOT has_q THEN 1 ELSE 0 END AS INT)
+    AS url_toplevel,
+  CAST(CASE WHEN NOT has_q AND suf <> '' THEN 1 ELSE 0 END AS INT)
+    AS url_landingpage,
+  host AS url_domain,
+  CASE WHEN suf NOT IN ('', '/') AND ends_with(url, '/' || suf)
+       THEN substr(url, 1, length(url) - length(suf) - 1) || '/'
+       ELSE url END AS url_canonical
+FROM strip ORDER BY doc_id
+""".strip()
+
+
+def chain_mutate(table: str = "documents") -> str:
+    """UpdateRequestProcessorChain twin: trim / clone+truncate /
+    field-length / first+last value / uniq / count-values / name-based
+    UUID, all as the chain's composed projection would leave them."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim('  ' || source || '  ') AS src_trim,
+         substr(text, 1, 40) AS text40,
+         CAST(length(text) AS INT) AS text_len,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM {table}
+)
+SELECT doc_id, src_trim, text40, text_len,
+  CAST(len(toks) AS INT) AS n_toks,
+  toks[1] AS tok_first,
+  toks[-1] AS tok_last,
+  CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3)
+    || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS uuid
+FROM t ORDER BY doc_id
+""".strip()
+
+
 def mlt_interesting_terms(
     doc_id: int,
     max_query_terms: int = 25,
