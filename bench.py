@@ -72,6 +72,8 @@ HEADLINE = [
     "events_hourly",
     "events_stats",
     # round-4 session additions: training-pipeline + component ops
+    "signature_textprofile",
+    "url_classify",
     "decontaminate",
     "chunk_dedup",
     "sample_stratified",

@@ -347,11 +347,15 @@ def url_classify(
 # ---------------------------------------------------------------------------
 
 
-def text_profile_signature(
-    text: Column, quant_rate: float = 0.01, min_token_len: int = 2
-) -> Column:
-    """TextProfileSignature.java:68-140 (the Nutch page profile) as one
-    Catalyst expression — md5 of the quantized token-frequency profile:
+def text_profile_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant_rate: float = 0.01,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """TextProfileSignature.java:68-140 (the Nutch page profile):
+    per-document md5 of the quantized token-frequency profile —
 
       - tokens: maximal letter/digit runs of the lowercased text,
         kept only when strictly longer than ``min_token_len``
@@ -360,50 +364,59 @@ def text_profile_signature(
       - per-token count rounded down to a multiple of QUANT; tokens
         falling below QUANT are discarded
       - profile lines "token count" ordered by count descending,
-        joined with '\\n', md5-hashed
+        joined with a newline, md5-hashed
 
     The reference breaks count ties in HashMap iteration order
     (TokenComparator compares counts only); a distributed engine needs
     a deterministic order, so ties here break on the token ascending —
-    the one documented deviation. Map-only: token counting folds over
-    the sorted in-doc token array (array_sort + aggregate), no explode
-    and no shuffle, so signatures stream out of the scan at 100 TB."""
+    the one documented deviation.
+
+    Shape: explode -> groupBy (doc, token) -> groupBy doc. Linear in
+    corpus tokens with two well-keyed shuffles (same scale class as
+    the index inversion itself). Token counting deliberately does NOT
+    use nested array lambdas over the raw token array: Catalyst
+    re-inlines a referenced subtree per lambda element (no common
+    subexpression elimination inside higher-order functions), which
+    turns an O(n) fold into an exponential re-expansion — measured
+    minutes instead of seconds on a 5k-doc corpus. After the
+    aggregate, the per-doc profile assembly transforms only the small
+    collected (cnt, tok) array, where per-element re-evaluation cost
+    is a plain column reference. Returns (id_col, signature); docs
+    with no qualifying tokens get md5('') — the empty profile."""
     toks = F.filter(
-        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ),
         lambda t: F.length(t) > min_token_len,
     )
-    sorted_toks = F.array_sort(toks)
-    distinct = F.array_distinct(sorted_toks)
-    # per-distinct count via an in-array filter: O(d*n) inside one
-    # projection. For the bounded per-doc vocabularies of real corpora
-    # this beats an explode+groupBy (which would shuffle every token
-    # row); callers with pathological single docs can pre-truncate.
-    counts = F.transform(
-        distinct,
-        lambda d: F.struct(
-            F.size(F.filter(sorted_toks, lambda t: t == d)).alias("cnt"),
-            d.alias("tok"),
-        ),
+    tok_rows = df.select(
+        F.col(id_col), F.explode(toks).alias("tok")
     )
-    mf = F.array_max(F.transform(counts, lambda s: s["cnt"]))
-    quant_raw = F.floor(mf.cast("double") * quant_rate + 0.5)
+    freqs = tok_rows.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("int").alias("cnt")
+    )
+    perdoc = freqs.groupBy(id_col).agg(
+        F.max("cnt").alias("mf"),
+        F.collect_list(F.struct("cnt", "tok")).alias("arr"),
+    )
+    quant_raw = F.floor(F.col("mf").cast("double") * quant_rate + 0.5)
     quant = (
         F.when(quant_raw >= 2, quant_raw)
-        .when(mf > 1, F.lit(2))
+        .when(F.col("mf") > 1, F.lit(2))
         .otherwise(F.lit(1))
         .cast("int")
     )
+    perdoc = perdoc.withColumn("quant", quant)
+    q = F.col("quant")
     quantized = F.filter(
         F.transform(
-            counts,
+            F.col("arr"),
             lambda s: F.struct(
-                (
-                    F.floor(s["cnt"] / quant) * quant
-                ).cast("int").alias("cnt"),
+                (F.floor(s["cnt"] / q) * q).cast("int").alias("cnt"),
                 s["tok"].alias("tok"),
             ),
         ),
-        lambda s: s["cnt"] >= quant,
+        lambda s: s["cnt"] >= q,
     )
     # order: cnt desc, tok asc == ascending sort of (-cnt, tok)
     ordered = F.array_sort(
@@ -423,7 +436,17 @@ def text_profile_signature(
         ),
         "\n",
     )
-    return F.md5(profile)
+    sigs = perdoc.select(
+        F.col(id_col), F.md5(profile).alias("signature")
+    )
+    # docs whose every token was filtered out never reach tok_rows:
+    # they carry the empty profile, md5('')
+    return df.select(id_col).join(sigs, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(
+            F.col("signature"), F.md5(F.lit(""))
+        ).alias("signature"),
+    )
 
 
 def signature_dedup_textprofile(
@@ -437,12 +460,12 @@ def signature_dedup_textprofile(
     signatureClass=TextProfileSignature: group documents by the fuzzy
     profile signature and keep the last (max id) per group — the live
     set a signature-keyed overwrite ingest would leave. One hash
-    groupBy on the signature (uniform key, single shuffle)."""
-    sig = text_profile_signature(
-        F.col(text_col), quant_rate, min_token_len
-    )
+    groupBy on the signature (uniform key, single shuffle) on top of
+    the linear profile computation."""
     return (
-        df.select(F.col(id_col), sig.alias("signature"))
+        text_profile_signatures(
+            df, text_col, id_col, quant_rate, min_token_len
+        )
         .groupBy("signature")
         .agg(
             F.max(id_col).alias(id_col),

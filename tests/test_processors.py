@@ -52,11 +52,8 @@ def test_text_profile_signature_matches_golden(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
     )
     got = {
-        r["doc_id"]: r["sig"]
-        for r in df.select(
-            "doc_id",
-            P.text_profile_signature(F.col("text")).alias("sig"),
-        ).collect()
+        r["doc_id"]: r["signature"]
+        for r in P.text_profile_signatures(df).collect()
     }
     for i, t in enumerate(texts):
         assert got[i] == _profile_signature_py(t), f"doc {i}"
@@ -74,11 +71,8 @@ def test_text_profile_case_and_punct_invariance(spark):
         "doc_id int, text string",
     )
     sigs = {
-        r["doc_id"]: r["sig"]
-        for r in df.select(
-            "doc_id",
-            P.text_profile_signature(F.col("text")).alias("sig"),
-        ).collect()
+        r["doc_id"]: r["signature"]
+        for r in P.text_profile_signatures(df).collect()
     }
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
