@@ -1370,6 +1370,46 @@ def q_signature_dedup(spark, sf_dir):
     )
 
 
+_SORTED_CACHE: dict[str, str] = {}
+
+
+def _sorted_store(spark, sf_dir):
+    """Build-once range-bucketed store over documents sorted by
+    n_chars (index/sorted_store.py)."""
+    from lucene_solr_spark.index.sorted_store import build_sorted_store
+
+    d = _SORTED_CACHE.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="lss_gate_sorted_")
+        build_sorted_store(
+            _docs(spark, sf_dir), "n_chars", d, n_buckets=8
+        )
+        _SORTED_CACHE[sf_dir] = d
+    return d
+
+
+def q_sorted_topk(spark, sf_dir):
+    """Early-terminating top-k over the sort-on-write store: longest 10
+    'en' documents without a full sort — buckets open in key order and
+    reading stops once k matches are found (rank-identical to the full
+    orderBy/limit; the Lucene sorted-segment early-termination pattern
+    re-expressed as range buckets + zone-map manifest + parquet
+    partition pruning)."""
+    from lucene_solr_spark.index.sorted_store import sorted_topk
+
+    store = _sorted_store(spark, sf_dir)
+    out = sorted_topk(
+        spark,
+        store,
+        10,
+        where=lambda d: F.col("lang") == "en",
+        descending=True,
+    )
+    return out.select("doc_id", "n_chars", "lang")
+
+
 def _synth_url_col():
     """Deterministic URL for the url_classify gate — textually in
     lock-step with oracles._synth_url_sql."""
@@ -3338,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "sorted_topk": q_sorted_topk,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
@@ -3708,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "signature_dedup": O.signature_dedup(),
         "signature_textprofile": O.signature_textprofile(),
+        "sorted_topk": O.sorted_topk("n_chars", "en", 10),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

@@ -73,6 +73,7 @@ HEADLINE = [
     "events_stats",
     # round-4 session additions: training-pipeline + component ops
     "signature_textprofile",
+    "sorted_topk",
     "url_classify",
     "decontaminate",
     "chunk_dedup",

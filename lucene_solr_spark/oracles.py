@@ -3523,6 +3523,19 @@ FROM sig GROUP BY signature ORDER BY doc_id
 """.strip()
 
 
+def sorted_topk(
+    sort_col: str, lang: str, k: int, table: str = "documents"
+) -> str:
+    """Early-terminating sorted-store top-k twin: the engine must be
+    rank-identical to the plain full sort (sort desc, doc_id asc)."""
+    return f"""
+SELECT doc_id, {sort_col}, lang FROM {table}
+WHERE lang = '{lang}'
+ORDER BY {sort_col} DESC, doc_id LIMIT {k}
+""".strip()
+
+
+
 def _synth_url_sql(table: str) -> str:
     """The deterministic URL synthesized for the url_classify gate —
     must stay textually in lock-step with __spark_entry__._synth_url."""
