@@ -2698,6 +2698,21 @@ def q_explain(spark, sf_dir):
     ).orderBy("doc_id", "term")
 
 
+def q_select_fq_term(spark, sf_dir):
+    """{!term} QParserPlugin (TermQParserPlugin.java:40-62): one exact
+    term through the field type's readableToIndexed — a typed Catalyst
+    equality, never analyzed; scores from q alone."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        fq=["{!term f=lang}en"],
+        rows=10,
+    )
+    return _topk_rounded(out["response"])
+
+
 def q_select_fq_local(spark, sf_dir):
     """Solr LocalParams fq dispatch (QueryParsing.parseLocalParams +
     the QParserPlugin registry): fq={!frange l=}func restricts by a
@@ -3379,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
         "sorted_topk": q_sorted_topk,
+        "select_fq_term": q_select_fq_term,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
@@ -3750,6 +3766,7 @@ def oracle_sql() -> dict[str, str]:
         "signature_dedup": O.signature_dedup(),
         "signature_textprofile": O.signature_textprofile(),
         "sorted_topk": O.sorted_topk("n_chars", "en", 10),
+        "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

@@ -548,6 +548,25 @@ def _fq_doc_ids(searcher: Searcher, expr: str) -> DataFrame | None:
                 .select("doc_id")
             )
         return searcher.score(PrefixQuery(body)).select("doc_id")
+    if ptype == "term":
+        # TermQParserPlugin.java:40-62 — one exact term via the field
+        # type's readableToIndexed: numeric fields compare as their
+        # native type (the Trie indexed-bytes analogue is the typed
+        # Catalyst comparison), everything else as the raw value; the
+        # default text field matches the single unanalyzed term
+        from .query import TermQuery
+
+        f_ = params.get("f", "text")
+        if f_ != "text":
+            docs_ = searcher.index.docs
+            dt = dict(docs_.dtypes).get(f_, "string")
+            val = (
+                F.lit(body).cast(dt)
+                if dt in ("bigint", "int", "double", "float", "timestamp")
+                else F.lit(body)
+            )
+            return docs_.where(F.col(f_) == val).select("doc_id")
+        return searcher.score(TermQuery(body)).select("doc_id")
     if ptype == "raw":
         # RawQParserPlugin.java:35-42 — a single raw term, never
         # analyzed (TermQuery on the exact bytes)

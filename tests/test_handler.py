@@ -279,6 +279,15 @@ def test_qparser_plugin_registry_dispatch(searcher, tiny_pdf):
     # {!raw} — exact term, never analyzed: uppercase matches nothing
     assert got("{!raw f=text}Merge") == []
     assert got("{!raw f=text}merge") == brute(lambda ts: "merge" in ts)
+    # {!term} — readableToIndexed: numeric columns compare as their
+    # native type (TermQParserPlugin.java:40-62), text like {!raw}
+    assert got("{!term f=turn_idx}2") == sorted(
+        int(d)
+        for d, t in zip(tiny_pdf["doc_id"], tiny_pdf["turn_idx"])
+        if int(t) == 2
+    )
+    assert got("{!term f=text}Merge") == []
+    assert got("{!term f=text}merge") == brute(lambda ts: "merge" in ts)
     # {!query v=...} re-enters the registry
     assert got("{!query v='{!prefix f=text}shar'}") == got(
         "{!prefix f=text}shar"
