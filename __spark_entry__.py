@@ -810,6 +810,36 @@ def q_length_filter_freq(spark, sf_dir):
     )
 
 
+def q_whitespace_freq(spark, sf_dir):
+    """WhitespaceTokenizer + explicit lowercase in the tokenizer slot
+    (lucene/analysis/core/.../WhitespaceTokenizer.java): maximal
+    non-whitespace runs — punctuation stays glued to tokens, unlike the
+    standard grammar. Top-20 terms by count, no stop filter (the
+    reference's WhitespaceAnalyzer has none)."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(tokenizer="whitespace", lowercase=True, stop=False)
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_pattern_replace_freq(spark, sf_dir):
     """PatternReplaceFilter (lucene/analysis/common/.../pattern/
     PatternReplaceFilter.java, replaceAll): digits -> '#', then top-20
@@ -3395,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (latest session first: driver window ~50) ---
         "sorted_topk": q_sorted_topk,
         "select_fq_term": q_select_fq_term,
+        "whitespace_freq": q_whitespace_freq,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
@@ -3767,6 +3798,7 @@ def oracle_sql() -> dict[str, str]:
         "signature_textprofile": O.signature_textprofile(),
         "sorted_topk": O.sorted_topk("n_chars", "en", 10),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
+        "whitespace_freq": O.whitespace_freq(20),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

@@ -378,7 +378,61 @@ def common_grams_fold(
     return terms, positions
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer registry (lucene/analysis/core + pattern): alternatives to
+# the StandardTokenizer grammar for the make_analyzer tokenizer slot.
+# ---------------------------------------------------------------------------
+
+
+def tokenize_whitespace(text: str) -> list[str]:
+    """WhitespaceTokenizer (lucene/analysis/core/.../
+    WhitespaceTokenizer.java): maximal runs of non-whitespace; no case
+    change, no token surgery. (The reference's CharTokenizer chunks
+    tokens longer than 255 chars; here they pass whole — a documented
+    simplification, unreachable on sane corpora.)"""
+    return text.split() if text else []
+
+
+_LETTER_RE = re.compile(r"[^\W\d_]+")
+
+
+def tokenize_letter(text: str) -> list[str]:
+    """LetterTokenizer (LetterTokenizer.java): maximal runs of
+    Character.isLetter codepoints — digits and punctuation split."""
+    return _LETTER_RE.findall(text) if text else []
+
+
+def tokenize_keyword(text: str) -> list[str]:
+    """KeywordTokenizer (KeywordTokenizer.java): the entire input as a
+    single token."""
+    return [text] if text else []
+
+
+def make_pattern_tokenizer(pattern: str, group: int = -1):
+    """PatternTokenizer (lucene/analysis/common/.../pattern/
+    PatternTokenizer.java): group == -1 splits on the pattern
+    (delimiter mode); group >= 0 emits that capture group of every
+    match. Empty tokens are dropped, as the reference does."""
+    rx = re.compile(pattern)
+    if group == -1:
+        return lambda t: [s for s in rx.split(t) if s] if t else []
+    return (
+        lambda t: [m.group(group) for m in rx.finditer(t) if m.group(group)]
+        if t
+        else []
+    )
+
+
+_TOKENIZERS = {
+    "whitespace": tokenize_whitespace,
+    "letter": tokenize_letter,
+    "keyword": tokenize_keyword,
+}
+
+
 def make_analyzer(
+    tokenizer="standard",
+    lowercase: bool | None = None,
     stem: bool = False,
     fold: bool = False,
     stop: bool = True,
@@ -482,6 +536,34 @@ def make_analyzer(
         else:
             mn, mx = edge_ngram
             gram_fn = lambda t: edge_ngram_tokens(t, mn, mx)  # noqa: E731
+    # tokenizer slot (Analyzer.createComponents' Tokenizer choice):
+    # "standard" (default grammar, lowercases inside tokenize_raw),
+    # "whitespace" / "letter" / "keyword", or ("pattern", regex[,group]).
+    # Custom tokenizers do NOT lowercase unless lowercase=True — the
+    # reference's WhitespaceAnalyzer/KeywordAnalyzer have no
+    # LowerCaseFilter either.
+    base_tok = tokenize_raw
+    if tokenizer != "standard":
+        if word_delimiter or cjk_bigram or common_grams:
+            raise ValueError(
+                "custom tokenizer cannot combine with "
+                "word_delimiter/cjk_bigram/common_grams chains"
+            )
+        if isinstance(tokenizer, tuple):
+            if tokenizer[0] != "pattern":
+                raise ValueError(f"unknown tokenizer {tokenizer!r}")
+            tok_fn = make_pattern_tokenizer(
+                tokenizer[1],
+                tokenizer[2] if len(tokenizer) > 2 else -1,
+            )
+        else:
+            tok_fn = _TOKENIZERS.get(tokenizer)
+            if tok_fn is None:
+                raise ValueError(f"unknown tokenizer {tokenizer!r}")
+        if lowercase:
+            base_tok = lambda t: tok_fn(t.lower())  # noqa: E731
+        else:
+            base_tok = tok_fn
 
     def run(text: str) -> tuple[list[str], list[int]]:
         if common_grams:
@@ -507,7 +589,7 @@ def make_analyzer(
                 tokenize_raw_cjk(fold_fn(text) if fold_fn else text)
             )
         else:
-            raw = tokenize_raw(
+            raw = base_tok(
                 fold_fn(text) if fold_fn else text
             )
         terms: list[str] = []

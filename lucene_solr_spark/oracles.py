@@ -4189,6 +4189,18 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def whitespace_freq(k: int = 20, table: str = "documents") -> str:
+    """WhitespaceTokenizer twin: lowercased maximal non-whitespace
+    runs, no stop filter."""
+    return f"""
+SELECT t.term, count(*) AS cnt
+FROM {table},
+     unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+WHERE t.term <> ''
+GROUP BY t.term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def pattern_replace_freq(
     pattern: str, repl: str, k: int = 20, table: str = "documents"
 ) -> str:

@@ -265,3 +265,40 @@ def test_html_strip_char_filter():
     an2 = make_analyzer(html_strip=True, stem=True)
     terms2, _ = an2("<b>scanning</b>")
     assert terms2 == ["scan"]
+
+
+def test_tokenizer_registry_slot():
+    """Tokenizer slot alternatives (lucene/analysis/core +
+    pattern/PatternTokenizer.java): whitespace / letter / keyword /
+    pattern, with the reference analyzers' no-lowercase default."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    ws = make_analyzer(tokenizer="whitespace", stop=False)
+    assert ws("Hello  World, 42!")[0] == ["Hello", "World,", "42!"]
+    # explicit LowerCaseFilter
+    wl = make_analyzer(tokenizer="whitespace", lowercase=True, stop=False)
+    assert wl("Hello World")[0] == ["hello", "world"]
+    # LetterTokenizer: digits/punct split letter runs
+    lt = make_analyzer(tokenizer="letter", stop=False)
+    assert lt("ab12cd ef-gh")[0] == ["ab", "cd", "ef", "gh"]
+    # KeywordTokenizer: whole input, one token, one position
+    kw = make_analyzer(tokenizer="keyword", stop=False)
+    assert kw("one two three") == (["one two three"], [0])
+    assert kw("") == ([], [])
+    # PatternTokenizer, delimiter mode (group=-1)
+    pt = make_analyzer(tokenizer=("pattern", r"[;,]\s*"), stop=False)
+    assert pt("a; b,c")[0] == ["a", "b", "c"]
+    # PatternTokenizer, capture-group mode
+    pg = make_analyzer(tokenizer=("pattern", r"'([^']+)'", 1), stop=False)
+    assert pg("say 'hi' and 'bye'")[0] == ["hi", "bye"]
+    # downstream filters still compose (stop over lowercased stream)
+    wstop = make_analyzer(tokenizer="whitespace", lowercase=True)
+    terms, pos = wstop("the quick fox")
+    assert terms == ["quick", "fox"] and pos == [1, 2]
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_analyzer(tokenizer="nope")
+    with pytest.raises(ValueError):
+        make_analyzer(tokenizer="whitespace", cjk_bigram=True)
