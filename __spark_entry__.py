@@ -840,6 +840,104 @@ def q_whitespace_freq(spark, sf_dir):
     )
 
 
+def q_path_hierarchy_freq(spark, sf_dir):
+    """PathHierarchyTokenizer (lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java): cumulative path prefixes over a
+    synthesized '/<lang>/<source>/d<id%10>' path column — the facet
+    taxonomy ingest pattern. Top-20 prefixes by count."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(tokenizer=("path",), stop=False)
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/d"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_minimal_stem_freq(spark, sf_dir):
+    """EnglishMinimalStemFilter in the stemmer slot
+    (lucene/analysis/common/.../en/EnglishMinimalStemmer.java:25-46 —
+    the S-stemmer): plural-only stripping, top-20 stemmed terms."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(minimal_stem=True)
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_auto_stopword_freq(spark, sf_dir):
+    """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
+    QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
+    the stop set (df from one aggregation — the IndexReader stats
+    analogue); top-20 survivors."""
+    from lucene_solr_spark.analysis.autostop import (
+        auto_stopword_analyzer,
+    )
+
+    d = _docs(spark, sf_dir)
+    an = auto_stopword_analyzer(d, max_percent_docs=0.78)
+    docs = d.select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_pattern_replace_freq(spark, sf_dir):
     """PatternReplaceFilter (lucene/analysis/common/.../pattern/
     PatternReplaceFilter.java, replaceAll): digits -> '#', then top-20
@@ -3426,6 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_topk": q_sorted_topk,
         "select_fq_term": q_select_fq_term,
         "whitespace_freq": q_whitespace_freq,
+        "path_hierarchy_freq": q_path_hierarchy_freq,
+        "minimal_stem_freq": q_minimal_stem_freq,
+        "auto_stopword_freq": q_auto_stopword_freq,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
@@ -3799,6 +3900,9 @@ def oracle_sql() -> dict[str, str]:
         "sorted_topk": O.sorted_topk("n_chars", "en", 10),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
         "whitespace_freq": O.whitespace_freq(20),
+        "path_hierarchy_freq": O.path_hierarchy_freq(20),
+        "minimal_stem_freq": O.minimal_stem_freq(20),
+        "auto_stopword_freq": O.auto_stopword_freq(0.78, 20),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

@@ -423,6 +423,70 @@ def make_pattern_tokenizer(pattern: str, group: int = -1):
     )
 
 
+def make_path_tokenizer(
+    delimiter: str = "/", replacement: str | None = None, skip: int = 0
+):
+    """PathHierarchyTokenizer (lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java): cumulative path prefixes — "/a/b/c"
+    -> "/a", "/a/b", "/a/b/c"; a trailing delimiter emits the closed
+    prefix too; ``skip`` drops the first n segments and the remaining
+    tokens start with the (replacement) delimiter, matching the
+    reference's skip tests. All tokens share one position (posIncrement
+    1 then 0s)."""
+    if skip < 0:
+        raise ValueError("skip cannot be negative")
+    repl = delimiter if replacement is None else replacement
+
+    def tok(text: str) -> list[str]:
+        if not text:
+            return []
+        segs = text.split(delimiter)
+        if skip:
+            body = segs[1:] if segs and segs[0] == "" else segs
+            out = []
+            for i in range(skip, len(body)):
+                out.append(repl + repl.join(body[skip : i + 1]))
+            return out
+        out = []
+        for i in range(len(segs)):
+            prefix = repl.join(segs[: i + 1])
+            if prefix:
+                out.append(prefix)
+        return out
+
+    return tok
+
+
+def english_minimal_stem(s: str) -> str:
+    """EnglishMinimalStemmer.java:25-46 (S-stemmer, Harman 1991):
+    plural-only stripping — 'ies' -> 'y' unless preceded by a/e;
+    keep -us/-ss and -is/-as/-os/-es endings; else drop the final s."""
+    if len(s) < 3 or s[-1] != "s":
+        return s
+    p = s[-2]
+    if p in ("u", "s"):
+        return s
+    if p == "e":
+        if len(s) > 3 and s[-3] == "i" and s[-4] not in ("a", "e"):
+            return s[:-3] + "y"
+        if s[-3] in ("i", "a", "o", "e"):
+            return s
+        return s[:-1]
+    return s[:-1]
+
+
+def english_possessive(s: str) -> str:
+    """EnglishPossessiveFilter.java:55-62: strip a trailing 's (also
+    the Unicode apostrophes the 3.6+ path handles)."""
+    if (
+        len(s) >= 2
+        and s[-2] in ("'", "\u2019", "\uff07")
+        and s[-1] in ("s", "S")
+    ):
+        return s[:-2]
+    return s
+
+
 _TOKENIZERS = {
     "whitespace": tokenize_whitespace,
     "letter": tokenize_letter,
@@ -434,6 +498,9 @@ def make_analyzer(
     tokenizer="standard",
     lowercase: bool | None = None,
     stem: bool = False,
+    minimal_stem: bool = False,
+    possessive: bool = False,
+    stop_words: frozenset[str] | None = None,
     fold: bool = False,
     stop: bool = True,
     ngram: tuple[int, int] | None = None,
@@ -477,8 +544,12 @@ def make_analyzer(
     fold_fn = stem_fn = gram_fn = None
     if fold:
         from .folding import fold_to_ascii as fold_fn
+    if stem and minimal_stem:
+        raise ValueError("stem and minimal_stem are mutually exclusive")
     if stem:
         from .porter import porter_stem as stem_fn
+    elif minimal_stem:
+        stem_fn = english_minimal_stem
     # LengthFilter (LA/miscellaneous/LengthFilter.java): drop tokens
     # outside [min,max]; a FilteringTokenFilter, so position gaps are
     # preserved exactly like stop removal.
@@ -550,12 +621,15 @@ def make_analyzer(
                 "word_delimiter/cjk_bigram/common_grams chains"
             )
         if isinstance(tokenizer, tuple):
-            if tokenizer[0] != "pattern":
+            if tokenizer[0] == "pattern":
+                tok_fn = make_pattern_tokenizer(
+                    tokenizer[1],
+                    tokenizer[2] if len(tokenizer) > 2 else -1,
+                )
+            elif tokenizer[0] == "path":
+                tok_fn = make_path_tokenizer(*tokenizer[1:])
+            else:
                 raise ValueError(f"unknown tokenizer {tokenizer!r}")
-            tok_fn = make_pattern_tokenizer(
-                tokenizer[1],
-                tokenizer[2] if len(tokenizer) > 2 else -1,
-            )
         else:
             tok_fn = _TOKENIZERS.get(tokenizer)
             if tok_fn is None:
@@ -564,6 +638,8 @@ def make_analyzer(
             base_tok = lambda t: tok_fn(t.lower())  # noqa: E731
         else:
             base_tok = tok_fn
+
+    stop_set = ENGLISH_STOP_WORDS if stop_words is None else stop_words
 
     def run(text: str) -> tuple[list[str], list[int]]:
         if common_grams:
@@ -575,7 +651,7 @@ def make_analyzer(
             terms0, pos0 = common_grams_fold(raw)
             terms, positions = [], []
             for t, p in zip(terms0, pos0):
-                if stop and "_" not in t and t in ENGLISH_STOP_WORDS:
+                if stop and "_" not in t and t in stop_set:
                     continue
                 terms.append(stem_fn(t) if stem_fn and "_" not in t else t)
                 positions.append(p)
@@ -595,7 +671,9 @@ def make_analyzer(
         terms: list[str] = []
         positions: list[int] = []
         for pos, tok in enumerate(raw):
-            if stop and tok in ENGLISH_STOP_WORDS:
+            if possessive:
+                tok = english_possessive(tok)
+            if stop and tok in stop_set:
                 continue
             if pr_rx is not None:
                 tok = pr_rx[0].sub(pr_rx[1], tok)

@@ -4201,6 +4201,69 @@ GROUP BY t.term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def path_hierarchy_freq(k: int = 20, table: str = "documents") -> str:
+    """PathHierarchyTokenizer twin over the synthesized path
+    '/<lang>/<source>/d<doc_id%10>': each doc emits its 3 cumulative
+    prefixes; count and rank."""
+    return f"""
+WITH p AS (
+  SELECT '/' || lang AS p1,
+         '/' || lang || '/' || source AS p2,
+         '/' || lang || '/' || source || '/d'
+           || CAST(doc_id % 10 AS VARCHAR) AS p3
+  FROM {table}
+),
+toks AS (
+  SELECT p1 AS term FROM p
+  UNION ALL SELECT p2 FROM p
+  UNION ALL SELECT p3 FROM p
+)
+SELECT term, count(*) AS cnt FROM toks
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def minimal_stem_freq(k: int = 20, table: str = "documents") -> str:
+    """EnglishMinimalStemFilter twin (EnglishMinimalStemmer.java:25-46,
+    the S-stemmer): plural stripping over the post-stop stream."""
+    stem = """CASE
+  WHEN length(term) < 3 OR substr(term, -1, 1) <> 's' THEN term
+  WHEN substr(term, -2, 1) IN ('u', 's') THEN term
+  WHEN substr(term, -2, 1) = 'e' THEN
+    CASE WHEN length(term) > 3 AND substr(term, -3, 1) = 'i'
+              AND substr(term, -4, 1) NOT IN ('a', 'e')
+         THEN substr(term, 1, length(term) - 3) || 'y'
+         WHEN substr(term, -3, 1) IN ('i', 'a', 'o', 'e') THEN term
+         ELSE substr(term, 1, length(term) - 1) END
+  ELSE substr(term, 1, length(term) - 1)
+END"""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT {stem} AS term, count(*) AS cnt
+FROM tok GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def auto_stopword_freq(
+    max_percent_docs: float, k: int = 20, table: str = "documents"
+) -> str:
+    """QueryAutoStopWordAnalyzer twin: terms with df > pct * numDocs
+    join the stop set; rank the survivors."""
+    return f"""
+WITH {tok_ctes(table)},
+docfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+auto AS (
+  SELECT term FROM docfreq
+  WHERE df > {max_percent_docs} * (SELECT count(*) FROM {table})
+)
+SELECT term, count(*) AS cnt FROM tok
+WHERE term NOT IN (SELECT term FROM auto)
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def pattern_replace_freq(
     pattern: str, repl: str, k: int = 20, table: str = "documents"
 ) -> str:

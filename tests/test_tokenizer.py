@@ -302,3 +302,79 @@ def test_tokenizer_registry_slot():
         make_analyzer(tokenizer="nope")
     with pytest.raises(ValueError):
         make_analyzer(tokenizer="whitespace", cjk_bigram=True)
+
+
+def test_path_hierarchy_tokenizer():
+    """PathHierarchyTokenizer.java reference behavior incl. trailing
+    delimiter, relative paths, replacement char and skip."""
+    from lucene_solr_spark.analysis.tokenizer import make_path_tokenizer
+
+    t = make_path_tokenizer()
+    assert t("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
+    assert t("a/b/c") == ["a", "a/b", "a/b/c"]
+    assert t("/a/b/c/") == ["/a", "/a/b", "/a/b/c", "/a/b/c/"]
+    assert t("") == []
+    # replacement char substitutes the delimiter in emitted tokens
+    r = make_path_tokenizer("/", "\\")
+    assert r("/a/b") == ["\\a", "\\a\\b"]
+    # skip: first n segments dropped, tokens start at the delimiter
+    s = make_path_tokenizer(skip=1)
+    assert s("/a/b/c") == ["/b", "/b/c"]
+    assert s("a/b/c") == ["/b", "/b/c"]
+    # analyzer integration: all tokens share one position slot
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(tokenizer=("path",), stop=False)
+    terms, pos = an("/x/y")
+    assert terms == ["/x", "/x/y"] and pos == [0, 1]
+
+
+def test_english_minimal_and_possessive():
+    """EnglishMinimalStemmer.java (S-stemmer) + EnglishPossessiveFilter
+    pins, incl. the keep rules for -us/-ss/-ies-after-vowel."""
+    from lucene_solr_spark.analysis.tokenizer import (
+        english_minimal_stem,
+        english_possessive,
+        make_analyzer,
+    )
+
+    pins = {
+        "queries": "query", "berries": "berry", "bus": "bus",
+        "class": "class", "days": "day", "goes": "goes",
+        "tables": "table", "as": "as", "areas": "area",
+        "sees": "sees", "species": "specy",
+    }
+    for w, want in pins.items():
+        assert english_minimal_stem(w) == want, w
+    assert english_possessive("john's") == "john"
+    assert english_possessive("its") == "its"
+    assert english_possessive("x’S") == "x"
+    an = make_analyzer(minimal_stem=True, possessive=True)
+    assert an("the customer's tables")[0] == ["customer", "table"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_analyzer(stem=True, minimal_stem=True)
+
+
+def test_auto_stopword_analyzer(spark):
+    """QueryAutoStopWordAnalyzer: df-derived stopwords ADD to the
+    delegate's stop set (maxDocFreq absolute + maxPercentDocs)."""
+    from lucene_solr_spark.analysis.autostop import (
+        auto_stopword_analyzer,
+        auto_stopwords,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "common word" + (" rare" if i == 0 else "")) for i in range(10)],
+        "doc_id int, text string",
+    )
+    assert auto_stopwords(df, max_doc_freq=5) == {"common", "word"}
+    assert auto_stopwords(df, max_percent_docs=0.5) == {"common", "word"}
+    an = auto_stopword_analyzer(df, max_doc_freq=5)
+    # auto words AND english stopwords both drop; rare survives
+    assert an("the common rare word")[0] == ["rare"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        auto_stopwords(df)
