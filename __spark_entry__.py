@@ -938,6 +938,35 @@ def q_auto_stopword_freq(spark, sf_dir):
     )
 
 
+def q_phonetic_freq(spark, sf_dir):
+    """PhoneticFilter with the Soundex encoder, inject=false
+    (lucene/analysis/phonetic/.../PhoneticFilter.java + commons-codec
+    Soundex semantics, archival first-letter-collapse variant): top-20
+    phonetic codes over the post-stop stream."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(phonetic="soundex", phonetic_inject=False)
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_pattern_replace_freq(spark, sf_dir):
     """PatternReplaceFilter (lucene/analysis/common/.../pattern/
     PatternReplaceFilter.java, replaceAll): digits -> '#', then top-20
@@ -3527,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_hierarchy_freq": q_path_hierarchy_freq,
         "minimal_stem_freq": q_minimal_stem_freq,
         "auto_stopword_freq": q_auto_stopword_freq,
+        "phonetic_freq": q_phonetic_freq,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
@@ -3903,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "path_hierarchy_freq": O.path_hierarchy_freq(20),
         "minimal_stem_freq": O.minimal_stem_freq(20),
         "auto_stopword_freq": O.auto_stopword_freq(0.78, 20),
+        "phonetic_freq": O.phonetic_freq(20),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

@@ -501,6 +501,8 @@ def make_analyzer(
     minimal_stem: bool = False,
     possessive: bool = False,
     stop_words: frozenset[str] | None = None,
+    phonetic: str | None = None,
+    phonetic_inject: bool = True,
     fold: bool = False,
     stop: bool = True,
     ngram: tuple[int, int] | None = None,
@@ -640,6 +642,16 @@ def make_analyzer(
             base_tok = tok_fn
 
     stop_set = ENGLISH_STOP_WORDS if stop_words is None else stop_words
+    phon_fn = None
+    if phonetic is not None:
+        if ngram or edge_ngram or shingle or cjk_bigram or \
+                word_delimiter or common_grams:
+            raise ValueError(
+                "phonetic cannot combine with gram/shape filters"
+            )
+        from .phonetic import make_phonetic_filter
+
+        phon_fn = make_phonetic_filter(phonetic, phonetic_inject)
 
     def run(text: str) -> tuple[list[str], list[int]]:
         if common_grams:
@@ -696,6 +708,8 @@ def make_analyzer(
                 terms.append(tok)
                 positions.append(pos)
         if shingle is None:
+            if phon_fn is not None:
+                return phon_fn(terms, positions)
             return terms, positions
         if not terms:
             return [], []

@@ -4264,6 +4264,47 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def phonetic_freq(k: int = 20, table: str = "documents") -> str:
+    """PhoneticFilter(Soundex, inject=false) twin: the exact engine
+    pipeline — strip non-letters, H/W transparency after the first
+    letter, letter->digit translate, adjacent collapse (incl. the
+    first letter's code), vowel-zero strip, pad to 3 digits. Tokens
+    with no letters keep their original form, as the filter does."""
+    return f"""
+WITH {tok_ctes(table)},
+c1 AS (
+  SELECT term,
+         regexp_replace(upper(term), '[^A-Z]', '', 'g') AS clean
+  FROM tok
+),
+c2 AS (
+  SELECT term, clean, substr(clean, 1, 1) AS head,
+         substr(clean, 1, 1)
+           || regexp_replace(substr(clean, 2), '[HW]', '', 'g') AS full2
+  FROM c1
+),
+c3 AS (
+  SELECT term, clean, head,
+         regexp_extract_all(
+           translate(full2, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     '01230120022455012623010202'), '.') AS ch
+  FROM c2
+),
+c4 AS (
+  SELECT term, clean, head,
+         array_to_string(
+           list_filter(ch, (x, i) -> i = 1 OR x <> ch[i-1]), '')
+           AS collapsed
+  FROM c3
+)
+SELECT CASE WHEN clean = '' THEN term
+            ELSE head || substr(replace(substr(collapsed, 2), '0', '')
+                                  || '000', 1, 3) END AS term,
+       count(*) AS cnt
+FROM c4 GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def pattern_replace_freq(
     pattern: str, repl: str, k: int = 20, table: str = "documents"
 ) -> str:

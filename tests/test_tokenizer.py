@@ -378,3 +378,37 @@ def test_auto_stopword_analyzer(spark):
 
     with pytest.raises(ValueError):
         auto_stopwords(df)
+
+
+def test_phonetic_encoders_and_filter():
+    """Soundex pins (American archival variant: H/W transparency,
+    vowel separation, first-letter collapse), RefinedSoundex
+    commons-codec pin, and PhoneticFilter inject semantics."""
+    from lucene_solr_spark.analysis.phonetic import (
+        refined_soundex,
+        soundex,
+    )
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    pins = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "": "",
+    }
+    for w, want in pins.items():
+        assert soundex(w) == want, w
+    assert refined_soundex("testing") == "T6036084"
+    # inject=true: original + code share the position
+    inj = make_analyzer(phonetic="soundex")
+    terms, pos = inj("the robert merge")
+    assert terms == ["robert", "R163", "merge", "M620"]
+    assert pos == [1, 1, 2, 2]
+    # inject=false: code replaces the token; letterless tokens survive
+    rep = make_analyzer(phonetic="soundex", phonetic_inject=False)
+    assert rep("robert 42")[0] == ["R163", "42"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_analyzer(phonetic="nope")
+    with pytest.raises(ValueError):
+        make_analyzer(phonetic="soundex", shingle=(2, 2))
