@@ -1596,6 +1596,52 @@ def _synth_url_col():
     )
 
 
+_SPLIT_CACHE: dict[str, tuple] = {}
+
+
+def q_index_split(spark, sf_dir):
+    """PKIndexSplitter reshard (lucene/misc/.../index/
+    PKIndexSplitter.java): split the segment store at maxDoc/2 — blocks
+    entirely on one side copy VERBATIM, only boundary blocks re-encode
+    — then report per-term df from each half's own re-aggregated
+    stats. df_lo + df_hi must equal the corpus df per term."""
+    from lucene_solr_spark.index.splitter import pk_split
+
+    halves = _SPLIT_CACHE.get(sf_dir)
+    if halves is None:
+        import tempfile
+
+        seg = _seg_searcher(spark, sf_dir).index
+        d = tempfile.mkdtemp(prefix="lss_gate_split_")
+        halves = pk_split(
+            spark,
+            seg.index_dir,
+            f"{d}/lo",
+            f"{d}/hi",
+            seg.stats.max_doc // 2,
+        )
+        _SPLIT_CACHE[sf_dir] = halves
+    lo, hi = halves
+    lo_df = spark.read.parquet(f"{lo.index_dir}/terms_stats").select(
+        "term", F.col("df").alias("df_lo")
+    )
+    hi_df = spark.read.parquet(f"{hi.index_dir}/terms_stats").select(
+        "term", F.col("df").alias("df_hi")
+    )
+    return (
+        lo_df.join(hi_df, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("df_lo"), F.lit(0)).cast("long").alias("df_lo"),
+            F.coalesce(F.col("df_hi"), F.lit(0)).cast("long").alias("df_hi"),
+        )
+        .orderBy(
+            F.desc(F.col("df_lo") + F.col("df_hi")), F.asc("term")
+        )
+        .limit(20)
+    )
+
+
 def q_url_classify(spark, sf_dir):
     """URLClassifyProcessor ingest enrichment
     (solr/core/.../update/processor/URLClassifyProcessor.java:95-230):
@@ -3550,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "index_split": q_index_split,
         "sorted_topk": q_sorted_topk,
         "select_fq_term": q_select_fq_term,
         "whitespace_freq": q_whitespace_freq,
@@ -3928,6 +3975,7 @@ def oracle_sql() -> dict[str, str]:
         "signature_dedup": O.signature_dedup(),
         "signature_textprofile": O.signature_textprofile(),
         "sorted_topk": O.sorted_topk("n_chars", "en", 10),
+        "index_split": O.index_split_df(20),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
         "whitespace_freq": O.whitespace_freq(20),
         "path_hierarchy_freq": O.path_hierarchy_freq(20),

@@ -4305,6 +4305,27 @@ FROM c4 GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def index_split_df(k: int = 20, table: str = "documents") -> str:
+    """PKIndexSplitter twin: per-term df on each side of the maxDoc/2
+    boundary — the split halves' re-aggregated stats must equal the
+    corpus-side counts exactly."""
+    return f"""
+WITH {tok_ctes(table)},
+mid AS (SELECT count(*) // 2 AS m FROM {table}),
+sides AS (
+  SELECT term,
+    count(DISTINCT CASE WHEN doc_id < (SELECT m FROM mid)
+                        THEN doc_id END) AS df_lo,
+    count(DISTINCT CASE WHEN doc_id >= (SELECT m FROM mid)
+                        THEN doc_id END) AS df_hi
+  FROM tok GROUP BY term
+)
+SELECT term, CAST(df_lo AS BIGINT) AS df_lo,
+       CAST(df_hi AS BIGINT) AS df_hi
+FROM sides ORDER BY df_lo + df_hi DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def pattern_replace_freq(
     pattern: str, repl: str, k: int = 20, table: str = "documents"
 ) -> str:
