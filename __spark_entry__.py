@@ -967,6 +967,46 @@ def q_phonetic_freq(spark, sf_dir):
     )
 
 
+def q_compound_freq(spark, sf_dir):
+    """DictionaryCompoundWordTokenFilter (lucene/analysis/common/.../
+    compound/DictionaryCompoundWordTokenFilter.java): decompose
+    synthesized compounds (lang||'scan', source||'merge') against an
+    8-word dictionary — originals + every overlapping dictionary
+    subword; top-20 by count."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(
+        compound=frozenset(
+            {"scan", "merge", "en", "es", "de", "fr", "zh", "src"}
+        ),
+        stop=False,
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.col("lang"), F.lit("scan"), F.lit(" "),
+            F.col("source"), F.lit("merge"),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_pattern_replace_freq(spark, sf_dir):
     """PatternReplaceFilter (lucene/analysis/common/.../pattern/
     PatternReplaceFilter.java, replaceAll): digits -> '#', then top-20
@@ -3604,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimal_stem_freq": q_minimal_stem_freq,
         "auto_stopword_freq": q_auto_stopword_freq,
         "phonetic_freq": q_phonetic_freq,
+        "compound_freq": q_compound_freq,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
@@ -3982,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "minimal_stem_freq": O.minimal_stem_freq(20),
         "auto_stopword_freq": O.auto_stopword_freq(0.78, 20),
         "phonetic_freq": O.phonetic_freq(20),
+        "compound_freq": O.compound_freq(20),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

@@ -487,6 +487,53 @@ def english_possessive(s: str) -> str:
     return s
 
 
+def make_compound_filter(
+    dictionary,
+    min_word_size: int = 5,
+    min_subword_size: int = 2,
+    max_subword_size: int = 15,
+    only_longest_match: bool = False,
+):
+    """DictionaryCompoundWordTokenFilter (lucene/analysis/common/.../
+    compound/DictionaryCompoundWordTokenFilter.java:66-88 +
+    CompoundWordTokenFilterBase.java:104-130): the original token
+    always passes through; every dictionary word found at any offset
+    (sizes min..max, all starts incl. overlapping) follows at the SAME
+    position (posIncrement 0). ``only_longest_match`` keeps one longest
+    subword per start offset. Tokens shorter than ``min_word_size``
+    are never decomposed."""
+    dict_set = frozenset(dictionary)
+
+    def run(
+        terms: list[str], positions: list[int]
+    ) -> tuple[list[str], list[int]]:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            out_t.append(t)
+            out_p.append(p)
+            if len(t) < min_word_size:
+                continue
+            for i in range(0, len(t) - min_subword_size + 1):
+                longest = None
+                for j in range(min_subword_size, max_subword_size + 1):
+                    if i + j > len(t):
+                        break
+                    sub = t[i : i + j]
+                    if sub in dict_set:
+                        if only_longest_match:
+                            longest = sub
+                        else:
+                            out_t.append(sub)
+                            out_p.append(p)
+                if only_longest_match and longest is not None:
+                    out_t.append(longest)
+                    out_p.append(p)
+        return out_t, out_p
+
+    return run
+
+
 _TOKENIZERS = {
     "whitespace": tokenize_whitespace,
     "letter": tokenize_letter,
@@ -503,6 +550,8 @@ def make_analyzer(
     stop_words: frozenset[str] | None = None,
     phonetic: str | None = None,
     phonetic_inject: bool = True,
+    compound: frozenset[str] | None = None,
+    compound_longest: bool = False,
     fold: bool = False,
     stop: bool = True,
     ngram: tuple[int, int] | None = None,
@@ -652,6 +701,16 @@ def make_analyzer(
         from .phonetic import make_phonetic_filter
 
         phon_fn = make_phonetic_filter(phonetic, phonetic_inject)
+    comp_fn = None
+    if compound is not None:
+        if ngram or edge_ngram or shingle or cjk_bigram or \
+                word_delimiter or common_grams or phonetic:
+            raise ValueError(
+                "compound cannot combine with gram/shape/phonetic filters"
+            )
+        comp_fn = make_compound_filter(
+            compound, only_longest_match=compound_longest
+        )
 
     def run(text: str) -> tuple[list[str], list[int]]:
         if common_grams:
@@ -710,6 +769,8 @@ def make_analyzer(
         if shingle is None:
             if phon_fn is not None:
                 return phon_fn(terms, positions)
+            if comp_fn is not None:
+                return comp_fn(terms, positions)
             return terms, positions
         if not terms:
             return [], []

@@ -4326,6 +4326,36 @@ FROM sides ORDER BY df_lo + df_hi DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def compound_freq(k: int = 20, table: str = "documents") -> str:
+    """DictionaryCompoundWordTokenFilter twin over synthesized
+    compounds (lang||'scan', source||'merge'): originals pass through;
+    every dictionary word found at ANY offset (overlapping included,
+    via generate_series position scan) joins the stream."""
+    dict_words = ["scan", "merge", "en", "es", "de", "fr", "zh", "src"]
+    wl = ", ".join(f"('{w}')" for w in dict_words)
+    return f"""
+WITH toks AS (
+  SELECT lang || 'scan' AS tok FROM {table}
+  UNION ALL SELECT source || 'merge' FROM {table}
+),
+dict(w) AS (VALUES {wl}),
+subs AS (
+  SELECT unnest(list_filter(
+           list_transform(
+             generate_series(1, length(t.tok) - length(d.w) + 1),
+             i -> substr(t.tok, i, length(d.w))),
+           s -> s = d.w)) AS term
+  FROM toks t CROSS JOIN dict d
+  WHERE length(t.tok) >= 5 AND length(d.w) BETWEEN 2 AND 15
+),
+allt AS (
+  SELECT tok AS term FROM toks UNION ALL SELECT term FROM subs
+)
+SELECT term, count(*) AS cnt FROM allt
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def pattern_replace_freq(
     pattern: str, repl: str, k: int = 20, table: str = "documents"
 ) -> str:

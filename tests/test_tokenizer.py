@@ -412,3 +412,33 @@ def test_phonetic_encoders_and_filter():
         make_analyzer(phonetic="nope")
     with pytest.raises(ValueError):
         make_analyzer(phonetic="soundex", shingle=(2, 2))
+
+
+def test_compound_word_filter():
+    """DictionaryCompoundWordTokenFilter: original passes through,
+    dictionary subwords at every (overlapping) offset share its
+    position; minWordSize gates decomposition; onlyLongestMatch keeps
+    one per start offset."""
+    from lucene_solr_spark.analysis.tokenizer import (
+        make_analyzer,
+        make_compound_filter,
+    )
+
+    d = frozenset({"scan", "merge", "en", "es", "de"})
+    an = make_analyzer(compound=d, stop=False)
+    terms, pos = an("descan tiny")
+    # 'descan': de@0, es@1 (overlap), scan@2 — all found
+    assert terms == ["descan", "de", "es", "scan", "tiny"]
+    assert pos == [0, 0, 0, 0, 1]  # subwords share the original slot
+    # tokens under minWordSize (5) never decompose
+    assert an("des")[0] == ["des"]
+    # onlyLongestMatch: one longest subword per start
+    f = make_compound_filter(
+        frozenset({"s", "sc", "scan"}), only_longest_match=True,
+        min_subword_size=1,
+    )
+    assert f(["descanx"], [0])[0] == ["descanx", "scan"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_analyzer(compound=d, phonetic="soundex")
