@@ -1682,6 +1682,26 @@ def q_index_split(spark, sf_dir):
     )
 
 
+def q_dedup_url(spark, sf_dir):
+    """Canonical-URL dedup — the web-crawl pipeline staple: classify
+    (URLClassifyProcessor canonicalization: landing suffix collapsed
+    to '/'), then one groupBy on the canonical URL keeping the first
+    (min id) doc. Index-page variants of the same page dedup
+    together."""
+    from lucene_solr_spark.io.processors import url_classify
+
+    d = _docs(spark, sf_dir).withColumn("url", _synth_url_col())
+    out = url_classify(d, "url", canonical=True)
+    return (
+        out.groupBy("url_canonical")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("url_canonical")
+    )
+
+
 def q_url_classify(spark, sf_dir):
     """URLClassifyProcessor ingest enrichment
     (solr/core/.../update/processor/URLClassifyProcessor.java:95-230):
@@ -3636,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "dedup_url": q_dedup_url,
         "index_split": q_index_split,
         "sorted_topk": q_sorted_topk,
         "select_fq_term": q_select_fq_term,
@@ -4017,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "signature_textprofile": O.signature_textprofile(),
         "sorted_topk": O.sorted_topk("n_chars", "en", 10),
         "index_split": O.index_split_df(20),
+        "dedup_url": O.dedup_url(),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
         "whitespace_freq": O.whitespace_freq(20),
         "path_hierarchy_freq": O.path_hierarchy_freq(20),

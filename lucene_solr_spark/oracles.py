@@ -3606,6 +3606,48 @@ FROM strip ORDER BY doc_id
 """.strip()
 
 
+def dedup_url(table: str = "documents") -> str:
+    """Canonical-URL dedup twin: same synthesized URL + the
+    URLClassifyProcessor canonical collapse (trailing '/'+suffix ->
+    '/'), one group per canonical URL, min doc_id survivor."""
+    suffixes = ["index." + e for e in
+                ("html", "htm", "phtml", "shtml", "xml", "php", "asp",
+                 "aspx")]
+    suffixes += ["welcome." + e for e in
+                 ("html", "htm", "phtml", "shtml", "xml", "php", "asp",
+                  "aspx")]
+    when_sfx = "\n    ".join(
+        f"WHEN ends_with(path, '{s}') THEN '{s}'" for s in suffixes
+    )
+    return f"""
+WITH u AS (
+{_synth_url_sql(table)}
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^https://[^/?#]*([^?#]*)', 1) AS path
+  FROM u
+),
+sfx AS (
+  SELECT *, CASE
+    WHEN path LIKE '%/' THEN '/'
+    {when_sfx}
+    ELSE '' END AS suf
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN suf NOT IN ('', '/') AND ends_with(url, '/' || suf)
+         THEN substr(url, 1, length(url) - length(suf) - 1) || '/'
+         ELSE url END AS url_canonical
+  FROM sfx
+)
+SELECT url_canonical, min(doc_id) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY url_canonical ORDER BY url_canonical
+""".strip()
+
+
 def chain_mutate(table: str = "documents") -> str:
     """UpdateRequestProcessorChain twin: trim / clone+truncate /
     field-length / first+last value / uniq / count-values / name-based
