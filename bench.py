@@ -75,6 +75,13 @@ HEADLINE = [
     "signature_textprofile",
     "sorted_topk",
     "url_classify",
+    "dedup_url",
+    "index_split",
+    "phonetic_freq",
+    "compound_freq",
+    "auto_stopword_freq",
+    "whitespace_freq",
+    "path_hierarchy_freq",
     "decontaminate",
     "chunk_dedup",
     "sample_stratified",

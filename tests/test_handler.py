@@ -382,3 +382,52 @@ def test_filter_cache_lru(searcher):
     assert s["size"] == 2 and s["evictions"] == 1
     fc.clear()
     assert fc.stats()["size"] == 0
+
+
+def test_response_writers(searcher):
+    """QueryResponseWriters (JSONResponseWriter/XMLResponseWriter/
+    CSVResponseWriter wire shapes) over one select page."""
+    import json
+
+    from lucene_solr_spark.search.handler import select
+    from lucene_solr_spark.search.response import (
+        write_csv,
+        write_json,
+        write_xml,
+    )
+
+    res = select(searcher, q="error", rows=3)
+    body = json.loads(
+        write_json(res, params={"q": "error", "rows": 3}, qtime_ms=7)
+    )
+    assert body["responseHeader"]["status"] == 0
+    assert body["responseHeader"]["QTime"] == 7
+    assert body["responseHeader"]["params"]["q"] == "error"
+    docs = body["response"]["docs"]
+    assert body["response"]["numFound"] == len(docs) > 0
+    assert all("doc_id" in d and "score" in d for d in docs)
+
+    xml = write_xml(res, params={"q": "error"})
+    assert xml.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    assert '<result name="response" numFound=' in xml
+    assert xml.count("<doc>") == len(docs)
+    assert '<str name="q">error</str>' in xml
+
+    csv_out = write_csv(res, fl=["doc_id", "score"])
+    lines = csv_out.split("\n")
+    assert lines[0] == "doc_id,score"
+    assert len(lines) == len(docs) + 1
+    # CSV quoting: separator inside a value forces double-quoting
+    class FakeRow:
+        def __init__(self, d):
+            self._d = d
+        def asDict(self, recursive=True):
+            return self._d
+    class FakeDF:
+        def __init__(self, rows):
+            self._r = rows
+        def collect(self):
+            return self._r
+    fake = {"response": FakeDF([FakeRow({"a": 'x,"y', "b": [1, 2]})])}
+    out = write_csv(fake)
+    assert out.split("\n")[1] == '"x,""y",1|2'
