@@ -1702,6 +1702,86 @@ def q_dedup_url(spark, sf_dir):
     )
 
 
+_EXT_FILE_CACHE: dict[str, str] = {}
+
+
+def q_external_boost(spark, sf_dir):
+    """ExternalFileField (solr/core/.../schema/ExternalFileField.java +
+    search/function/FileFloatSource.java:213-280): per-doc floats from
+    a key=value side file — parsed distributed, last occurrence wins,
+    default fills missing keys — added to the BM25 score. The gate
+    writes the versioned file deterministically: (doc_id %% 7) * 0.5,
+    omitting doc_id %% 13 == 0, with a stale duplicate line first for
+    doc_id %% 11 == 0."""
+    from lucene_solr_spark.search.externalfile import (
+        external_file_values,
+        latest_external_file,
+        with_external_field,
+    )
+    from lucene_solr_spark.search.qparser import parse_lucene
+
+    path = _EXT_FILE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="lss_gate_ext_")
+        ids = [
+            int(r["doc_id"])
+            for r in _docs(spark, sf_dir).select("doc_id").collect()
+        ]
+        lines = ["not a valid line", "alsobad"]
+        for i in sorted(ids):
+            if i % 13 == 0:
+                continue  # missing -> default
+            if i % 11 == 0:
+                lines.append(f"{i}=99.0")  # stale, overwritten below
+            lines.append(f"{i}={(i % 7) * 0.5}")
+        with open(f"{d}/external_boost.v1", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        path = latest_external_file(d, "boost")
+        _EXT_FILE_CACHE[sf_dir] = path
+    s = _searcher(spark, sf_dir)
+    vals = external_file_values(spark, path)
+    scored = s.score(parse_lucene("scan")).select("doc_id", "score")
+    boosted = with_external_field(
+        scored, vals, "ext", default=0.0
+    ).select(
+        "doc_id",
+        F.round(
+            (F.col("score") + F.col("ext")).cast("double"), 4
+        ).alias("score"),
+    )
+    return boosted.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_sort_random(spark, sf_dir):
+    """RandomSortField (solr/core/.../schema/RandomSortField.java:59-78):
+    sort=random_<seed> gives a repeatable pseudo-random order — the
+    md5-derived key of seed:doc_id, identical on the oracle side."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        q="scan",
+        sort="random_42 asc",
+        rows=10,
+    )["response"]
+    rkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("42"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return out.select("doc_id", rkey.alias("rkey"))
+
+
 def q_url_classify(spark, sf_dir):
     """URLClassifyProcessor ingest enrichment
     (solr/core/.../update/processor/URLClassifyProcessor.java:95-230):
@@ -3656,6 +3736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "external_boost": q_external_boost,
+        "sort_random": q_sort_random,
         "dedup_url": q_dedup_url,
         "index_split": q_index_split,
         "sorted_topk": q_sorted_topk,
@@ -4039,6 +4121,8 @@ def oracle_sql() -> dict[str, str]:
         "sorted_topk": O.sorted_topk("n_chars", "en", 10),
         "index_split": O.index_split_df(20),
         "dedup_url": O.dedup_url(),
+        "external_boost": O.external_boost("scan"),
+        "sort_random": O.sort_random("42", "scan"),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
         "whitespace_freq": O.whitespace_freq(20),
         "path_hierarchy_freq": O.path_hierarchy_freq(20),

@@ -2146,6 +2146,38 @@ boosted AS (
 """.strip()
 
 
+def external_boost(term: str, k: int = 10, table: str = "documents") -> str:
+    """ExternalFileField twin: score + the externally-supplied float —
+    the gate writes key=value lines derived as (doc_id %% 7) * 0.5,
+    omitting doc_id %% 13 == 0 keys (default 0.0 fills them) and
+    writing a stale duplicate first for doc_id %% 11 == 0 (last
+    occurrence wins, so the final value is the normal one)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+agg AS (SELECT doc_id, sum(score) AS score FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id,
+         a.score + CASE WHEN a.doc_id % 13 = 0 THEN 0.0
+                        ELSE (a.doc_id % 7) * 0.5 END AS score
+  FROM agg a
+)
+{_topk('boosted', k)}
+""".strip()
+
+
+def sort_random(seed: str, term: str, k: int = 10, table: str = "documents") -> str:
+    """RandomSortField twin: the md5-derived 60-bit key of seed:doc_id,
+    ascending, over the term's match set."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT DISTINCT doc_id,
+  CAST(concat('0x', substr(md5('{seed}' || ':' ||
+    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rkey
+FROM tok WHERE term = '{_sq(term)}'
+ORDER BY rkey ASC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def func_boost(term: str, k: int = 10, table: str = "documents") -> str:
     """BM25 * recip(n_chars,1,1000,1000) function query
     (ReciprocalFloatFunction semantics) — same arithmetic text as the

@@ -874,6 +874,28 @@ def _sort_cols(sort: str, now=None, missing: str | None = None):
             from .funcquery import parse_func
 
             col = parse_func(expr, now=now)
+        elif expr.startswith("random_"):
+            # RandomSortField (solr/core/.../schema/RandomSortField.
+            # java:59-78): a repeatable pseudo-random order seeded by
+            # the dynamic field name — same seed, same order; new seed,
+            # new shuffle. The reference hashes fieldName + index
+            # version; here the key is an md5-derived 60-bit int of
+            # seed:doc_id (engine-portable — the oracle twin derives
+            # the identical key), deterministic across executors.
+            seed = expr[len("random_"):]
+            col = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
         else:
             col = F.col(expr)
         if missing == "last":

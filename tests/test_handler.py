@@ -431,3 +431,62 @@ def test_response_writers(searcher):
     fake = {"response": FakeDF([FakeRow({"a": 'x,"y', "b": [1, 2]})])}
     out = write_csv(fake)
     assert out.split("\n")[1] == '"x,""y",1|2'
+
+
+def test_external_file_field(spark, tmp_path):
+    """FileFloatSource parse rules: last '=' splits, bad lines and bad
+    floats skipped, later lines overwrite, default fills missing,
+    VersionedFile latest-name-wins."""
+    from lucene_solr_spark.search.externalfile import (
+        external_file_values,
+        latest_external_file,
+        with_external_field,
+    )
+
+    (tmp_path / "external_rank.v1").write_text("1=9.0\n")
+    (tmp_path / "external_rank.v2").write_text(
+        "no delimiter here\n"
+        "1=0.5\n"
+        "2=notafloat\n"
+        "a=b=2.5\n"
+        "3=1.0\n"
+        "3=7.5\n"
+    )
+    path = latest_external_file(str(tmp_path), "rank")
+    assert path.endswith(".v2")
+    vals = {
+        r["key"]: r["value"]
+        for r in external_file_values(spark, path, key_type="string").collect()
+    }
+    # 'a=b' key from the LAST '=' split; bad float line dropped
+    assert vals == {"1": 0.5, "a=b": 2.5, "3": 7.5}
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "doc_id int"
+    )
+    iv = external_file_values(spark, path, key_type="int")
+    out = {
+        r["doc_id"]: r["boost"]
+        for r in with_external_field(
+            docs, iv, "boost", default=0.25
+        ).collect()
+    }
+    assert out == {1: 0.5, 2: 0.25, 3: 7.5, 4: 0.25}
+
+
+def test_random_sort_field(searcher):
+    """RandomSortField: repeatable per seed, different across seeds,
+    and a permutation of the match set."""
+    from lucene_solr_spark.search.handler import select
+
+    def order(seed):
+        return [
+            r["doc_id"]
+            for r in select(
+                searcher, q="error", sort=f"random_{seed} asc", rows=50
+            )["response"].collect()
+        ]
+
+    a1, a2, b = order("7"), order("7"), order("8")
+    assert a1 == a2
+    assert a1 != b
+    assert sorted(a1) == sorted(b)
