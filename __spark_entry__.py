@@ -1705,6 +1705,65 @@ def q_dedup_url(spark, sf_dir):
 _EXT_FILE_CACHE: dict[str, str] = {}
 
 
+def q_preanalyzed_freq(spark, sf_dir):
+    """PreAnalyzedField round-trip (solr/core/.../schema/
+    PreAnalyzedField.java + JsonPreAnalyzedParser.java:52-220): each
+    doc's analyzed stream serializes to the {"v":"1","tokens":[...]}
+    wire form and parses back through the analyzer slot; term counts
+    must equal the direct analysis — proving the parser inverts the
+    serializer with positions intact."""
+    from lucene_solr_spark.analysis.preanalyzed import (
+        parse_preanalyzed,
+        to_preanalyzed_json,
+    )
+    from lucene_solr_spark.analysis.tokenizer import analyze
+
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, pos = analyze(t or "")
+                wire = to_preanalyzed_json(terms, pos, stored=t)
+                t2, p2, _ = parse_preanalyzed(wire)
+                assert p2 == pos  # positions survive the wire form
+                rows.extend(t2)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_select_cached(spark, sf_dir):
+    """queryResultCache (solr/core/.../search/SolrIndexSearcher.java
+    getDocListC + LRUCache): the SECOND identical request serves from
+    the cached superset window with zero Spark jobs and must equal the
+    uncached top-k exactly."""
+    from lucene_solr_spark.search.resultcache import (
+        QueryResultCache,
+        cached_select,
+    )
+
+    s = _searcher(spark, sf_dir)
+    cache = QueryResultCache(window_size=20)
+    cached_select(cache, s, q="scan", rows=10)
+    rows = cached_select(cache, s, q="scan", rows=10)
+    assert cache.hits == 1, "second identical request must hit"
+    out = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows],
+        "doc_id long, score double",
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_external_boost(spark, sf_dir):
     """ExternalFileField (solr/core/.../schema/ExternalFileField.java +
     search/function/FileFloatSource.java:213-280): per-doc floats from
@@ -3736,6 +3795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "preanalyzed_freq": q_preanalyzed_freq,
+        "select_cached": q_select_cached,
         "external_boost": q_external_boost,
         "sort_random": q_sort_random,
         "dedup_url": q_dedup_url,
@@ -4122,6 +4183,8 @@ def oracle_sql() -> dict[str, str]:
         "index_split": O.index_split_df(20),
         "dedup_url": O.dedup_url(),
         "external_boost": O.external_boost("scan"),
+        "preanalyzed_freq": O.length_filter_freq(1, 255, 20),
+        "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),
         "whitespace_freq": O.whitespace_freq(20),

@@ -1,0 +1,120 @@
+"""PreAnalyzedField JSON parser (JsonPreAnalyzedParser.java) and the
+queryResultCache (SolrIndexSearcher getDocListC window semantics)."""
+
+import pytest
+
+from lucene_solr_spark.analysis.preanalyzed import (
+    parse_preanalyzed,
+    preanalyzed_analyzer,
+    to_preanalyzed_json,
+)
+from lucene_solr_spark.search.resultcache import (
+    QueryResultCache,
+    cached_select,
+)
+
+
+def test_preanalyzed_parse_pins():
+    terms, pos, stored = parse_preanalyzed(
+        '{"v":"1","str":"Hello Anna","tokens":['
+        '{"t":"hello","s":0,"e":5},'
+        '{"t":"anna","i":2,"s":6,"e":10}]}'
+    )
+    # default i=1 -> position 0; i=2 leaves a stop-style gap
+    assert terms == ["hello", "anna"]
+    assert pos == [0, 2]
+    assert stored == "Hello Anna"
+    # empty value -> empty stream (parser accepts it)
+    assert parse_preanalyzed("  ") == ([], [], None)
+    # version enforcement
+    with pytest.raises(ValueError, match="Missing VERSION"):
+        parse_preanalyzed('{"tokens":[]}')
+    with pytest.raises(ValueError, match="Unknown VERSION"):
+        parse_preanalyzed('{"v":"2","tokens":[]}')
+    with pytest.raises(ValueError):
+        parse_preanalyzed("not json")
+    with pytest.raises(ValueError, match="malformed token"):
+        parse_preanalyzed('{"v":"1","tokens":[{"i":1}]}')
+
+
+def test_preanalyzed_roundtrip_and_analyzer_slot():
+    from lucene_solr_spark.analysis.tokenizer import analyze
+
+    text = "the quick brown fox and the lazy dog"
+    terms, pos = analyze(text)
+    wire = to_preanalyzed_json(terms, pos, stored=text)
+    an = preanalyzed_analyzer()
+    assert an(wire) == (terms, pos)
+
+
+def test_preanalyzed_indexing_matches_text_indexing(spark):
+    """Indexing pre-analyzed JSON through the analyzer slot must build
+    the same postings as indexing the raw text."""
+    from lucene_solr_spark.analysis.tokenizer import analyze
+    from lucene_solr_spark.index.builder import build_index
+
+    texts = [
+        "deploy failed with timeout error",
+        "retry the deploy after the error",
+        "scan merge join",
+    ]
+    docs_txt = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wire = [
+        (i, to_preanalyzed_json(*analyze(t))) for i, t in enumerate(texts)
+    ]
+    docs_pre = spark.createDataFrame(wire, "doc_id long, text string")
+    a = build_index(spark, docs_txt)
+    b = build_index(
+        spark, docs_pre, analyzer=preanalyzed_analyzer()
+    )
+    pa = sorted(
+        tuple(r)
+        for r in a.postings.select("term", "doc_id", "tf").collect()
+    )
+    pb = sorted(
+        tuple(r)
+        for r in b.postings.select("term", "doc_id", "tf").collect()
+    )
+    assert pa == pb
+    assert a.stats.sum_total_term_freq == b.stats.sum_total_term_freq
+
+
+def test_query_result_cache_window_and_lru(tiny_index):
+    from lucene_solr_spark.search.executor import Searcher
+
+    s = Searcher(tiny_index)
+    cache = QueryResultCache(max_size=2, window_size=8)
+    p1 = cached_select(cache, s, q="error", rows=5)
+    assert cache.misses == 1 and cache.hits == 0
+    # page 2 inside the 8-row window: HIT, no new fetch
+    p2 = cached_select(cache, s, q="error", start=5, rows=3)
+    assert cache.hits == 1
+    assert [r["doc_id"] for r in p1 + p2] == [
+        r["doc_id"]
+        for r in cached_select(cache, s, q="error", rows=8)
+    ]
+    # fq order must not change the key
+    a = cached_select(cache, s, q="error", fq=["turn_idx >= 0", "doc_id >= 0"], rows=3)
+    b = cached_select(cache, s, q="error", fq=["doc_id >= 0", "turn_idx >= 0"], rows=3)
+    assert cache.hits >= 2
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # LRU eviction at max_size=2
+    cached_select(cache, s, q="retry", rows=3)
+    assert cache.evictions >= 1
+
+
+def test_query_result_cache_short_result_hits():
+    """A result shorter than its window is complete — any deeper page
+    request must still hit and return the empty tail."""
+    calls = []
+
+    def fetch(asked):
+        calls.append(asked)
+        return ["r0", "r1"]  # complete result: only 2 rows exist
+
+    c = QueryResultCache(window_size=10)
+    assert c.get_page("q", None, None, 0, 2, fetch) == ["r0", "r1"]
+    assert c.get_page("q", None, None, 2, 5, fetch) == []
+    assert calls == [10]  # second request never re-fetched
