@@ -27,11 +27,21 @@ from pyspark.sql import DataFrame
 
 
 class FilterCache:
-    """Size-bounded LRU of persisted doc-set DataFrames."""
+    """Size-bounded cache of persisted doc-set DataFrames.
 
-    def __init__(self, max_size: int = 64):
+    ``policy="lru"`` evicts least-recently-used (LRUCache.java);
+    ``policy="lfu"`` least-frequently-used with recency tie-break
+    (solr/core/.../search/LFUCache.java / ConcurrentLFUCache — the
+    cache Solr recommends for filterCache, where a hot fq should
+    survive bursts of one-off filters)."""
+
+    def __init__(self, max_size: int = 64, policy: str = "lru"):
+        if policy not in ("lru", "lfu"):
+            raise ValueError(f"unknown eviction policy {policy!r}")
         self.max_size = int(max_size)
+        self.policy = policy
         self._items: OrderedDict[str, DataFrame] = OrderedDict()
+        self._freq: dict[str, int] = {}
         self.hits = 0
         self.misses = 0
         self.evictions = 0
@@ -45,12 +55,24 @@ class FilterCache:
         if hit is not None:
             self.hits += 1
             self._items.move_to_end(key)
+            self._freq[key] = self._freq.get(key, 0) + 1
             return hit
         self.misses += 1
         df = compute().persist()
         self._items[key] = df
+        self._freq[key] = 1
         if len(self._items) > self.max_size:
-            _, old = self._items.popitem(last=False)
+            if self.policy == "lfu":
+                # ConcurrentLFUCache.markAndSweep: evict the lowest
+                # hit count; OrderedDict order (insertion/recency)
+                # breaks ties toward the stalest entry
+                victim = min(
+                    self._items, key=lambda k: self._freq.get(k, 0)
+                )
+            else:
+                victim = next(iter(self._items))
+            old = self._items.pop(victim)
+            self._freq.pop(victim, None)
             old.unpersist()
             self.evictions += 1
         return df
@@ -59,6 +81,7 @@ class FilterCache:
         for df in self._items.values():
             df.unpersist()
         self._items.clear()
+        self._freq.clear()
 
     def stats(self) -> dict:
         """LRUCache.getStatistics analogue."""

@@ -118,3 +118,31 @@ def test_query_result_cache_short_result_hits():
     assert c.get_page("q", None, None, 0, 2, fetch) == ["r0", "r1"]
     assert c.get_page("q", None, None, 2, 5, fetch) == []
     assert calls == [10]  # second request never re-fetched
+
+
+def test_filter_cache_lfu_policy(spark):
+    """LFUCache eviction (ConcurrentLFUCache.markAndSweep): the least
+    frequently used entry goes first, unlike LRU."""
+    from lucene_solr_spark.search.filtercache import FilterCache
+
+    def mk(n):
+        return lambda: spark.range(n).selectExpr("id as doc_id")
+
+    lfu = FilterCache(max_size=2, policy="lfu")
+    lfu.get_or_compute("hot", mk(1))
+    lfu.get_or_compute("hot", mk(1))  # freq 2
+    lfu.get_or_compute("cold", mk(2))  # freq 1
+    lfu.get_or_compute("new", mk(3))  # evicts 'cold' (lowest freq)
+    assert "hot" in lfu._items and "cold" not in lfu._items
+    # LRU would have evicted 'hot' (least recently inserted/used order
+    # after the same sequence puts 'hot' oldest)
+    lru = FilterCache(max_size=2, policy="lru")
+    lru.get_or_compute("hot", mk(1))
+    lru.get_or_compute("hot", mk(1))
+    lru.get_or_compute("cold", mk(2))
+    lru.get_or_compute("new", mk(3))
+    assert "hot" not in lru._items
+    import pytest
+
+    with pytest.raises(ValueError):
+        FilterCache(policy="fifo")
