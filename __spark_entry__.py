@@ -1705,6 +1705,31 @@ def q_dedup_url(spark, sf_dir):
 _EXT_FILE_CACHE: dict[str, str] = {}
 
 
+def q_currency_range(spark, sf_dir):
+    """CurrencyField range query (solr/core/.../schema/
+    CurrencyField.java:738-755 + CurrencyValue): 'amount,CODE' values
+    (USD/EUR/JPY rotating, JPY exercising the fraction-digit delta),
+    converted to USD minor units through the provider rate table at
+    query time, kept when inside [20, 40] USD."""
+    from lucene_solr_spark.functions.currency import currency_range
+
+    m = (F.col("doc_id") % 3).cast("int")
+    code = (
+        F.when(m == 0, F.lit("USD"))
+        .when(m == 1, F.lit("EUR"))
+        .otherwise(F.lit("JPY"))
+    )
+    d = _docs(spark, sf_dir).withColumn(
+        "price",
+        F.concat(
+            F.col("n_chars").cast("string"), F.lit(".5,"), code
+        ),
+    )
+    rates = {("EUR", "USD"): 1.08, ("JPY", "USD"): 0.0067}
+    out = currency_range(d, "price", 20.0, 40.0, "USD", rates)
+    return out.select("doc_id", "converted_minor").orderBy("doc_id")
+
+
 def q_preanalyzed_freq(spark, sf_dir):
     """PreAnalyzedField round-trip (solr/core/.../schema/
     PreAnalyzedField.java + JsonPreAnalyzedParser.java:52-220): each
@@ -3795,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "currency_range": q_currency_range,
         "preanalyzed_freq": q_preanalyzed_freq,
         "select_cached": q_select_cached,
         "external_boost": q_external_boost,
@@ -4184,6 +4210,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url": O.dedup_url(),
         "external_boost": O.external_boost("scan"),
         "preanalyzed_freq": O.length_filter_freq(1, 255, 20),
+        "currency_range": O.currency_range(20.0, 40.0),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),

@@ -3680,6 +3680,44 @@ FROM canon GROUP BY url_canonical ORDER BY url_canonical
 """.strip()
 
 
+def currency_range(lower: float, upper: float, table: str = "documents") -> str:
+    """CurrencyField twin: same synthesized 'n_chars.5,CODE' values,
+    minor units = floor(amount * 10^digits), converted to USD as
+    floor((minor * rate) * 10^(2 - srcDigits)), filtered on USD minor
+    bounds. Rates: EUR->USD 1.08, JPY->USD 0.0067 (JPY has 0 fraction
+    digits)."""
+    lo = int(lower * 100)
+    hi = int(upper * 100)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) + 0.5 AS amt,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'JPY' END AS code
+  FROM {table}
+),
+m AS (
+  SELECT doc_id, code,
+         CASE WHEN code = 'JPY'
+              THEN CAST(floor(amt) AS BIGINT)
+              ELSE CAST(floor(amt * 100.0) AS BIGINT) END AS minor
+  FROM c
+),
+conv AS (
+  SELECT doc_id,
+         CASE code
+           WHEN 'USD' THEN minor
+           WHEN 'EUR' THEN CAST(floor((CAST(minor AS DOUBLE) * 1.08)
+                                      * 1.0) AS BIGINT)
+           ELSE CAST(floor((CAST(minor AS DOUBLE) * 0.0067)
+                           * 100.0) AS BIGINT) END AS converted_minor
+  FROM m
+)
+SELECT doc_id, converted_minor FROM conv
+WHERE converted_minor BETWEEN {lo} AND {hi} ORDER BY doc_id
+""".strip()
+
+
 def chain_mutate(table: str = "documents") -> str:
     """UpdateRequestProcessorChain twin: trim / clone+truncate /
     field-length / first+last value / uniq / count-values / name-based

@@ -146,3 +146,52 @@ def test_filter_cache_lfu_policy(spark):
 
     with pytest.raises(ValueError):
         FilterCache(policy="fifo")
+
+
+def test_currency_field_conversion(spark):
+    """CurrencyValue.convertAmount pins: identity, rate conversion,
+    fraction-digit delta (JPY 0 digits <-> USD 2), truncation toward
+    zero, missing rate -> null."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.functions.currency import (
+        convert_minor,
+        currency_range,
+        parse_currency,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "4.50,USD"),
+            (2, "10.00,EUR"),
+            (3, "1000,JPY"),
+            (4, "3.999,USD"),
+            (5, "2.00,CHF"),  # no CHF rate -> null conversion
+        ],
+        "id int, price string",
+    )
+    rates = {("EUR", "USD"): 2.0, ("JPY", "USD"): 0.01}
+    cur = parse_currency(F.col("price"))
+    out = {
+        r["id"]: (r["minor"], r["code"], r["usd"])
+        for r in df.select(
+            "id",
+            cur["minor"].alias("minor"),
+            cur["code"].alias("code"),
+            convert_minor(cur, "USD", rates).alias("usd"),
+        ).collect()
+    }
+    assert out[1] == (450, "USD", 450)  # identity
+    assert out[2] == (1000, "EUR", 2000)  # 10 EUR -> 20 USD
+    # JPY minor units are whole yen; digit delta +2: 1000 yen * 0.01
+    # = 10 USD = 1000 cents
+    assert out[3] == (1000, "JPY", 1000)
+    assert out[4][0] == 399  # parse truncates sub-cent digits
+    assert out[5][2] is None  # missing rate never guesses
+    kept = {
+        r["id"]
+        for r in currency_range(
+            df, "price", 5.0, 25.0, "USD", rates
+        ).collect()
+    }
+    assert kept == {2, 3}
