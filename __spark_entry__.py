@@ -1705,6 +1705,18 @@ def q_dedup_url(spark, sf_dir):
 _EXT_FILE_CACHE: dict[str, str] = {}
 
 
+def q_highlight_phrase(spark, sf_dir):
+    """hl.usePhraseHighlighter / FastVectorHighlighter behavior
+    (lucene/highlighter/.../vectorhighlight/FieldPhraseList.java):
+    whole phrase occurrences wrap as one <b>..</b> unit; docs with the
+    words apart never match."""
+    from lucene_solr_spark.search.highlight import highlight_phrase
+
+    return highlight_phrase(
+        _docs(spark, sf_dir), ["key", "order"]
+    )
+
+
 def q_currency_range(spark, sf_dir):
     """CurrencyField range query (solr/core/.../schema/
     CurrencyField.java:738-755 + CurrencyValue): 'amount,CODE' values
@@ -3820,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "highlight_phrase": q_highlight_phrase,
         "currency_range": q_currency_range,
         "preanalyzed_freq": q_preanalyzed_freq,
         "select_cached": q_select_cached,
@@ -4211,6 +4224,7 @@ def oracle_sql() -> dict[str, str]:
         "external_boost": O.external_boost("scan"),
         "preanalyzed_freq": O.length_filter_freq(1, 255, 20),
         "currency_range": O.currency_range(20.0, 40.0),
+        "highlight_phrase": O.highlight_phrase(["key", "order"]),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),

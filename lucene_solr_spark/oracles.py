@@ -2096,6 +2096,34 @@ ORDER BY doc_id
 """.strip()
 
 
+def highlight_phrase(
+    terms: list[str], fragment_size: int = 100, table: str = "documents"
+) -> str:
+    """Phrase-aware highlighter twin: only whole-phrase occurrences
+    (raw-text adjacency) anchor and wrap, replacement normalized to
+    the canonical '<b>w1 w2</b>' form."""
+    import re as _re
+
+    body = "[^A-Za-z0-9_]+".join(_re.escape(t) for t in terms)
+    rx = f"(?i)\\b{body}\\b"
+    rx_prefix = f"(?is)^(.*?)\\b{body}\\b"
+    canon = " ".join(terms)
+    half = fragment_size // 2
+    return f"""
+SELECT doc_id,
+       regexp_replace(
+         substr(text,
+                CAST(greatest(1,
+                     length(regexp_extract(text, '{_sq(rx_prefix)}', 1))
+                     + 1 - {half}) AS BIGINT),
+                {fragment_size}),
+         '{_sq(rx)}', '<b>{_sq(canon)}</b>', 'g') AS snippet
+FROM {table}
+WHERE regexp_matches(text, '{_sq(rx)}')
+ORDER BY doc_id
+""".strip()
+
+
 def spellcheck_collate(
     misspelled: str,
     good_term: str,

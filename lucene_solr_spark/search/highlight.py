@@ -53,6 +53,48 @@ def highlight(
     return matched.select("doc_id", wrapped.alias("snippet"))
 
 
+def highlight_phrase(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    fragment_size: int = FRAGMENT_SIZE,
+) -> DataFrame:
+    """Phrase-aware highlighting — hl.usePhraseHighlighter /
+    FastVectorHighlighter behavior (lucene/highlighter/.../
+    vectorhighlight/FieldPhraseList.java + solr
+    DefaultSolrHighlighter.java usePhraseHighlighter): only WHOLE
+    phrase occurrences highlight, wrapped as ONE <b>..</b> unit — a doc
+    containing the words separately never matches, and individual
+    words inside the fragment stay unwrapped.
+
+    Adjacency is raw-text adjacency (words separated by non-token
+    characters only) — position adjacency for the standard grammar on
+    stopword-free phrases; the wrapped replacement normalizes case and
+    separators to the canonical 'w1 w2' form, the same textual rule
+    the oracle twin evaluates."""
+    import re as _re
+
+    body = "[^A-Za-z0-9_]+".join(_re.escape(t) for t in terms)
+    rx_find = f"(?i)\\b{body}\\b"
+    rx_prefix = f"(?is)^(.*?)\\b{body}\\b"
+    canon = " ".join(terms)
+    matched = docs.where(F.col(text_col).rlike(rx_find)).withColumn(
+        "_pos",
+        F.length(F.regexp_extract(F.col(text_col), rx_prefix, 1))
+        + F.lit(1),
+    )
+    start = F.greatest(
+        F.lit(1), F.col("_pos") - F.lit(fragment_size // 2)
+    )
+    frag = F.col(text_col).substr(start, F.lit(fragment_size))
+    snippet = F.regexp_replace(
+        frag, rx_find, f"<b>{canon}</b>"
+    )
+    return matched.select(
+        "doc_id", snippet.alias("snippet")
+    ).orderBy("doc_id")
+
+
 def highlight_snippets(
     docs: DataFrame,
     term: str,

@@ -195,3 +195,27 @@ def test_currency_field_conversion(spark):
         ).collect()
     }
     assert kept == {2, 3}
+
+
+def test_phrase_highlighter(spark):
+    """Phrase-aware highlighting: whole-phrase wrap as one unit, words
+    apart never match, case/separator normalized in the wrap."""
+    from lucene_solr_spark.search.highlight import highlight_phrase
+
+    df = spark.createDataFrame(
+        [
+            (1, "sort by Key  Order in the plan"),
+            (2, "key appears here and order there"),
+            (3, "the KEY-ORDER hint wins"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_phrase(df, ["key", "order"]).collect()
+    }
+    assert set(out) == {1, 3}  # doc 2: words apart -> no match
+    assert "<b>key order</b>" in out[1]
+    assert "<b>key order</b>" in out[3]
+    # the individual word is NOT wrapped outside the phrase
+    assert "<b>key</b>" not in out[1]
