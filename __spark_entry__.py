@@ -1705,6 +1705,37 @@ def q_dedup_url(spark, sf_dir):
 _EXT_FILE_CACHE: dict[str, str] = {}
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup batch twin (streaming/dedupe.py — the
+    ingest-time SignatureUpdateProcessor role with watermark-bounded
+    dropDuplicates state): earliest arrival per content signature over
+    the duplicate-injected corpus; stream==batch is pinned by
+    tests/test_stream_dedup.py."""
+    from lucene_solr_spark.streaming.dedupe import (
+        first_occurrences_batch,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id") * 60
+        ).alias("ts"),
+    )
+    dups = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  !!")).alias("text"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id") * 60 + 300
+        ).alias("ts"),
+    )
+    out = first_occurrences_batch(base.unionByName(dups))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    ).orderBy("doc_id")
+
+
 def q_highlight_phrase(spark, sf_dir):
     """hl.usePhraseHighlighter / FastVectorHighlighter behavior
     (lucene/highlighter/.../vectorhighlight/FieldPhraseList.java):
@@ -3832,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "stream_dedup": q_stream_dedup,
         "highlight_phrase": q_highlight_phrase,
         "currency_range": q_currency_range,
         "preanalyzed_freq": q_preanalyzed_freq,
@@ -4225,6 +4257,7 @@ def oracle_sql() -> dict[str, str]:
         "preanalyzed_freq": O.length_filter_freq(1, 255, 20),
         "currency_range": O.currency_range(20.0, 40.0),
         "highlight_phrase": O.highlight_phrase(["key", "order"]),
+        "stream_dedup": O.stream_dedup(),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),

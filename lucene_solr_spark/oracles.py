@@ -3539,6 +3539,44 @@ FROM fp GROUP BY fingerprint ORDER BY doc_id
 """.strip()
 
 
+def stream_dedup(table: str = "documents") -> str:
+    """Streaming-dedup batch twin: over the duplicate-injected corpus
+    (every doc_id %% 3 == 0 re-arrives 5 minutes later as id+1000 with
+    punctuation appended — same content signature), keep the EARLIEST
+    (ts, doc_id) arrival per signature — what an in-order watermarked
+    stream emits."""
+    raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
+    toks = (
+        f"list_filter({raw}, x -> length(x) <= 255"
+        f" AND x NOT IN ({STOP_LIST}))"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text,
+         1700000000 + doc_id * 60 AS ts_s
+  FROM {table}
+  UNION ALL
+  SELECT doc_id + 1000, text || '  !!',
+         1700000000 + doc_id * 60 + 300
+  FROM {table} WHERE doc_id % 3 = 0
+),
+fp AS (
+  SELECT doc_id, ts_s,
+         md5(array_to_string(list_sort(list_distinct({toks})), ' '))
+           AS fingerprint
+  FROM aug
+),
+first AS (
+  SELECT fingerprint, min(ts_s * 100000 + doc_id) AS k
+  FROM fp GROUP BY fingerprint
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.fingerprint
+FROM fp f JOIN first USING (fingerprint)
+WHERE f.ts_s * 100000 + f.doc_id = first.k
+ORDER BY doc_id
+""".strip()
+
+
 def signature_textprofile(table: str = "documents") -> str:
     """TextProfileSignature twin (TextProfileSignature.java:68-140, the
     Nutch quantized token-frequency profile): tokens are letter/digit
