@@ -76,6 +76,11 @@ HEADLINE = [
     "sorted_topk",
     "url_classify",
     "dedup_url",
+    "stream_dedup",
+    "currency_range",
+    "highlight_phrase",
+    "select_cached",
+    "external_boost",
     "index_split",
     "phonetic_freq",
     "compound_freq",
