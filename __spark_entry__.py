@@ -1705,6 +1705,41 @@ def q_dedup_url(spark, sf_dir):
 _EXT_FILE_CACHE: dict[str, str] = {}
 
 
+_SPELL_FILE_CACHE: dict[str, str] = {}
+
+
+def q_spellcheck_file(spark, sf_dir):
+    """FileBasedSpellChecker (solr/core/.../spelling/
+    FileBasedSpellChecker.java:62-108): suggestions from a words FILE
+    (every word frequency 1 — ranking by pure edit distance), not the
+    index dictionary. The gate writes the corpus's distinct analyzed
+    terms to the file, so the twin reconstructs the dictionary from
+    the same parquet."""
+    from lucene_solr_spark.search.spellcheck import (
+        file_dictionary,
+        suggest,
+    )
+
+    path = _SPELL_FILE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        terms = [
+            r["term"]
+            for r in _index(spark, sf_dir)
+            .terms_stats.select("term")
+            .distinct()
+            .collect()
+        ]
+        d = tempfile.mkdtemp(prefix="lss_gate_spellfile_")
+        path = f"{d}/words.txt"
+        with open(path, "w") as f:
+            f.write("\n".join(sorted(terms)) + "\n")
+        _SPELL_FILE_CACHE[sf_dir] = path
+    fd = file_dictionary(spark, path)
+    return suggest(fd, "qery", max_edits=2, k=5)
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup batch twin (streaming/dedupe.py — the
     ingest-time SignatureUpdateProcessor role with watermark-bounded
@@ -3863,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "spellcheck_file": q_spellcheck_file,
         "stream_dedup": q_stream_dedup,
         "highlight_phrase": q_highlight_phrase,
         "currency_range": q_currency_range,
@@ -4258,6 +4294,7 @@ def oracle_sql() -> dict[str, str]:
         "currency_range": O.currency_range(20.0, 40.0),
         "highlight_phrase": O.highlight_phrase(["key", "order"]),
         "stream_dedup": O.stream_dedup(),
+        "spellcheck_file": O.spellcheck_file("qery", 2, 5),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),
         "select_fq_term": O.bm25_bool(must=["scan"], fq="d.lang = 'en'"),

@@ -2020,6 +2020,22 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def spellcheck_file(word: str, max_edits: int = 2, k: int = 5, table: str = "documents") -> str:
+    """FileBasedSpellChecker twin: dictionary = the corpus's distinct
+    post-stop terms (what the gate writes to the words file), every
+    word df=1, so ranking degenerates to (distance, term)."""
+    return f"""
+WITH {tok_ctes(table)},
+fdict AS (SELECT DISTINCT term FROM tok)
+SELECT term, CAST(1 AS BIGINT) AS df,
+       levenshtein(term, '{_sq(word)}') AS dist
+FROM fdict
+WHERE term <> '{_sq(word)}' AND term LIKE '{_sq(word[:1])}%'
+  AND levenshtein(term, '{_sq(word)}') <= {max_edits}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
+""".strip()
+
+
 def more_like_this(
     doc_id: int,
     k: int = 10,

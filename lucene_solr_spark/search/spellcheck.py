@@ -266,6 +266,24 @@ def jaro_winkler_expr(word: str):
     return jw
 
 
+def file_dictionary(spark, path: str) -> DataFrame:
+    """FileBasedSpellChecker (solr/core/.../spelling/
+    FileBasedSpellChecker.java:62-108): the dictionary comes from a
+    plain one-word-per-line file instead of index terms — the
+    reference loads it into a throwaway RAM index where every word has
+    frequency 1, so suggestions rank purely by edit distance (df ties).
+    Blank lines and surrounding whitespace are dropped; duplicates
+    collapse. Returns the terms_stats shape suggest() consumes."""
+    return (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+        .withColumn("df", F.lit(1).cast("long"))
+        .withColumn("ttf", F.lit(1).cast("long"))
+    )
+
+
 def suggest_jaro_winkler(
     terms_stats: DataFrame,
     word: str,

@@ -219,3 +219,26 @@ def test_phrase_highlighter(spark):
     assert "<b>key order</b>" in out[3]
     # the individual word is NOT wrapped outside the phrase
     assert "<b>key</b>" not in out[1]
+
+
+def test_file_based_spellchecker(spark, tmp_path):
+    """FileBasedSpellChecker: one word per line, blanks dropped,
+    duplicates collapsed, every word df=1 (distance-only ranking)."""
+    from lucene_solr_spark.search.spellcheck import (
+        file_dictionary,
+        suggest,
+    )
+
+    (tmp_path / "words.txt").write_text(
+        "query\n\n  merge  \nquery\nqueue\nquark\nzebra\n"
+    )
+    fd = file_dictionary(spark, str(tmp_path / "words.txt"))
+    rows = {r["term"]: r for r in fd.collect()}
+    assert set(rows) == {"query", "merge", "queue", "quark", "zebra"}
+    assert all(r["df"] == 1 for r in rows.values())
+    got = [(r["term"], r["dist"]) for r in suggest(fd, "qery", k=5).collect()]
+    # within maxEdits=2 only 'query' (one insertion) qualifies;
+    # queue/quark sit at distance 3 and are pruned
+    assert got == [("query", 1)]
+    wide = [r["term"] for r in suggest(fd, "quer", k=5).collect()]
+    assert wide[0] == "query" and "queue" in wide
