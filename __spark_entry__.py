@@ -1708,6 +1708,43 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_image_features(spark, sf_dir):
+    """REAL multimodal image decode: deterministic per-doc PNG
+    gradients encoded and decoded with the stdlib-only codec
+    (zlib inflate + full scanline unfiltering), per-image
+    width/height/channels/mean/std via Arrow mapInPandas — rows-only
+    driver check; pixel values pinned analytically in
+    tests/test_multimodal.py."""
+    from lucene_solr_spark.datapipe.multimodal import (
+        image_features,
+        make_png,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 50
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                k = int(d) % 8
+                arr = np.add.outer(
+                    np.arange(8 + k, dtype=np.uint8) * 4,
+                    np.arange(16, dtype=np.uint8),
+                ).astype(np.uint8)
+                rows.append([int(d), make_png(arr)])
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload"]
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_features(media).orderBy("media_id")
+
+
 def q_spellcheck_file(spark, sf_dir):
     """FileBasedSpellChecker (solr/core/.../spelling/
     FileBasedSpellChecker.java:62-108): suggestions from a words FILE
@@ -3898,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "image_features": q_image_features,
         "spellcheck_file": q_spellcheck_file,
         "stream_dedup": q_stream_dedup,
         "highlight_phrase": q_highlight_phrase,
