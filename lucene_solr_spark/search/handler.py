@@ -121,6 +121,7 @@ def select(
                 "doc_id",
                 F.lit(1.0).cast(searcher._score_type).alias("score"),
             )
+    _main_query = None
     if scored is None:
         if def_type == "lucene":
             query = parse_lucene(q, default_op=q_op)
@@ -134,6 +135,7 @@ def select(
             query = parse_dismax(q, tie=tie, mm=mm)
         else:
             raise ValueError(f"unknown defType {def_type!r}")
+        _main_query = query
         scored = searcher.score(query)
 
     if bq:
@@ -261,7 +263,16 @@ def select(
         # doc store (fl=price,discount:product(price,0.9))
         cols = []
         names = []
+        transforms = []
         for entry in fl:
+            if entry.startswith("[") and entry.endswith("]"):
+                # DocTransformers (S/response/transform/
+                # TransformerFactory.java defaultFactories — [docid],
+                # [value v=..], [explain]): computed per returned doc,
+                # never stored fields
+                inner = entry[1:-1].strip()
+                transforms.append(inner)
+                continue
             if entry == "*":  # ReturnFields glob: every stored field
                 for c in docs.columns:
                     if c != "doc_id" and c not in names:
@@ -287,6 +298,10 @@ def select(
         page = page.join(
             docs.select("doc_id", *cols), "doc_id"
         ).select("doc_id", "score", *names)
+        for inner in transforms:
+            page = _apply_doc_transformer(
+                page, inner, searcher, _main_query
+            )
 
     facets: dict[str, DataFrame] = {}
     if facet_field:
@@ -849,6 +864,83 @@ def _split_sort_spec(sort: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [p for p in (s.strip() for s in parts) if p]
+
+
+def _ast_terms(node) -> set[str]:
+    """Every TermQuery term reachable in a query AST (the weight tree
+    [explain] walks)."""
+    out: set[str] = set()
+    if node is None or isinstance(node, (str, int, float, bool)):
+        return out
+    t = getattr(node, "term", None)
+    if isinstance(t, str):
+        out.add(t)
+    tl = getattr(node, "terms", None)
+    if isinstance(tl, (list, tuple)):
+        out |= {x for x in tl if isinstance(x, str)}
+    for attr in ("clauses", "queries", "subqueries", "disjuncts"):
+        for sub in getattr(node, attr, None) or []:
+            out |= _ast_terms(getattr(sub, "query", sub))
+    for attr in ("query", "positive", "negative"):
+        out |= _ast_terms(getattr(node, attr, None))
+    return out
+
+
+def _apply_doc_transformer(page, spec: str, searcher, main_query):
+    """One [transformer] fl entry (S/response/transform/): [docid],
+    [value v=X], [explain]. The explanation is the BM25 weight
+    decomposition per matching term, formatted deterministically
+    ('sum of: term=part; ...', parts to 4 decimals) and joined onto
+    the page."""
+    if spec == "docid":
+        return page.withColumn("docid", F.col("doc_id"))
+    if spec.startswith("value "):
+        params = dict(
+            p.split("=", 1) for p in spec[len("value "):].split() if "=" in p
+        )
+        v = params.get("v", "")
+        try:
+            lit = F.lit(int(v))
+        except ValueError:
+            try:
+                lit = F.lit(float(v))
+            except ValueError:
+                lit = F.lit(v)
+        return page.withColumn("value", lit)
+    if spec == "explain":
+        from .explain import explain as _explain
+
+        terms = sorted(_ast_terms(main_query))
+        if not terms:
+            return page.withColumn("explain", F.lit(None).cast("string"))
+        e = _explain(searcher, terms)
+        per_doc = (
+            e.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "score_part"))
+                ).alias("parts")
+            )
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("sum of: "),
+                    F.array_join(
+                        F.transform(
+                            F.col("parts"),
+                            lambda s: F.concat(
+                                s["term"],
+                                F.lit("="),
+                                F.format_number(s["score_part"], 4),
+                            ),
+                        ),
+                        "; ",
+                    ),
+                ).alias("explain"),
+            )
+        )
+        return page.join(per_doc, "doc_id", "left")
+    raise ValueError(f"unknown doc transformer [{spec}]")
 
 
 def _sort_cols(sort: str, now=None, missing: str | None = None):

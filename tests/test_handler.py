@@ -490,3 +490,28 @@ def test_random_sort_field(searcher):
     assert a1 == a2
     assert a1 != b
     assert sorted(a1) == sorted(b)
+
+
+def test_fl_doc_transformers(searcher):
+    """[docid] / [value v=] / [explain] DocTransformers
+    (S/response/transform/ defaultFactories): computed per returned
+    doc; the explanation parts sum to the returned score."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        searcher,
+        q="error retry",
+        fl=["role", "[docid]", "[value v=42]", "[explain]"],
+        rows=5,
+    )["response"].collect()
+    assert out
+    for r in out:
+        assert r["docid"] == r["doc_id"]
+        assert r["value"] == 42
+        assert r["explain"].startswith("sum of: ")
+        parts = dict(
+            p.split("=") for p in r["explain"][len("sum of: "):].split("; ")
+        )
+        assert set(parts) <= {"error", "retry"}
+        got = sum(float(v.replace(",", "")) for v in parts.values())
+        assert abs(got - r["score"]) < 2e-3  # 4-decimal formatting
