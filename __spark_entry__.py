@@ -1708,6 +1708,21 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_signature_lookup3(spark, sf_dir):
+    """Lookup3Signature content dedup (solr/core/.../update/processor/
+    Lookup3Signature.java + solrj Hash.lookup3ycs64 — bit-exact vs the
+    reference's C-generated TestHash vectors): last-wins per 64-bit
+    chained hash. Rows-only driver check (the hash is not
+    SQL-expressible); bit-exactness pinned in tests/test_lookup3.py."""
+    from lucene_solr_spark.functions.lookup3 import (
+        signature_dedup_lookup3,
+    )
+
+    return signature_dedup_lookup3(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def q_image_features(spark, sf_dir):
     """REAL multimodal image decode: deterministic per-doc PNG
     gradients encoded and decoded with the stdlib-only codec
@@ -3935,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "signature_lookup3": q_signature_lookup3,
         "image_features": q_image_features,
         "spellcheck_file": q_spellcheck_file,
         "stream_dedup": q_stream_dedup,
