@@ -1708,6 +1708,40 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_doc_routing(spark, sf_dir):
+    """SolrCloud hash-range routing (S/common/cloud/
+    HashPartitioner.java + DistributedUpdateProcessor.hash — murmur3 of
+    the uniqueKey, seed 0, bit-exact vs the public vectors): per-shard
+    doc counts + the shard's clusterstate hex range over 4 shards.
+    Rows-only driver check (murmur3 not SQL-expressible); bit-exactness
+    and range pins in tests/test_router.py."""
+    from lucene_solr_spark.index.router import (
+        partition_range,
+        range_to_str,
+        with_shard,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").cast("string").alias("id")
+    )
+    n = 4
+    ranges = partition_range(n)
+    routed = with_shard(d, "id", n)
+    rmap = F.create_map(
+        *[
+            x
+            for i, r in enumerate(ranges)
+            for x in (F.lit(i), F.lit(range_to_str(r)))
+        ]
+    )
+    return (
+        routed.groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("shard", "n_docs", rmap[F.col("shard")].alias("range"))
+        .orderBy("shard")
+    )
+
+
 def q_signature_lookup3(spark, sf_dir):
     """Lookup3Signature content dedup (solr/core/.../update/processor/
     Lookup3Signature.java + solrj Hash.lookup3ycs64 — bit-exact vs the
@@ -3950,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "doc_routing": q_doc_routing,
         "signature_lookup3": q_signature_lookup3,
         "image_features": q_image_features,
         "spellcheck_file": q_spellcheck_file,
