@@ -1708,6 +1708,44 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_pipeline_funnel(spark, sf_dir):
+    """End-to-end training-data funnel — the capstone composition of
+    the pipeline operators: exact dedup (first-wins per content
+    fingerprint) -> quality filter (score >= 0.5) -> benchmark
+    decontamination (drop docs sharing a token 4-gram with the
+    doc_id %% 23 == 0 eval slice, eval docs excluded) -> deterministic
+    md5-bucket train/val/test assignment. Per-split survivor counts;
+    every stage is the same operator its standalone gate checks."""
+    from lucene_solr_spark.datapipe.training import decontaminate
+    from lucene_solr_spark.functions.text_analysis import (
+        with_fingerprint,
+        with_quality_score,
+        with_split_assign,
+    )
+
+    d = _docs(spark, sf_dir)
+    fp = with_fingerprint(d)
+    first = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = d.join(first.select("doc_id"), "doc_id")
+    q = with_quality_score(survivors).where(
+        F.round("quality", 4) >= 0.5
+    )
+    ev = d.where(F.col("doc_id") % 23 == 0)
+    corpus = q.where(F.col("doc_id") % 23 != 0)
+    contaminated = decontaminate(
+        corpus.select("doc_id", "text"), ev, n=4
+    ).select("doc_id")
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    out = with_split_assign(clean.select("doc_id"))
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("split")
+    )
+
+
 def q_doc_routing(spark, sf_dir):
     """SolrCloud hash-range routing (S/common/cloud/
     HashPartitioner.java + DistributedUpdateProcessor.hash — murmur3 of
@@ -3984,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "pipeline_funnel": q_pipeline_funnel,
         "doc_routing": q_doc_routing,
         "signature_lookup3": q_signature_lookup3,
         "image_features": q_image_features,
@@ -4383,6 +4422,7 @@ def oracle_sql() -> dict[str, str]:
         "currency_range": O.currency_range(20.0, 40.0),
         "highlight_phrase": O.highlight_phrase(["key", "order"]),
         "stream_dedup": O.stream_dedup(),
+        "pipeline_funnel": O.pipeline_funnel(),
         "spellcheck_file": O.spellcheck_file("qery", 2, 5),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),

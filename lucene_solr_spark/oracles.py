@@ -3413,6 +3413,84 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """.strip()
 
 
+def pipeline_funnel(
+    quality_min: float = 0.5,
+    n: int = 4,
+    eval_mod: int = 23,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    table: str = "documents",
+) -> str:
+    """Funnel twin: exact-dedup first-wins -> quality >= min ->
+    decontaminated (no shared token n-gram with the eval slice, eval
+    excluded) -> md5-bucket split counts. Every stage reuses the exact
+    arithmetic of its standalone twin."""
+    raw = f"regexp_extract_all(lower(text), {PATTERN_LIT})"
+    toks255 = f"list_filter({raw}, x -> length(x) <= 255)"
+    gram = " || ' ' || ".join(f"l[i+{j}]" for j in range(n))
+    hi = train_pct + val_pct
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           list_filter({raw}, x -> length(x) <= 255
+                       AND x NOT IN ({STOP_LIST})))), ' '))
+           AS fingerprint
+  FROM {table}
+),
+first AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+feats AS (
+  SELECT d.doc_id,
+    length(text) AS n_chars,
+    len({toks255}) AS n_tokens,
+    len(list_filter({raw},
+        x -> length(x) <= 255 AND x IN ({STOP_LIST}))) AS n_stop,
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum
+  FROM {table} d JOIN first USING (doc_id)
+),
+q AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      round(0.4 * (CASE WHEN n_chars > 0
+                        THEN CAST(alnum AS DOUBLE) / n_chars
+                        ELSE 0.0 END)
+          + 0.3 * least(n_tokens / 100.0, 1.0)
+          + 0.3 * (1.0 - abs((CASE WHEN n_tokens > 0
+                   THEN CAST(n_stop AS DOUBLE) / n_tokens
+                   ELSE 0.0 END) - 0.4)), 4) AS quality
+    FROM feats
+  ) WHERE quality >= {quality_min}
+),
+gtok AS (
+  SELECT doc_id, {raw} AS l FROM {table}
+),
+gr AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(l) - {n - 1}), i -> {gram}))) AS gram
+  FROM gtok WHERE len(l) >= {n}
+),
+ev AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {eval_mod} = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM gr g JOIN ev USING (gram)
+  WHERE g.doc_id % {eval_mod} <> 0
+),
+clean AS (
+  SELECT doc_id FROM q
+  WHERE doc_id % {eval_mod} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+b AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 AS bucket
+  FROM clean
+)
+SELECT CASE WHEN bucket < {train_pct} THEN 'train'
+            WHEN bucket < {hi} THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1 ORDER BY split
+""".strip()
+
+
 def chunk_dedup(chunk_tokens: int = 10, table: str = "documents") -> str:
     """Chunk-level (paragraph) dedup twin: same fixed non-overlapping
     token windows incl. the ragged tail, same md5 chunk hash."""
