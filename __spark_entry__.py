@@ -1708,6 +1708,21 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_terms_regex(spark, sf_dir):
+    """TermsComponent terms.regex + terms.mincount/maxcount +
+    terms.sort=index (solr/core/.../handler/component/
+    TermsComponent.java:106-140): dictionary terms matching a pattern
+    within df bounds, index order."""
+    ts = _index(spark, sf_dir).terms_stats
+    return (
+        ts.where(F.col("term").rlike("^[a-z]*a[a-z]*$"))
+        .where(F.col("df").between(5, 400))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_pipeline_funnel(spark, sf_dir):
     """End-to-end training-data funnel — the capstone composition of
     the pipeline operators: exact dedup (first-wins per content
@@ -4022,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "terms_regex": q_terms_regex,
         "pipeline_funnel": q_pipeline_funnel,
         "doc_routing": q_doc_routing,
         "signature_lookup3": q_signature_lookup3,
@@ -4423,6 +4439,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_phrase": O.highlight_phrase(["key", "order"]),
         "stream_dedup": O.stream_dedup(),
         "pipeline_funnel": O.pipeline_funnel(),
+        "terms_regex": O.terms_regex("^[a-z]*a[a-z]*$", 5, 400, 20),
         "spellcheck_file": O.spellcheck_file("qery", 2, 5),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),

@@ -3413,6 +3413,24 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """.strip()
 
 
+def terms_regex(
+    pattern: str, mincount: int, maxcount: int, k: int = 20,
+    table: str = "documents",
+) -> str:
+    """TermsComponent terms.regex twin: dictionary terms matching the
+    pattern with df in [mincount, maxcount], index (term) order."""
+    return f"""
+WITH {tok_ctes(table)},
+tdict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df FROM tdict
+WHERE regexp_matches(term, '{_sq(pattern)}')
+  AND df BETWEEN {mincount} AND {maxcount}
+ORDER BY term ASC LIMIT {k}
+""".strip()
+
+
 def pipeline_funnel(
     quality_min: float = 0.5,
     n: int = 4,
