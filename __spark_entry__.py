@@ -1708,6 +1708,17 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_analysis_doc(spark, sf_dir):
+    """/analysis/document handler (DocumentAnalysisRequestHandler):
+    per-stage token stream of doc 2 with query-term match flags for
+    q='scan merge'."""
+    from lucene_solr_spark.search.luke import analyze_document
+
+    return analyze_document(
+        _searcher(spark, sf_dir), 2, "scan merge"
+    ).orderBy("stage", "pos")
+
+
 def q_terms_regex(spark, sf_dir):
     """TermsComponent terms.regex + terms.mincount/maxcount +
     terms.sort=index (solr/core/.../handler/component/
@@ -4037,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "analysis_doc": q_analysis_doc,
         "terms_regex": q_terms_regex,
         "pipeline_funnel": q_pipeline_funnel,
         "doc_routing": q_doc_routing,
@@ -4440,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": O.stream_dedup(),
         "pipeline_funnel": O.pipeline_funnel(),
         "terms_regex": O.terms_regex("^[a-z]*a[a-z]*$", 5, 400, 20),
+        "analysis_doc": O.analysis_document(2, ["scan", "merge"]),
         "spellcheck_file": O.spellcheck_file("qery", 2, 5),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),

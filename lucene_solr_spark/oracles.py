@@ -4033,6 +4033,29 @@ ORDER BY stage, pos
 """.strip()
 
 
+def analysis_document(
+    doc_id: int, qterms: list[str], table: str = "documents"
+) -> str:
+    """/analysis/document twin: the field stages with the query-match
+    flag (token equals an analyzed query term)."""
+    ql = ", ".join(f"'{_sq(t)}'" for t in qterms)
+    return f"""
+WITH raw AS (
+  SELECT unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+         generate_subscripts(
+           regexp_extract_all(lower(text), {PATTERN_LIT}), 1) - 1 AS pos
+  FROM {table} WHERE doc_id = {doc_id}
+),
+ok AS (SELECT term, pos FROM raw WHERE length(term) <= 255)
+SELECT 'tokenize' AS stage, CAST(pos AS BIGINT) AS pos, term,
+       term IN ({ql}) AS match FROM ok
+UNION ALL
+SELECT 'stop', CAST(pos AS BIGINT), term, term IN ({ql}) FROM ok
+WHERE term NOT IN ({STOP_LIST})
+ORDER BY stage, pos
+""".strip()
+
+
 def _wdf_chain_sql(expr: str) -> str:
     """The WordDelimiterFilter boundary-marking replace chain
     (tokenizer._WDF_RULES) as nested DuckDB regexp_replace calls."""

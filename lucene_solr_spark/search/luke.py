@@ -58,6 +58,39 @@ def top_terms(searcher: Searcher, k: int = 10) -> DataFrame:
     )
 
 
+def analyze_document(
+    searcher: Searcher, doc_id: int, query: str
+) -> DataFrame:
+    """DocumentAnalysisRequestHandler analogue (solr/core/.../handler/
+    DocumentAnalysisRequestHandler.java, the /analysis/document
+    endpoint): the per-stage token stream of one document's text with
+    each token flagged when it EQUALS an analyzed query term
+    (getQueryTokenSet + the match attribute the handler paints)."""
+    from ..analysis.tokenizer import analyze, tokenize_raw
+
+    idx = searcher.index
+    qterms = set(analyze(query)[0])
+    row = (
+        idx.docs.where(F.col("doc_id") == doc_id)
+        .select("text")
+        .collect()
+    )
+    rows: list[tuple[str, int, str, bool]] = []
+    if row:
+        raw = tokenize_raw(row[0]["text"])
+        rows += [
+            ("tokenize", i, t, t in qterms) for i, t in enumerate(raw)
+        ]
+        terms, pos = analyze(row[0]["text"])
+        rows += [
+            ("stop", p, t, t in qterms)
+            for t, p in zip(terms, pos)
+        ]
+    return idx.spark.createDataFrame(
+        rows, "stage string, pos long, term string, match boolean"
+    )
+
+
 def analyze_stages(searcher: Searcher, doc_id: int) -> DataFrame:
     """FieldAnalysisRequestHandler analogue (solr/core/src/java/org/
     apache/solr/handler/FieldAnalysisRequestHandler.java, the
