@@ -67,9 +67,53 @@ def refined_soundex(s: str) -> str:
     return clean[0] + _collapse(digits)
 
 
+# Caverphone 2.0 replacement program (David Hood, Caversham Project,
+# 2004 revision — the encoder PhoneticFilterFactory names "Caverphone").
+# Ordered (pattern, replacement) regex steps after lowercasing and
+# stripping non-letters; '^'/'$' anchors per the spec's
+# "beginning/end of the name" wording.
+_CAVERPHONE_STEPS = [
+    ("e$", ""),
+    ("^cough", "cou2f"), ("^rough", "rou2f"), ("^tough", "tou2f"),
+    ("^enough", "enou2f"), ("^trough", "trou2f"), ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"),
+    ("tch", "2ch"), ("c", "k"), ("q", "k"), ("x", "k"), ("v", "f"),
+    ("dg", "2g"), ("tio", "sio"), ("tia", "sia"), ("d", "t"),
+    ("ph", "fh"), ("b", "p"), ("sh", "s2"), ("z", "s"),
+    ("^[aeiou]", "A"), ("[aeiou]", "3"),
+    ("j", "y"), ("^y3", "Y3"), ("^y", "A"), ("y", "3"),
+    ("3gh3", "3kh3"), ("gh", "22"), ("g", "k"),
+    ("s+", "S"), ("t+", "T"), ("p+", "P"), ("k+", "K"),
+    ("f+", "F"), ("m+", "M"), ("n+", "N"),
+    ("w3", "W3"), ("wh3", "Wh3"), ("w$", "3"), ("w", "2"),
+    ("^h", "A"), ("h", "2"),
+    ("r3", "R3"), ("r$", "3"), ("r", "2"),
+    ("l3", "L3"), ("l$", "3"), ("l", "2"),
+    ("2", ""),
+    ("3$", "A"), ("3", ""),
+]
+
+
+def caverphone2(s: str) -> str:
+    """Caverphone 2.0 (Hood 2004, the Caversham Project): the ordered
+    replacement program over the lowercased letters, padded with '1'
+    to 10 characters. Pinned by the spec's own examples
+    (Peter -> PTA1111111, Stevenson -> STFNSN1111)."""
+    import re as _re
+
+    t = "".join(c for c in s.lower() if "a" <= c <= "z")
+    if not t:
+        return ""
+    for pat, rep in _CAVERPHONE_STEPS:
+        t = _re.sub(pat, rep, t)
+    return (t + "1" * 10)[:10]
+
+
 _ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
+    "caverphone": caverphone2,
 }
 
 

@@ -442,3 +442,18 @@ def test_compound_word_filter():
 
     with pytest.raises(ValueError):
         make_analyzer(compound=d, phonetic="soundex")
+
+
+def test_caverphone2_spec_pins():
+    """Caverphone 2.0 (Hood 2004): the spec's own examples plus
+    padding/empty behavior; available in the phonetic filter slot."""
+    from lucene_solr_spark.analysis.phonetic import caverphone2
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    assert caverphone2("Peter") == "PTA1111111"
+    assert caverphone2("Stevenson") == "STFNSN1111"
+    assert caverphone2("Thompson") == "TMPSN11111"
+    assert caverphone2("") == ""
+    assert len(caverphone2("x")) == 10
+    an = make_analyzer(phonetic="caverphone", phonetic_inject=False)
+    assert an("peter stevenson")[0] == ["PTA1111111", "STFNSN1111"]
