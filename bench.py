@@ -77,6 +77,10 @@ HEADLINE = [
     "url_classify",
     "dedup_url",
     "stream_dedup",
+    "pipeline_funnel",
+    "signature_lookup3",
+    "doc_routing",
+    "terms_regex",
     "currency_range",
     "highlight_phrase",
     "select_cached",
