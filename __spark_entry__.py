@@ -1708,6 +1708,19 @@ _EXT_FILE_CACHE: dict[str, str] = {}
 _SPELL_FILE_CACHE: dict[str, str] = {}
 
 
+def q_mlt_boost(spark, sf_dir):
+    """MoreLikeThis with boost=true (MoreLikeThis.java:245-300 +
+    createQuery's setBoost(myScore/bestScore)): query terms weighted by
+    interestingness relative to the best — the most characteristic
+    source terms dominate ranking."""
+    from lucene_solr_spark.search.morelikethis import more_like_this
+
+    out = more_like_this(_searcher(spark, sf_dir), 1, boost=True)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_analysis_doc(spark, sf_dir):
     """/analysis/document handler (DocumentAnalysisRequestHandler):
     per-stage token stream of doc 2 with query-term match flags for
@@ -4048,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 4 (latest session first: driver window ~50) ---
+        "mlt_boost": q_mlt_boost,
         "analysis_doc": q_analysis_doc,
         "terms_regex": q_terms_regex,
         "pipeline_funnel": q_pipeline_funnel,
@@ -4453,6 +4467,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_funnel": O.pipeline_funnel(),
         "terms_regex": O.terms_regex("^[a-z]*a[a-z]*$", 5, 400, 20),
         "analysis_doc": O.analysis_document(2, ["scan", "merge"]),
+        "mlt_boost": O.mlt_boost(1),
         "spellcheck_file": O.spellcheck_file("qery", 2, 5),
         "select_cached": O.bm25_bool(must=[], should=["scan"]),
         "sort_random": O.sort_random("42", "scan"),

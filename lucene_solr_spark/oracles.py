@@ -2020,6 +2020,65 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def mlt_boost(
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    table: str = "documents",
+) -> str:
+    """MLT with boost=true twin (MoreLikeThis.createQuery:
+    tq.setBoost(myScore / bestScore)): each selected term's BM25
+    contribution scales by its interestingness relative to the best
+    term (scores rounded to 4 as the interestingTerms surface exposes
+    them)."""
+    return f"""
+WITH {tok_ctes(table)},
+tdict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+srcterms AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = {doc_id} GROUP BY term
+),
+sel AS (
+  SELECT s.term,
+         round(s.tf * (ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
+                          / (d.df + 1.0)) + 1.0), 4) AS mlt
+  FROM srcterms s JOIN tdict d USING (term)
+  WHERE s.tf >= {min_term_freq} AND d.df >= {min_doc_freq}
+  ORDER BY s.tf * (ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
+                      / (d.df + 1.0)) + 1.0) DESC, s.term ASC
+  LIMIT {max_query_terms}
+),
+best AS (SELECT max(mlt) AS m FROM sel),
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+scored AS (
+  SELECT f.doc_id, f.term,
+         (s.mlt / (SELECT m FROM best))
+           * ln(1 + ((SELECT max_doc FROM coll) - d.df + 0.5) / (d.df + 0.5))
+           * ({K1}+1) * f.tf
+           / (f.tf + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM qtf f
+  JOIN sel s USING (term)
+  JOIN dfs d USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+),
+summed AS (
+  SELECT doc_id, round(sum(score), 4) AS score FROM scored
+  WHERE doc_id <> {doc_id} GROUP BY doc_id
+)
+SELECT doc_id, score FROM summed
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def spellcheck_file(word: str, max_edits: int = 2, k: int = 5, table: str = "documents") -> str:
     """FileBasedSpellChecker twin: dictionary = the corpus's distinct
     post-stop terms (what the gate writes to the words file), every

@@ -121,8 +121,40 @@ def more_like_this(
     max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
     min_term_freq: int = DEFAULT_MIN_TERM_FREQ,
     min_doc_freq: int = DEFAULT_MIN_DOC_FREQ,
+    boost: bool = False,
+    boost_factor: float = 1.0,
 ) -> DataFrame:
-    """Top-k similar docs (excluding the source doc): (doc_id, score)."""
+    """Top-k similar docs (excluding the source doc): (doc_id, score).
+
+    ``boost`` = MoreLikeThis.setBoost (MoreLikeThis.java:245-300 +
+    createQuery's ``tq.setBoost(boostFactor * myScore / bestScore)``):
+    each SHOULD clause is weighted by its interestingness (tf*idf)
+    relative to the best term, so the most characteristic source terms
+    dominate ranking instead of contributing equally."""
+    if boost:
+        scored_terms = [
+            (r["term"], float(r["score"]))
+            for r in interesting_terms_scored(
+                searcher, doc_id, max_query_terms, min_term_freq,
+                min_doc_freq,
+            ).collect()
+        ]
+        if not scored_terms:
+            return searcher.index.spark.createDataFrame(
+                [], f"doc_id long, score {searcher._score_type}"
+            )
+        best = max(s for _, s in scored_terms)
+        q = BooleanQuery(
+            [
+                BooleanClause(
+                    TermQuery(t, boost=boost_factor * s / best),
+                    "SHOULD",
+                )
+                for t, s in scored_terms
+            ]
+        )
+        scored = searcher.score(q).where(F.col("doc_id") != doc_id)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     terms = interesting_terms(
         searcher, doc_id, max_query_terms, min_term_freq, min_doc_freq
     )
