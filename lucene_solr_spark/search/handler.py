@@ -56,6 +56,7 @@ def select(
     func_now=None,
     filter_cache=None,
     q_op: str = "OR",
+    q_alt: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run one request; returns {"response": DataFrame, "facets": {field:
     DataFrame}, "next_cursor_mark": ...} (facet counts are over the full
@@ -101,6 +102,13 @@ def select(
     negative, percentage, conditional 'bound<spec') and ``tie`` the
     dismax tie-breaker.
     """
+    # q.alt (DisMaxQParser.getAlternateUserQuery, DisMaxQParser.java:
+    # 120-135): a blank/absent q falls back to the alternate query
+    # parsed with the STANDARD parser (typically '*:*' so fq-only
+    # requests match everything with constant scores)
+    if (q is None or not q.strip()) and q_alt is not None:
+        q = q_alt
+        def_type = "lucene"
     # q-side LocalParams dispatch (QParser.getParser registry):
     # {!lucene}body reroutes the string, {!boost b=f}body multiplies the
     # wrapped query's score by a ValueSource (BoostQParserPlugin.java),

@@ -515,3 +515,23 @@ def test_fl_doc_transformers(searcher):
         assert set(parts) <= {"error", "retry"}
         got = sum(float(v.replace(",", "")) for v in parts.values())
         assert abs(got - r["score"]) < 2e-3  # 4-decimal formatting
+
+
+def test_q_alt_blank_query_fallback(searcher):
+    """q.alt (DisMaxQParser.getAlternateUserQuery): blank q falls back
+    to the alternate query through the standard parser — the fq-only
+    request pattern (*:* + filters)."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        searcher, q="  ", q_alt="*:*", fq=["turn_idx >= 2"], rows=100,
+        def_type="dismax",
+    )["response"].collect()
+    want = searcher.index.docs.where("turn_idx >= 2").count()
+    assert len(out) == min(100, want) and want > 0
+    # all constant-score (MatchAllDocsQuery semantics)
+    assert len({r["score"] for r in out}) == 1
+    # a non-blank q ignores q.alt
+    a = select(searcher, q="error", q_alt="*:*", rows=100)["response"].count()
+    b = select(searcher, q="error", rows=100)["response"].count()
+    assert a == b
