@@ -1951,7 +1951,8 @@ def q_currency_range(spark, sf_dir):
     CurrencyField.java:738-755 + CurrencyValue): 'amount,CODE' values
     (USD/EUR/JPY rotating, JPY exercising the fraction-digit delta),
     converted to USD minor units through the provider rate table at
-    query time, kept when inside [20, 40] USD."""
+    query time, kept when inside [0.30, 250] USD — bounds chosen
+    so all three currency codes contribute rows at every sf."""
     from lucene_solr_spark.functions.currency import currency_range
 
     m = (F.col("doc_id") % 3).cast("int")
@@ -1967,7 +1968,7 @@ def q_currency_range(spark, sf_dir):
         ),
     )
     rates = {("EUR", "USD"): 1.08, ("JPY", "USD"): 0.0067}
-    out = currency_range(d, "price", 20.0, 40.0, "USD", rates)
+    out = currency_range(d, "price", 0.30, 250.0, "USD", rates)
     return out.select("doc_id", "converted_minor").orderBy("doc_id")
 
 
@@ -4461,7 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url": O.dedup_url(),
         "external_boost": O.external_boost("scan"),
         "preanalyzed_freq": O.length_filter_freq(1, 255, 20),
-        "currency_range": O.currency_range(20.0, 40.0),
+        "currency_range": O.currency_range(0.30, 250.0),
         "highlight_phrase": O.highlight_phrase(["key", "order"]),
         "stream_dedup": O.stream_dedup(),
         "pipeline_funnel": O.pipeline_funnel(),

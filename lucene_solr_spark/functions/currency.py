@@ -38,12 +38,16 @@ FRACTION_DIGITS = {
 
 def parse_currency(col: Column) -> Column:
     """'amount,CODE' -> struct(minor long, code string): the stored
-    long minor units (CurrencyValue.parse — amount scaled by the
-    code's fraction digits, truncated)."""
+    long minor units. CurrencyValue.parse (CurrencyField.java ~689)
+    uses Math.round(value * 10^digits) — half-up rounding, i.e.
+    floor(x + 0.5) — so binary-inexact decimals like 1.15 still store
+    115 cents."""
     amt = F.split(col, ",").getItem(0).try_cast("double")
     code = F.upper(F.trim(F.split(col, ",").getItem(1)))
     digits = _digits_col(code)
-    minor = F.floor(amt * F.pow(F.lit(10.0), digits)).cast("long")
+    minor = F.floor(
+        amt * F.pow(F.lit(10.0), digits) + F.lit(0.5)
+    ).cast("long")
     return F.struct(minor.alias("minor"), code.alias("code"))
 
 

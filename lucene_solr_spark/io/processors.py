@@ -160,10 +160,16 @@ def uuid_field(df: DataFrame, col: str, *key_cols: str) -> DataFrame:
     """UUIDUpdateProcessorFactory analogue. The reference assigns
     UUID.randomUUID(); in a replayable distributed ingest a random id
     breaks checkpoint-resume (the same row would get a new id on
-    retry), so this derives a name-based UUID (RFC 4122 version-3
-    layout) from the md5 of the key columns — deterministic, collision
-    behavior identical to the content hash."""
+    retry), so this derives a name-based UUID (RFC 4122 version 3,
+    like Java's UUID.nameUUIDFromBytes: version nibble forced to 3 AND
+    variant nibble forced to 8/9/a/b via (n & 0x3) | 0x8) from the md5
+    of the key columns — deterministic, collision behavior identical
+    to the content hash."""
     h = F.md5(F.concat_ws(" ", *[F.col(c).cast("string") for c in key_cols]))
+    # variant nibble: n -> 8 + (n & 3); as a hex-digit translation
+    variant = F.translate(
+        F.substring(h, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+    )
     return df.withColumn(
         col,
         F.concat_ws(
@@ -171,7 +177,7 @@ def uuid_field(df: DataFrame, col: str, *key_cols: str) -> DataFrame:
             F.substring(h, 1, 8),
             F.substring(h, 9, 4),
             F.concat(F.lit("3"), F.substring(h, 14, 3)),
-            F.substring(h, 17, 4),
+            F.concat(variant, F.substring(h, 18, 3)),
             F.substring(h, 21, 12),
         ),
     )

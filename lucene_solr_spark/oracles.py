@@ -3919,10 +3919,11 @@ FROM canon GROUP BY url_canonical ORDER BY url_canonical
 
 def currency_range(lower: float, upper: float, table: str = "documents") -> str:
     """CurrencyField twin: same synthesized 'n_chars.5,CODE' values,
-    minor units = floor(amount * 10^digits), converted to USD as
-    floor((minor * rate) * 10^(2 - srcDigits)), filtered on USD minor
-    bounds. Rates: EUR->USD 1.08, JPY->USD 0.0067 (JPY has 0 fraction
-    digits)."""
+    minor units = round-half-up(amount * 10^digits) per Math.round in
+    CurrencyValue.parse, converted to USD as floor((minor * rate) *
+    10^(2 - srcDigits)) (convertTo's (long) truncation), filtered on
+    USD minor bounds. Rates: EUR->USD 1.08, JPY->USD 0.0067 (JPY has
+    0 fraction digits)."""
     lo = int(lower * 100)
     hi = int(upper * 100)
     return f"""
@@ -3936,8 +3937,8 @@ WITH c AS (
 m AS (
   SELECT doc_id, code,
          CASE WHEN code = 'JPY'
-              THEN CAST(floor(amt) AS BIGINT)
-              ELSE CAST(floor(amt * 100.0) AS BIGINT) END AS minor
+              THEN CAST(floor(amt + 0.5) AS BIGINT)
+              ELSE CAST(floor(amt * 100.0 + 0.5) AS BIGINT) END AS minor
   FROM c
 ),
 conv AS (
@@ -3975,7 +3976,9 @@ SELECT doc_id, src_trim, text40, text_len,
   toks[-1] AS tok_last,
   CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
   substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3)
-    || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS uuid
+    || '-' || translate(substr(h, 17, 1),
+                        '0123456789abcdef', '89ab89ab89ab89ab')
+    || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
 FROM t ORDER BY doc_id
 """.strip()
 

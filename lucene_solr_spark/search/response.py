@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import json as _json
 from typing import Any
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 
 def _doc_rows(result: dict, fl: list[str] | None) -> tuple[list[dict], list[str]]:
@@ -99,7 +99,7 @@ def _xml_val(name: str, v: Any) -> str:
     else:
         tag = "str"
         txt = escape(str(v))
-    return f'<{tag} name="{escape(name)}">{txt}</{tag}>'
+    return f'<{tag} name={quoteattr(str(name))}>{txt}</{tag}>'
 
 
 def write_xml(
@@ -121,7 +121,7 @@ def write_xml(
         parts.append('<lst name="params">')
         for k, v in params.items():
             parts.append(
-                f'<str name="{escape(str(k))}">{escape(str(v))}</str>'
+                f'<str name={quoteattr(str(k))}>{escape(str(v))}</str>'
             )
         parts.append("</lst>")
     parts.append("</lst>")

@@ -6,12 +6,12 @@ rest; a training-data INGEST stream needs the same guarantee online.
 Reference anchor: SignatureUpdateProcessorFactory (solr/core/.../
 update/processor/SignatureUpdateProcessorFactory.java) runs per added
 document at ingest; Structured Streaming's analogue is
-``dropDuplicates`` over the signature with a watermark bounding the
-dedup state (without the watermark, state grows with every distinct
-signature ever seen — unbounded at 10^12 turns; with it, Spark evicts
-signatures older than the horizon, trading cross-horizon duplicate
-detection for O(window) state — the standard streaming-dedup
-contract).
+``dropDuplicatesWithinWatermark`` over the signature (without
+watermark-scoped eviction, state grows with every distinct signature
+ever seen — unbounded at 10^12 turns; with it, Spark evicts
+signatures once the watermark passes their event time, trading
+cross-horizon duplicate detection for O(window) state — the standard
+streaming-dedup contract).
 
 ``first_occurrences_batch`` is the batch twin: the exact set a
 perfectly-ordered stream (no late data beyond the watermark) must
@@ -41,16 +41,25 @@ def deduped_stream(
     signature_col: str | None = None,
 ) -> DataFrame:
     """Streaming dedup: first arrival per signature inside the
-    watermark horizon passes, later duplicates drop. State is bounded
-    by the watermark (dropDuplicates + withWatermark — Spark evicts
-    keys older than the horizon)."""
+    watermark horizon passes, later duplicates drop.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): plain
+    ``dropDuplicates([sig])`` only evicts state when the event-time
+    column is PART of the dedup subset, so keyed-by-signature state
+    would grow with every distinct signature ever seen — exactly the
+    unbounded failure mode this module exists to avoid. The
+    WithinWatermark variant keys state by the subset but expires each
+    key once the watermark passes its event time, giving the stated
+    O(window) state bound."""
     d = (
         stream_df
         if signature_col
         else with_signature(stream_df, text_col)
     )
     sig = signature_col or "fingerprint"
-    return d.withWatermark(ts_col, watermark).dropDuplicates([sig])
+    return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [sig]
+    )
 
 
 def first_occurrences_batch(

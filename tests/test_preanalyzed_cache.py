@@ -186,7 +186,18 @@ def test_currency_field_conversion(spark):
     # JPY minor units are whole yen; digit delta +2: 1000 yen * 0.01
     # = 10 USD = 1000 cents
     assert out[3] == (1000, "JPY", 1000)
-    assert out[4][0] == 399  # parse truncates sub-cent digits
+    # parse uses Math.round (CurrencyField.java:689): 3.999 -> 400,
+    # and binary-inexact 1.15 must still store 115 (floor would: 114)
+    assert out[4][0] == 400
+    extra = df.sparkSession.createDataFrame(
+        [(10, "1.15,USD"), (11, "0.29,USD")], "id int, price string"
+    )
+    pc = parse_currency(F.col("price"))
+    got = {
+        r["id"]: r["m"]
+        for r in extra.select("id", pc["minor"].alias("m")).collect()
+    }
+    assert got == {10: 115, 11: 29}
     assert out[5][2] is None  # missing rate never guesses
     kept = {
         r["id"]

@@ -176,10 +176,13 @@ def test_field_mutating_chain(spark):
     assert r["n_vals"] == 2
     assert r["blank"] is None
     assert r["miss"] == "dflt"
-    # name-based UUID: md5("1 pad") in RFC-4122 v3 layout
+    # name-based UUID: md5("1 pad") in RFC-4122 v3 layout, variant
+    # nibble forced to 8/9/a/b like UUID.nameUUIDFromBytes
     h = hashlib.md5(b"1 pad").hexdigest()
-    expect = f"{h[:8]}-{h[8:12]}-3{h[13:16]}-{h[16:20]}-{h[20:32]}"
+    var = "89ab89ab89ab89ab"[int(h[16], 16)]
+    expect = f"{h[:8]}-{h[8:12]}-3{h[13:16]}-{var}{h[17:20]}-{h[20:32]}"
     assert r["uuid"] == expect
+    assert expect[19] in "89ab"
     assert r["ts"] is not None
 
 
