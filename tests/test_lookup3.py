@@ -65,3 +65,49 @@ def test_signature_dedup_lookup3_spark(spark):
     assert set(rows) == {7, 3}  # last-wins per signature
     assert rows[7]["n_docs"] == 2
     assert rows[7]["signature"] == lookup3_signature("same text")
+
+
+def test_batch_kernel_bit_equals_scalar():
+    """The vectorized lockstep kernel must be bit-identical to the
+    scalar reference walk: lengths straddling every n%3 case, empty
+    strings, astral code points, scalar AND per-string chained
+    initvals."""
+    import random
+
+    import numpy as np
+
+    from lucene_solr_spark.functions.lookup3 import (
+        lookup3ycs64,
+        lookup3ycs64_batch,
+    )
+
+    rng = random.Random(42)
+    texts = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef"]
+    for _ in range(200):
+        n = rng.randrange(0, 40)
+        texts.append(
+            "".join(
+                chr(
+                    rng.choice(
+                        [
+                            rng.randrange(32, 127),
+                            rng.randrange(0x4E00, 0x9FFF),
+                            rng.randrange(0x10000, 0x10400),
+                        ]
+                    )
+                )
+                for _ in range(n)
+            )
+        )
+    for iv in (0, 1, 0xDEADBEEF, (1 << 63) | 12345):
+        expect = np.array(
+            [lookup3ycs64(t, iv) for t in texts], dtype=np.uint64
+        )
+        assert (lookup3ycs64_batch(texts, iv) == expect).all()
+    # chained (vector initval) — the multi-field signature case
+    prev = np.array([lookup3ycs64(t, 0) for t in texts], dtype=np.uint64)
+    expect = np.array(
+        [lookup3ycs64(t, int(p)) for t, p in zip(texts, prev)],
+        dtype=np.uint64,
+    )
+    assert (lookup3ycs64_batch(texts, prev) == expect).all()
