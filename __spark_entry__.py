@@ -940,6 +940,62 @@ def q_auto_stopword_freq(spark, sf_dir):
     )
 
 
+def _phonetic_code_freq(spark, sf_dir, **analyzer_kwargs):
+    """Shared body for the phonetic-code frequency gates: run the
+    analyzer with the given phonetic slot over documents.text, count
+    the emitted terms, top-20 by (cnt desc, term asc)."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(**analyzer_kwargs)
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_phonetic_metaphone_freq(spark, sf_dir):
+    """PhoneticFilter with the Metaphone encoder, inject=false — the
+    PhoneticFilterFactory DEFAULT encoder family (lucene/analysis/
+    phonetic/.../PhoneticFilterFactory.java; Philips 1990 rule set,
+    code length 4): top-20 metaphone codes over the post-stop stream.
+    Rule program isn't SQL-expressible — VALUES-pinned oracle
+    (tools/pin_oracles.py), encoder pinned by published vectors in
+    tests/test_metaphone.py."""
+    return _phonetic_code_freq(
+        spark, sf_dir, phonetic="metaphone", phonetic_inject=False
+    )
+
+
+def q_phonetic_dmetaphone_freq(spark, sf_dir):
+    """DoubleMetaphoneFilter, inject=false (DoubleMetaphoneFilter.java:
+    50-107: primary + differing alternate at the same position, tokens
+    with no encoding pass through): top-20 codes over the post-stop
+    stream. VALUES-pinned oracle; the encoder is pinned by the
+    reference's own DoubleMetaphoneFilterTest vectors in
+    tests/test_metaphone.py."""
+    return _phonetic_code_freq(
+        spark,
+        sf_dir,
+        phonetic="double_metaphone",
+        phonetic_inject=False,
+    )
+
+
 def q_phonetic_freq(spark, sf_dir):
     """PhoneticFilter with the Soundex encoder, inject=false
     (lucene/analysis/phonetic/.../PhoneticFilter.java + commons-codec
@@ -4091,6 +4147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimal_stem_freq": q_minimal_stem_freq,
         "auto_stopword_freq": q_auto_stopword_freq,
         "phonetic_freq": q_phonetic_freq,
+        "phonetic_metaphone_freq": q_phonetic_metaphone_freq,
+        "phonetic_dmetaphone_freq": q_phonetic_dmetaphone_freq,
         "compound_freq": q_compound_freq,
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
@@ -4314,6 +4372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows+schema+hash green), so round 5's window is 100% first-time
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
+        # added this session — newest first
+        "phonetic_metaphone_freq",
+        "phonetic_dmetaphone_freq",
         # ex-rows-only, now VALUES-pinned (tools/pin_oracles.py)
         "knn_ivf_kmeans",
         "result_clustering",

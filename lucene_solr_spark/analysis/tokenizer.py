@@ -698,9 +698,18 @@ def make_analyzer(
             raise ValueError(
                 "phonetic cannot combine with gram/shape filters"
             )
-        from .phonetic import make_phonetic_filter
+        if phonetic == "double_metaphone":
+            # the dedicated filter (DoubleMetaphoneFilter.java): emits
+            # primary AND alternate encodings, not just primary
+            from .phonetic import make_double_metaphone_filter
 
-        phon_fn = make_phonetic_filter(phonetic, phonetic_inject)
+            phon_fn = make_double_metaphone_filter(
+                inject=phonetic_inject
+            )
+        else:
+            from .phonetic import make_phonetic_filter
+
+            phon_fn = make_phonetic_filter(phonetic, phonetic_inject)
     comp_fn = None
     if compound is not None:
         if ngram or edge_ngram or shingle or cjk_bigram or \
