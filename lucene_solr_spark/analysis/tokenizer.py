@@ -552,6 +552,7 @@ def make_analyzer(
     phonetic_inject: bool = True,
     compound: frozenset[str] | None = None,
     compound_longest: bool = False,
+    hyphenator=None,
     fold: bool = False,
     stop: bool = True,
     ngram: tuple[int, int] | None = None,
@@ -711,15 +712,26 @@ def make_analyzer(
 
             phon_fn = make_phonetic_filter(phonetic, phonetic_inject)
     comp_fn = None
-    if compound is not None:
+    if compound is not None or hyphenator is not None:
         if ngram or edge_ngram or shingle or cjk_bigram or \
                 word_delimiter or common_grams or phonetic:
             raise ValueError(
                 "compound cannot combine with gram/shape/phonetic filters"
             )
-        comp_fn = make_compound_filter(
-            compound, only_longest_match=compound_longest
-        )
+        if hyphenator is not None:
+            # HyphenationCompoundWordTokenFilter slot: grammar-based
+            # splitting, the ``compound`` set (if any) as its dictionary
+            from .hyphenation import make_hyphenation_compound_filter
+
+            comp_fn = make_hyphenation_compound_filter(
+                hyphenator,
+                dictionary=compound,
+                only_longest_match=compound_longest,
+            )
+        else:
+            comp_fn = make_compound_filter(
+                compound, only_longest_match=compound_longest
+            )
 
     def run(text: str) -> tuple[list[str], list[int]]:
         if common_grams:

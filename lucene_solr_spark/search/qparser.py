@@ -77,23 +77,69 @@ class QueryParseError(ValueError):
     pass
 
 
-def _word_query(word: str, boost: float) -> Query | None:
+_WILDCARD_SPLIT_RX = re.compile(r"((?<!\\)[*?])")
+
+
+def _analyze_single_chunk(chunk: str, analyzer) -> str:
+    """AnalyzingQueryParser.analyzeSingleChunk (lucene/queryparser/src/
+    java/org/apache/lucene/queryparser/analyzing/AnalyzingQueryParser.java
+    :141-186): each non-wildcard fragment of a multiterm must analyze to
+    EXACTLY one token — zero (swallowed by a stop/length filter) or
+    several (chain splits it) is a ParseException in the reference."""
+    terms, _ = analyzer(_unescape(chunk))
+    if len(terms) != 1:
+        raise QueryParseError(
+            f"analyzer produced {len(terms)} tokens for multiterm chunk "
+            f"{chunk!r} (AnalyzingQueryParser requires exactly 1)"
+        )
+    return terms[0]
+
+
+def _word_query(word: str, boost: float, analyzer=None) -> Query | None:
     """One bare word -> Term/Prefix/Wildcard/Fuzzy query, analyzed.
     Escaped specials ('\\*', '\\~', '\\?') are literals: they never
-    trigger the wildcard/fuzzy readings (QueryParser.jj escaping)."""
+    trigger the wildcard/fuzzy readings (QueryParser.jj escaping).
+
+    ``analyzer=None`` is classic QueryParser behavior: term/fuzzy slots
+    run through the default chain, wildcard/prefix slots are merely
+    lowercased. Passing the index's analyzer chain gives
+    AnalyzingQueryParser semantics (AnalyzingQueryParser.java:44-120):
+    the non-wildcard fragments run through the SAME chain the index was
+    built with, so a folded/stemmed store matches ('Résumé*' ->
+    'resume*', 'tables*' -> 'table*' under a stemming chain)."""
+    an = analyzer if analyzer is not None else analyze
     m = re.fullmatch(r"(?P<body>.+?)(?<!\\)~(?P<edits>\d*)", word)
     if m:
-        terms, _ = analyze(_unescape(m.group("body")))
+        terms, _ = an(_unescape(m.group("body")))
         if not terms:
             return None
         edits = int(m.group("edits") or 2)
         return FuzzyQuery(terms[0], edits, boost)
     if re.search(r"(?<!\\)[*?]", word):
-        low = word.lower()
-        if re.fullmatch(r"(?:\\.|[^*?\\])+\*", low):
-            return PrefixQuery(_unescape(low[:-1]), boost)
-        return WildcardQuery(low, boost)  # executor honors '\' escapes
-    terms, _ = analyze(_unescape(word))
+        if analyzer is None:
+            low = word.lower()
+            if re.fullmatch(r"(?:\\.|[^*?\\])+\*", low):
+                return PrefixQuery(_unescape(low[:-1]), boost)
+            return WildcardQuery(low, boost)  # executor honors '\' escapes
+        # AnalyzingQueryParser.getWildcardQuery: split on unescaped
+        # wildcard operators, analyze each fragment, reassemble
+        parts = [
+            p
+            for p in _WILDCARD_SPLIT_RX.split(word)
+            if p != ""
+        ]
+        out = [
+            p if p in ("*", "?") else _analyze_single_chunk(p, an)
+            for p in parts
+        ]
+        if (
+            len(out) == 2
+            and out[1] == "*"
+            and out[0] not in ("*", "?")
+        ):
+            return PrefixQuery(out[0], boost)
+        return WildcardQuery("".join(out), boost)
+    terms, _ = an(_unescape(word))
     if not terms:
         return None  # pure stopword -> dropped clause, like Lucene
     if len(terms) == 1:
@@ -102,7 +148,9 @@ def _word_query(word: str, boost: float) -> Query | None:
     return PhraseQuery(terms, 0, boost)
 
 
-def parse_lucene(q: str, default_op: str = "OR") -> Query:
+def parse_lucene(
+    q: str, default_op: str = "OR", analyzer=None
+) -> Query:
     """Parse the classic-syntax subset into a Query AST.
 
     ``default_op`` is Solr's q.op / QueryParser.setDefaultOperator
@@ -110,7 +158,11 @@ def parse_lucene(q: str, default_op: str = "OR") -> Query:
     with AND, bare terms become MUST; an explicit OR between clauses
     makes the PRECEDING required term optional again, and an explicit
     AND upgrades the preceding optional term — both directions of the
-    addClause retro-fix."""
+    addClause retro-fix.
+
+    ``analyzer`` (a ``make_analyzer`` chain) switches term/phrase/fuzzy
+    slots to that chain and — the AnalyzingQueryParser delta — runs
+    prefix/wildcard fragments through it too (see ``parse_analyzing``)."""
     toks = []
     pos = 0
     while pos < len(q):
@@ -210,7 +262,9 @@ def parse_lucene(q: str, default_op: str = "OR") -> Query:
                         )
                     )
             elif m.group("phrase"):
-                terms, _ = analyze(_unescape(m.group("phbody")))
+                terms, _ = (analyzer or analyze)(
+                    _unescape(m.group("phbody"))
+                )
                 slop = int(m.group("phslop") or 0)
                 if terms:
                     push(PhraseQuery(terms, slop, boost))
@@ -231,13 +285,13 @@ def parse_lucene(q: str, default_op: str = "OR") -> Query:
             elif m.group("fielded"):
                 fld, fval = m.group("fielded"), m.group("fval")
                 if fld == "text":
-                    push(_word_query(fval, boost))
+                    push(_word_query(fval, boost, analyzer))
                 else:
                     # Solr fielded clause over a non-text column
                     # (StrField/TrieField exact match)
                     push(FieldTermQuery(fld, _unescape(fval), boost))
             elif m.group("word"):
-                push(_word_query(m.group("word"), boost))
+                push(_word_query(m.group("word"), boost, analyzer))
             i += 1
         if depth != 0:
             raise QueryParseError("unbalanced (")
@@ -245,6 +299,23 @@ def parse_lucene(q: str, default_op: str = "OR") -> Query:
 
     query, _ = build(0, 0)
     return query
+
+
+def parse_analyzing(
+    q: str, analyzer, default_op: str = "OR"
+) -> Query:
+    """AnalyzingQueryParser (lucene/queryparser/src/java/org/apache/
+    lucene/queryparser/analyzing/AnalyzingQueryParser.java:44-120):
+    classic syntax, but the WILDCARD/PREFIX/FUZZY slots run their
+    non-operator fragments through the supplied analyzer chain before
+    dictionary expansion, instead of the classic parser's bare
+    lowercase. Against an index built with a folding/stemming chain
+    this is the parser that actually matches what was indexed:
+    'Résumé*' -> 'resume*' under fold=True, 'tables*' -> 'table*'
+    under a stemming chain. A fragment that analyzes to zero or
+    several tokens raises QueryParseError, mirroring the reference's
+    ParseException (analyzeSingleChunk, :141-186)."""
+    return parse_lucene(q, default_op=default_op, analyzer=analyzer)
 
 
 def _boosted(q: Query, boost: float) -> Query:

@@ -33,25 +33,78 @@ a shuffle engine):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..index.segments import DECODED_SCHEMA, SegmentIndex, _decode_partitions
 from .executor import Searcher
 
-# The two-phase seed-then-prune walk costs an extra sequential Spark job
-# (mapInPandas decode + collect) before the survivor job. It only wins
-# when the decode work it can skip exceeds that fixed overhead — i.e.
-# when the candidate splits are many AND their postings volume is real.
-# Below either floor, score every candidate in ONE job instead: still
-# exact, same results, and the small-index case stops paying 3
-# sequential jobs of pure overhead. Lucene floors skip lists the same
-# way on tiny segments (skipInterval in Lucene40SkipListWriter).
+# ---- cost model for the seed-then-prune engagement decision -----------
+# The two-phase walk adds one extra SEQUENTIAL Spark job (seed decode +
+# driver collect) before the survivor job. It wins only when the decode
+# work the metadata PREDICTS it can skip repays that fixed overhead.
+# Both sides of the comparison are MEASURED, not guessed
+# (tools/calibrate_wand.py; numbers recorded in BENCH.md):
+#   _JOB_OVERHEAD_SEC        — scheduling+collect latency of one extra
+#                              job on this master (local[8] calibration)
+#   _DECODE_POSTINGS_PER_SEC — decode+score+agg throughput of the
+#                              exhaustive one-shot path
+#   _THETA_FRACTION          — conservative (low-quantile) ratio of the
+#                              observed seed threshold θ to the best
+#                              split's bound across the headline query
+#                              set; predicted savings count only splits
+#                              whose bound falls below θ̂ = frac·best,
+#                              so the prediction UNDER-estimates and a
+#                              predicted win is trustworthy.
+# The decision uses ONLY the per-(split) block metadata the bound pass
+# already collected — no extra scan. Deployments override via env: a
+# real cluster has different job latency and per-core decode rate.
 # ``force_prune=True`` (tests, plan audits) always runs the two-phase
-# walk. The num_docs decode-volume proxy is free: the metadata pass
-# already reads every block row.
-_SEED_MIN_SPLITS = 4
-_SEED_MIN_POSTINGS = 200_000
+# walk. Lucene floors skip lists on tiny segments the same way
+# (skipInterval in Lucene40SkipListWriter.java:53-93); this replaces
+# round-4's fixed _SEED_MIN_SPLITS/_SEED_MIN_POSTINGS constants with
+# the measured break-even point.
+# Defaults measured 2026-08-19 on local[8] over the sf0.1 gate segment
+# store (split_range=128): job overhead median 0.22 s; marginal decode
+# throughput 12.8-13.8k postings/s (Δpostings/Δwall between 4- and
+# 8-term one-shot runs — tiny 128-doc blocks put per-block Arrow/Python
+# overhead in the marginal cost, which is exactly what the one-shot
+# path pays here); realized θ/best-bound 0.705-0.821 over the headline
+# OR/AND set → 0.8×min = 0.56. A production store (2^20-doc splits,
+# larger blocks, JVM-side scheduling) has very different values — set
+# the env overrides from tools/calibrate_wand.py on the target cluster.
+_JOB_OVERHEAD_SEC = float(os.environ.get("LSS_WAND_JOB_OVERHEAD_SEC", "0.22"))
+_DECODE_POSTINGS_PER_SEC = float(
+    os.environ.get("LSS_WAND_DECODE_RATE", "13000")
+)
+_THETA_FRACTION = float(os.environ.get("LSS_WAND_THETA_FRACTION", "0.56"))
+
+
+def overhead_eq_postings() -> float:
+    """Fixed cost of the extra sequential job, in postings-equivalents."""
+    return _JOB_OVERHEAD_SEC * _DECODE_POSTINGS_PER_SEC
+
+
+def predicted_saving_postings(cands: list[tuple[float, int]]) -> int:
+    """Metadata-predicted decode savings of the seed-then-prune walk.
+
+    ``cands`` is [(score_upper_bound, num_postings)] sorted bound-desc.
+    A split is predicted prunable when its bound cannot reach the
+    conservative threshold estimate θ̂ = _THETA_FRACTION · best_bound
+    (the seed split itself is always decoded)."""
+    if len(cands) < 2:
+        return 0
+    theta_hat = float(cands[0][0]) * _THETA_FRACTION
+    return sum(int(nd) for ub, nd in cands[1:] if float(ub) < theta_hat)
+
+
+def seed_walk_predicted_win(cands: list[tuple[float, int]]) -> bool:
+    """True iff the metadata cost model predicts the two-phase walk
+    beats the one-shot decode: predicted skipped postings must repay
+    the extra job's fixed overhead."""
+    return predicted_saving_postings(cands) > overhead_eq_postings()
 
 
 def wand_or_search(
@@ -136,9 +189,8 @@ def wand_or_search(
         scored = searcher._apply_score_col(decoded, weights)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
-    if not force_prune and (
-        len(splits_desc) <= _SEED_MIN_SPLITS
-        or sum(int(r["nd"]) for r in splits_desc) <= _SEED_MIN_POSTINGS
+    if not force_prune and not seed_walk_predicted_win(
+        [(float(r["tot"]), int(r["nd"])) for r in splits_desc]
     ):
         return (
             score_splits([int(r["split"]) for r in splits_desc])
@@ -311,9 +363,8 @@ def wand_and_search(
             .select("doc_id", "score")
         )
 
-    if not force_prune and (
-        len(candidates) <= _SEED_MIN_SPLITS
-        or sum(int(r["nd"]) for r in candidates) <= _SEED_MIN_POSTINGS
+    if not force_prune and not seed_walk_predicted_win(
+        [(float(r["tot"]), int(r["nd"])) for r in candidates]
     ):
         if stats_out is not None:
             stats_out["splits_decoded"] = len(candidates)
@@ -469,14 +520,12 @@ def wand_phrase_search(
     )
     cache64 = searcher.cache64
     candidates = []
-    cand_nd = 0
     for r in per_split:
         if r["nt"] != n:
             continue
         tf_ub = float(r["tf_ub"])
         ub = weight * tf_ub / (tf_ub + float(cache64[int(r["nb_min"])]))
-        candidates.append((int(r["split"]), ub))
-        cand_nd += int(r["nd"])
+        candidates.append((int(r["split"]), ub, int(r["nd"])))
     candidates.sort(key=lambda t: -t[1])
     if stats_out is not None:
         stats_out.update(
@@ -495,14 +544,13 @@ def wand_phrase_search(
         view = _SplitView(index, split_ids)
         return Searcher(view, searcher.exact).score(q)
 
-    if not force_prune and (
-        len(candidates) <= _SEED_MIN_SPLITS
-        or cand_nd <= _SEED_MIN_POSTINGS
+    if not force_prune and not seed_walk_predicted_win(
+        [(ub, nd) for _, ub, nd in candidates]
     ):
         if stats_out is not None:
             stats_out["splits_decoded"] = len(candidates)
         return (
-            score_splits([s for s, _ in candidates])
+            score_splits([s for s, _, _ in candidates])
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
@@ -519,7 +567,7 @@ def wand_phrase_search(
     )
     survivors = [
         s
-        for s, ub in candidates
+        for s, ub, _ in candidates
         if s != seed_split and ub * (1.0 + 1e-6) + 1e-12 >= theta
     ]
     if stats_out is not None:

@@ -523,15 +523,36 @@ def test_wand_and_prunes_splits_on_skewed_corpus(spark, tmp_path):
     assert stats["splits_decoded"] < stats["splits_all"], stats
     # the hot split alone should satisfy top-10 here
     assert stats["splits_decoded"] == 1, stats
-    # adaptive default on this tiny corpus: postings volume is under
-    # the seeding floor, so the one-job shortcut decodes every
-    # candidate — identical results, no seed job
-    stats2: dict = {}
-    got2 = wand_and_search(
-        s, ["alpha", "beta"], 10, stats_out=stats2
-    ).collect()
+    # cost-model default: when the metadata predicts the seed walk
+    # cannot repay its extra job (overhead forced sky-high), the
+    # one-job shortcut decodes every candidate — identical results
+    from lucene_solr_spark.search import wand as W
+
+    old = W._JOB_OVERHEAD_SEC
+    W._JOB_OVERHEAD_SEC = 1e9
+    try:
+        stats2: dict = {}
+        got2 = wand_and_search(
+            s, ["alpha", "beta"], 10, stats_out=stats2
+        ).collect()
+    finally:
+        W._JOB_OVERHEAD_SEC = old
     assert [r["doc_id"] for r in got2] == [r["doc_id"] for r in want]
     assert stats2["splits_decoded"] == stats2["splits_all"] == 19
+    # ... and when the model predicts a win (overhead zero, every
+    # below-bound split counts as prunable), the walk engages on its
+    # own — this skewed corpus IS a predicted win with the measured
+    # defaults too (cold splits' postings > break-even)
+    W._JOB_OVERHEAD_SEC = 0.0
+    try:
+        stats3: dict = {}
+        got3 = wand_and_search(
+            s, ["alpha", "beta"], 10, stats_out=stats3
+        ).collect()
+    finally:
+        W._JOB_OVERHEAD_SEC = old
+    assert [r["doc_id"] for r in got3] == [r["doc_id"] for r in want]
+    assert stats3["splits_decoded"] < stats3["splits_all"]
 
 
 def test_wand_and_absent_term_empty(seg_index_splits):
