@@ -1065,6 +1065,86 @@ def q_compound_freq(spark, sf_dir):
     )
 
 
+def q_hyphenation_compound_freq(spark, sf_dir):
+    """HyphenationCompoundWordTokenFilter (lucene/analysis/common/.../
+    compound/HyphenationCompoundWordTokenFilter.java:168-236 +
+    hyphenation/HyphenationTree.java:315-405): Liang patterns
+    '1scan'/'1merge' put a break before each embedded dictionary word;
+    subwords between hyphenation points that the dictionary holds —
+    directly or one char shorter (the genitive-s branch, via
+    lang||'sscan') — join the stream. 'zh' is left OUT of the
+    dictionary (its subword is dropped), and source||'merge' carries a
+    digit so the hyphenator returns null for it (original passes
+    through undecomposed). Top-20 terms by count."""
+    from lucene_solr_spark.analysis.hyphenation import HyphenationTree
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(
+        hyphenator=HyphenationTree(["1scan", "1merge"]),
+        compound=frozenset({"en", "es", "de", "fr", "scan", "merge"}),
+        stop=False,
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat_ws(
+            " ",
+            F.concat(F.col("lang"), F.lit("scan")),
+            F.concat(F.col("source"), F.lit("merge")),
+            F.concat(F.col("lang"), F.lit("sscan")),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_ANALYZING_IDX_CACHE: dict = {}
+
+
+def q_analyzing_wildcard(spark, sf_dir):
+    """AnalyzingQueryParser (lucene/queryparser/.../analyzing/
+    AnalyzingQueryParser.java:44-186): 'tables*' against an index
+    built with the S-stemming chain analyzes the wildcard fragment to
+    'table', so the prefix matches the STEMMED dictionary — docs
+    holding 'table' or the synthesized 'tables'. The classic parser's
+    bare-lowercase PrefixQuery('tables') matches nothing in that
+    store; this gate returns the analyzed parser's doc set."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+    from lucene_solr_spark.search.qparser import parse_analyzing
+
+    an = make_analyzer(minimal_stem=True)
+    idx = _ANALYZING_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" tables")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        idx = build_index(spark, docs, analyzer=an, cache=True)
+        _ANALYZING_IDX_CACHE[sf_dir] = idx
+    s = Searcher(idx)
+    q = parse_analyzing("tables*", an)
+    return s.score(q).select("doc_id").distinct()
+
+
 def q_pattern_replace_freq(spark, sf_dir):
     """PatternReplaceFilter (lucene/analysis/common/.../pattern/
     PatternReplaceFilter.java, replaceAll): digits -> '#', then top-20
@@ -4122,6 +4202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "Done = ... green in CORRECTNESS_r04" criteria — they outrank
     # everything else in the window (see the reorder after the dict).
     base = {
+        # --- new in round 5 ---
+        "hyphenation_compound_freq": q_hyphenation_compound_freq,
+        "analyzing_wildcard": q_analyzing_wildcard,
         # --- new in round 4 (latest session first: driver window ~50) ---
         "mlt_boost": q_mlt_boost,
         "analysis_doc": q_analysis_doc,
@@ -4373,9 +4456,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "hyphenation_compound_freq",
+        "analyzing_wildcard",
         "phonetic_metaphone_freq",
         "phonetic_dmetaphone_freq",
-        # ex-rows-only, now VALUES-pinned (tools/pin_oracles.py)
+        # ex-rows-only, now VALUES-pinned (tools/pin_oracles.py) —
+        # including the four that carried err:"no_oracle" driver rows
+        # in r4; a window re-check flips them to full-value green
+        "check_index",
+        "doc_routing",
+        "signature_lookup3",
+        "image_features",
         "knn_ivf_kmeans",
         "result_clustering",
         "audio_features",
@@ -4629,6 +4720,8 @@ def oracle_sql() -> dict[str, str]:
         "auto_stopword_freq": O.auto_stopword_freq(0.78, 20),
         "phonetic_freq": O.phonetic_freq(20),
         "compound_freq": O.compound_freq(20),
+        "hyphenation_compound_freq": O.hyphenation_compound_freq(20),
+        "analyzing_wildcard": O.analyzing_wildcard(),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

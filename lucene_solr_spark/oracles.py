@@ -4731,6 +4731,113 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def hyphenation_compound_freq(k: int = 20, table: str = "documents") -> str:
+    """HyphenationCompoundWordTokenFilter twin over synthesized
+    compounds (lang||'scan', source||'merge', lang||'sscan') with Liang
+    patterns '1scan'/'1merge': a single break lands before the first
+    embedded pattern word when the token is all letters (a digit makes
+    the hyphenator return null — source tokens pass undecomposed).
+    Each point pair emits its substring when the dictionary holds it,
+    or the substring one char shorter (the genitive-s branch). 'zh' is
+    excluded from the dictionary."""
+    dict_words = ["en", "es", "de", "fr", "scan", "merge"]
+    wl = ", ".join(f"('{w}')" for w in dict_words)
+    return f"""
+WITH toks AS (
+  SELECT lang || 'scan' AS tok FROM {table}
+  UNION ALL SELECT source || 'merge' FROM {table}
+  UNION ALL SELECT lang || 'sscan' FROM {table}
+),
+dict(w) AS (VALUES {wl}),
+parts AS (
+  SELECT tok,
+         CASE
+           WHEN NOT regexp_matches(tok, '^[a-z]+$') THEN NULL
+           WHEN strpos(tok, 'scan') > 1 THEN strpos(tok, 'scan') - 1
+           WHEN strpos(tok, 'merge') > 1 THEN strpos(tok, 'merge') - 1
+           ELSE NULL
+         END AS brk
+  FROM toks
+),
+subs AS (
+  -- point pair (0, brk): head, else head one char shorter
+  SELECT CASE
+           WHEN substr(tok, 1, brk) IN (SELECT w FROM dict)
+           THEN substr(tok, 1, brk)
+           WHEN substr(tok, 1, brk - 1) IN (SELECT w FROM dict)
+           THEN substr(tok, 1, brk - 1)
+         END AS term
+  FROM parts WHERE brk IS NOT NULL AND brk >= 2
+  UNION ALL
+  -- point pair (0, len): whole word (never in dict here, kept for
+  -- semantic faithfulness)
+  SELECT CASE
+           WHEN tok IN (SELECT w FROM dict) THEN tok
+           WHEN substr(tok, 1, length(tok) - 1) IN (SELECT w FROM dict)
+           THEN substr(tok, 1, length(tok) - 1)
+         END
+  FROM parts WHERE brk IS NOT NULL
+  UNION ALL
+  -- point pair (brk, len): tail, else tail one char shorter
+  SELECT CASE
+           WHEN substr(tok, brk + 1) IN (SELECT w FROM dict)
+           THEN substr(tok, brk + 1)
+           WHEN substr(tok, brk + 1, length(tok) - brk - 1)
+                IN (SELECT w FROM dict)
+           THEN substr(tok, brk + 1, length(tok) - brk - 1)
+         END
+  FROM parts WHERE brk IS NOT NULL AND length(tok) - brk >= 2
+),
+allt AS (
+  SELECT tok AS term FROM toks
+  UNION ALL SELECT term FROM subs WHERE term IS NOT NULL
+)
+SELECT term, count(*) AS cnt FROM allt
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def analyzing_wildcard(table: str = "documents") -> str:
+    """AnalyzingQueryParser twin: 'tables*' S-stems its fragment to
+    'table', so the match set is every doc (after the doc_id%7
+    'tables' augmentation) holding a token whose S-stem starts with
+    'table'. The CASE replicates EnglishMinimalStemmer.java:25-46:
+    keep -us/-ss; 'ies'->'y' unless preceded by a/e; keep -es after
+    i/a/o/e; else drop the final s."""
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' tables' ELSE text END
+           AS t
+  FROM {table}
+)
+SELECT DISTINCT doc_id FROM aug d
+WHERE EXISTS (
+  SELECT 1 FROM unnest(string_split(d.t, ' ')) AS u(tok)
+  WHERE (CASE
+          WHEN length(tok) >= 3 AND tok LIKE '%s'
+               AND substr(tok, length(tok) - 1, 1) NOT IN ('u', 's')
+          THEN CASE
+                 WHEN substr(tok, length(tok) - 1, 1) = 'e'
+                 THEN CASE
+                        WHEN length(tok) > 3
+                             AND substr(tok, length(tok) - 2, 1) = 'i'
+                             AND substr(tok, length(tok) - 3, 1)
+                                 NOT IN ('a', 'e')
+                        THEN substr(tok, 1, length(tok) - 3) || 'y'
+                        WHEN substr(tok, length(tok) - 2, 1)
+                             IN ('i', 'a', 'o', 'e')
+                        THEN tok
+                        ELSE substr(tok, 1, length(tok) - 1)
+                      END
+                 ELSE substr(tok, 1, length(tok) - 1)
+               END
+          ELSE tok
+        END) LIKE 'table%'
+)
+""".strip()
+
+
 def pattern_replace_freq(
     pattern: str, repl: str, k: int = 20, table: str = "documents"
 ) -> str:
