@@ -3707,6 +3707,53 @@ def q_facet_taxonomy(spark, sf_dir):
     return l1.unionByName(l2).orderBy("path")
 
 
+def q_extendable_prefix(spark, sf_dir):
+    """ExtendableQueryParser (lucene/queryparser/.../ext/
+    ExtendableQueryParser.java:44-120): the 'text:prefix:sc' field
+    symbol splits at the extension delimiter; the registered prefix
+    ParserExtension receives the raw clause text and builds the query —
+    the doc set must equal PrefixQuery('sc')."""
+    from lucene_solr_spark.search.qparser import parse_extendable
+    from lucene_solr_spark.search.query import PrefixQuery as PQ
+
+    s = _searcher(spark, sf_dir)
+    q = parse_extendable(
+        "text:prefix:sc", {"prefix": lambda f, v: PQ(v.lower())}
+    )
+    return s.score(q).select("doc_id").distinct()
+
+
+def q_facet_drilldown(spark, sf_dir):
+    """DrillDownQuery (lucene/facet/src/java/org/apache/lucene/facet/
+    search/DrillDown.java:57-76): the drill term joins the base query
+    as a MUST clause; counts are then taken over the CHILD categories
+    of the drilled path — drilling lang=en narrows 'scan' matches to
+    en and counts the en/<source> children."""
+    matched = _matched_docs(spark, sf_dir, "scan")
+    d = _index(spark, sf_dir).docs.join(matched, "doc_id")
+    return (
+        d.where(F.col("lang") == "en")
+        .groupBy(F.concat_ws("/", "lang", "source").alias("path"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("path")
+    )
+
+
+def q_facet_assoc_sum(spark, sf_dir):
+    """Association facets (lucene/facet/src/java/org/apache/lucene/
+    facet/search/aggregator/association/AssociationIntSumAggregator.java
+    :49-54): instead of counting, each matched doc contributes its
+    per-category association value — here n_chars as the int
+    association — summed per category ordinal."""
+    matched = _matched_docs(spark, sf_dir, "scan")
+    d = _index(spark, sf_dir).docs.join(matched, "doc_id")
+    return (
+        d.groupBy(F.col("lang").alias("path"))
+        .agg(F.sum("n_chars").cast("long").alias("assoc_sum"))
+        .orderBy("path")
+    )
+
+
 def q_stats_nchars(spark, sf_dir):
     """StatsComponent over matched docs. sum pinned to int64 on both
     sides (DuckDB sum(int)=HUGEINT otherwise) and stddev computed from
@@ -4205,6 +4252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "hyphenation_compound_freq": q_hyphenation_compound_freq,
         "analyzing_wildcard": q_analyzing_wildcard,
+        "extendable_prefix": q_extendable_prefix,
+        "facet_drilldown": q_facet_drilldown,
+        "facet_assoc_sum": q_facet_assoc_sum,
         # --- new in round 4 (latest session first: driver window ~50) ---
         "mlt_boost": q_mlt_boost,
         "analysis_doc": q_analysis_doc,
@@ -4458,6 +4508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added this session — newest first
         "hyphenation_compound_freq",
         "analyzing_wildcard",
+        "extendable_prefix",
+        "facet_drilldown",
+        "facet_assoc_sum",
         "phonetic_metaphone_freq",
         "phonetic_dmetaphone_freq",
         # ex-rows-only, now VALUES-pinned (tools/pin_oracles.py) —
@@ -4722,6 +4775,9 @@ def oracle_sql() -> dict[str, str]:
         "compound_freq": O.compound_freq(20),
         "hyphenation_compound_freq": O.hyphenation_compound_freq(20),
         "analyzing_wildcard": O.analyzing_wildcard(),
+        "extendable_prefix": O.prefix_docs("sc"),
+        "facet_drilldown": O.facet_drilldown("scan", "en"),
+        "facet_assoc_sum": O.facet_assoc_sum("scan"),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "mlt_interesting": O.mlt_interesting_terms(1),

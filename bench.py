@@ -117,6 +117,9 @@ HEADLINE = [
     "audio_features",
     "leading_wildcard",
     "sweetspot_or",
+    # round-5 additions
+    "hyphenation_compound_freq",
+    "analyzing_wildcard",
 ]
 
 

@@ -919,6 +919,35 @@ SELECT path, cnt FROM (
 """.strip()
 
 
+def facet_drilldown(
+    term: str, lang: str = "en", table: str = "documents"
+) -> str:
+    """DrillDownQuery twin (DrillDown.java:57-76): drill term ANDed
+    into the match set, child-category counts under the drilled path."""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}'),
+m AS (SELECT d.lang, d.source FROM {table} d JOIN matched USING (doc_id)
+      WHERE d.lang = '{_sq(lang)}')
+SELECT lang || '/' || source AS path, count(*) AS cnt
+FROM m GROUP BY lang, source ORDER BY path
+""".strip()
+
+
+def facet_assoc_sum(term: str, table: str = "documents") -> str:
+    """Association facet twin (AssociationIntSumAggregator.java:49-54):
+    per-category SUM of the per-doc int association (n_chars) instead
+    of a count."""
+    return f"""
+WITH {tok_ctes(table)},
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_sq(term)}')
+SELECT d.lang AS path,
+       CAST(sum(d.n_chars) AS BIGINT) AS assoc_sum
+FROM {table} d JOIN matched USING (doc_id)
+GROUP BY d.lang ORDER BY path
+""".strip()
+
+
 def ngram_freq(
     n: int = 3, k: int = 20, table: str = "documents"
 ) -> str:

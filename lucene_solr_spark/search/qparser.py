@@ -318,6 +318,73 @@ def parse_analyzing(
     return parse_lucene(q, default_op=default_op, analyzer=analyzer)
 
 
+_EXT_RX = re.compile(
+    r"""(?<![^\s(+\-])                    # clause boundary
+        (?P<field>[A-Za-z_][A-Za-z0-9_]*)?:
+        (?P<ext>[A-Za-z_][A-Za-z0-9_]*):
+        (?P<val>"(?:\\.|[^"\\])*"|(?:\\.|[^\s()"^])+)""",
+    re.VERBOSE,
+)
+
+
+def parse_extendable(
+    q: str,
+    extensions: dict,
+    default_op: str = "OR",
+    analyzer=None,
+) -> Query:
+    """ExtendableQueryParser (lucene/queryparser/src/java/org/apache/
+    lucene/queryparser/ext/ExtendableQueryParser.java:44-120 +
+    Extensions.java:121-131): a field symbol carrying the extension
+    delimiter ':' splits into (indexField, extensionKey); when the key
+    is registered, the raw query text for that clause is handed to the
+    extension — a callable ``(field, raw_value) -> Query`` — instead of
+    the classic term pipeline. ``:key:value`` (empty field part) uses
+    the default field, and a key that is NOT registered leaves the
+    clause to the classic parser untouched (the reference falls back to
+    super.getFieldQuery). Quoted values are unquoted and unescaped
+    before dispatch (the extension query part escapes specials,
+    package.html example: title_customExt:"Apache Lucene\\?")."""
+    placeholders: dict[str, Query] = {}
+
+    def sub(m: re.Match) -> str:
+        key = m.group("ext")
+        if key not in extensions:
+            return m.group(0)
+        field = m.group("field") or "text"
+        val = m.group("val")
+        if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+            val = val[1:-1]
+        built = extensions[key](field, _unescape(val))
+        tag = f"extq{len(placeholders)}x"
+        placeholders[tag] = built
+        return tag
+
+    rewritten = _EXT_RX.sub(sub, q)
+    ast = parse_lucene(rewritten, default_op=default_op, analyzer=analyzer)
+    if not placeholders:
+        return ast
+
+    def walk(node: Query) -> Query:
+        if isinstance(node, TermQuery) and node.term in placeholders:
+            return placeholders[node.term]
+        if isinstance(node, BooleanQuery):
+            return BooleanQuery(
+                [
+                    BooleanClause(walk(c.query), c.occur)
+                    for c in node.clauses
+                ],
+                node.min_should_match,
+            )
+        if isinstance(node, DisMaxQuery):
+            return DisMaxQuery(
+                tuple(walk(c) for c in node.queries), node.tie_breaker
+            )
+        return node
+
+    return walk(ast)
+
+
 def _boosted(q: Query, boost: float) -> Query:
     if isinstance(q, TermQuery):
         return TermQuery(q.term, q.boost * boost)
