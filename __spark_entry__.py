@@ -1439,10 +1439,14 @@ def q_select_field_phrase(spark, sf_dir):
     via the fq path, constant-scored here (field-filter role)."""
     from lucene_solr_spark.search.handler import select
 
+    # rows high enough to return the FULL match set at any gate sf —
+    # the oracle is the unordered membership set, and rows=100
+    # truncated it at sf0.1 (278 matches); paging itself is covered by
+    # bm25_page2
     out = select(
         _searcher(spark, sf_dir),
         q="{!field f=text}hash join",
-        rows=100,
+        rows=1_000_000,
     )
     return out["response"].select("doc_id")
 

@@ -4,8 +4,6 @@ Extensions.java:121-131): extension keys encoded into the field symbol
 dispatch the clause's raw text to a registered ParserExtension; an
 unregistered key or plain field falls back to classic parsing."""
 
-import pytest
-
 from lucene_solr_spark.search.qparser import parse_extendable, parse_lucene
 from lucene_solr_spark.search.query import (
     BooleanQuery,
