@@ -1615,11 +1615,17 @@ def dedup_components(
     component = min doc_id reachable. The recursive CTE enumerates
     every (node, reachable) pair — O(Σ comp²), fine at oracle scale;
     the engine's large-star/small-star contraction must produce the
-    identical labeling (both are 'minimum reachable id')."""
+    identical labeling (both are 'minimum reachable id').
+
+    ``p`` is MATERIALIZED: DuckDB otherwise inlines the whole minhash
+    pipeline into each recursive iteration of ``reach`` (via ``e``,
+    which reads ``p`` twice), multiplying a multi-GB tokenize+hash
+    intermediate per iteration — observed OOM at sf0.1 despite the
+    closure itself being tiny (~750 edges)."""
     pairs_sql = minhash_pairs(num_hashes, band_size, bucket_cap, table)
     return f"""
 WITH RECURSIVE
-p AS ({pairs_sql}),
+p AS MATERIALIZED ({pairs_sql}),
 e AS (
   SELECT doc_a AS u, doc_b AS v FROM p
   UNION ALL

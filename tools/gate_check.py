@@ -43,6 +43,9 @@ def main():
     spark = get_spark(master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Let heavy oracles (recursive CTEs over materialized pair graphs)
+    # spill instead of failing allocation alongside the Spark JVM.
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
