@@ -2015,6 +2015,109 @@ def q_image_features(spark, sf_dir):
     return image_features(media).orderBy("media_id")
 
 
+def q_image_features_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode in the image column path: per-doc
+    gradient images encoded by the stdlib-only JFIF codec
+    (datapipe/jpeg.py — Huffman, batched IDCT, chroma upsample;
+    alternating 4:4:4 / 4:2:0 subsampling and restart markers to
+    exercise the full decoder), decoded back through image_features'
+    magic-byte dispatch. Deterministic -> VALUES-pinned oracle
+    (tools/pin_oracles.py); fidelity pinned analytically in
+    tests/test_multimodal.py."""
+    from lucene_solr_spark.datapipe.jpeg import make_jpeg
+    from lucene_solr_spark.datapipe.multimodal import image_features
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 40
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                k = int(d) % 8
+                y = np.arange(8 + k, dtype=np.uint8) * 4
+                x = np.arange(16, dtype=np.uint8) * 3
+                arr = np.stack(
+                    [
+                        np.add.outer(y, x) % 256,
+                        np.add.outer(y * 2, x) % 256,
+                        np.add.outer(y, x * 2) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                sub = "420" if int(d) % 2 == 0 else "444"
+                rst = 2 if int(d) % 3 == 0 else 0
+                rows.append(
+                    [int(d), make_jpeg(arr, quality=90, subsampling=sub,
+                                       restart_interval=rst)]
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_features(media).orderBy("media_id")
+
+
+def q_video_frames(spark, sf_dir):
+    """REAL video frame extraction: per-doc MJPEG/AVI payloads
+    (datapipe/avi.py RIFF container, every frame a baseline JPEG)
+    fanned out by sample_frames — which parses the container and emits
+    the actual nearest-to-timestamp JPEG frame — then each frame
+    decoded via image_features (composite frame id = media_id*100 +
+    frame_idx). Deterministic -> VALUES-pinned oracle. Replaces the
+    former byte-slice stub for the one codec this sandbox can decode;
+    container walk + per-frame fidelity pinned in
+    tests/test_multimodal.py."""
+    from lucene_solr_spark.datapipe.avi import make_avi
+    from lucene_solr_spark.datapipe.multimodal import (
+        image_features,
+        sample_frames,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 12
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                base = (int(d) * 16) % 200
+                frames = [
+                    np.full((8, 12, 3), (base + 8 * i) % 240 + 8,
+                            dtype=np.uint8)
+                    for i in range(4)
+                ]
+                rows.append(
+                    [int(d), "video",
+                     bytearray(make_avi(frames, fps=2, quality=92)),
+                     2000]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "duration_ms"],
+            )
+
+    media = docs.mapInPandas(
+        synth,
+        "media_id long, kind string, payload binary, duration_ms int",
+    )
+    frames = sample_frames(media, every_ms=500)
+    keyed = frames.withColumn(
+        "frame_id",
+        (F.col("media_id") * 100 + F.col("frame_idx")).cast("long"),
+    )
+    return image_features(
+        keyed, payload_col="frame_payload", id_col="frame_id"
+    ).orderBy("frame_id")
+
+
 def q_spellcheck_file(spark, sf_dir):
     """FileBasedSpellChecker (solr/core/.../spelling/
     FileBasedSpellChecker.java:62-108): suggestions from a words FILE
@@ -4267,6 +4370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_routing": q_doc_routing,
         "signature_lookup3": q_signature_lookup3,
         "image_features": q_image_features,
+        "image_features_jpeg": q_image_features_jpeg,
+        "video_frames": q_video_frames,
         "spellcheck_file": q_spellcheck_file,
         "stream_dedup": q_stream_dedup,
         "highlight_phrase": q_highlight_phrase,
@@ -4510,6 +4615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "image_features_jpeg",
+        "video_frames",
         "hyphenation_compound_freq",
         "analyzing_wildcard",
         "extendable_prefix",

@@ -120,6 +120,8 @@ HEADLINE = [
     # round-5 additions
     "hyphenation_compound_freq",
     "analyzing_wildcard",
+    "image_features_jpeg",
+    "video_frames",
 ]
 
 

@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-The decode kernels are STUBS (the container has no image/audio libs) —
-clearly marked and swappable — but the Spark-side plumbing is real and
-tested: schema contracts, batch iteration, partition-parallel shape, and
-a deterministic fake "feature extractor" so pipelines are end-to-end
-verifiable without the codec libraries.
+Image decode is REAL and stdlib+numpy only: PNG (zlib inflate + full
+scanline unfiltering, below) and baseline JFIF/JPEG (Huffman + IDCT,
+``datapipe/jpeg.py``), dispatched by magic bytes in ``decode_image``.
+Audio decode is real WAV/PCM. Video frame decode is REAL for
+MJPEG-in-AVI (RIFF container walk in ``datapipe/avi.py``; every frame
+is a baseline JPEG) — ``sample_frames`` emits actual decodable frame
+payloads for AVI inputs. Other containers (mp4/mkv: codec bitstreams
+this sandbox cannot decode) keep a clearly-marked deterministic stub
+slice; the Spark-side plumbing (schema contracts, batch iteration,
+fan-out shape) is identical and tested for both.
 """
 
 from __future__ import annotations
@@ -50,11 +55,20 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real implementation would use PIL/libjpeg. Raises to make
-    accidental production use loud."""
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg — not available in this "
-        "container; use fake_feature for pipeline testing"
+    """REAL image decode, dispatched on magic bytes: PNG via
+    ``decode_png`` (zlib + scanline unfilter), baseline JPEG via
+    ``datapipe/jpeg.py`` (marker parse, Huffman, batched IDCT, chroma
+    upsample). Unknown formats raise — never a silent wrong answer."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty or truncated image payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unsupported image format (no PNG/JPEG signature)"
     )
 
 
@@ -68,12 +82,37 @@ def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
     return (raw % 10_000).astype(np.float32) / 10_000.0
 
 
+def pixel_grid_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Real pixel feature: decode (PNG/JPEG), average to luma, then
+    box-pool onto a ceil-divided grid and take the first ``dim`` cell
+    means, normalized to [0,1]. Deterministic, resolution-invariant-ish
+    — the classic cheap visual fingerprint (mean-grid / dHash family)."""
+    img = decode_image(payload).astype(np.float64)
+    if img.ndim == 3:
+        img = img[..., :3].mean(axis=2)
+    h, w = img.shape
+    side = max(int(np.ceil(np.sqrt(dim))), 1)
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    cells = []
+    for i in range(side):
+        for j in range(side):
+            block = img[ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1)]
+            cells.append(block.mean() if block.size else 0.0)
+    return (np.asarray(cells[:dim], dtype=np.float32) / 255.0)
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, use_real_decode: bool = False
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow batches
     keep the Python boundary amortized; per-batch numpy does the work.
-    At scale this is embarrassingly parallel — partition by media_id."""
+    At scale this is embarrassingly parallel — partition by media_id.
+
+    ``use_real_decode=True`` runs the real PNG/JPEG decode and emits
+    ``pixel_grid_feature``; the default keeps the deterministic fake
+    (zero-decode) shape for plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,7 +122,8 @@ def extract_features(
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
                 if use_real_decode:
-                    decode_image(b)  # raises NotImplementedError (stub)
+                    feats.append(pixel_grid_feature(b, dim).tolist())
+                    continue
                 feats.append(fake_feature(b, dim).tolist())
             yield pd.DataFrame(
                 {
@@ -110,14 +150,19 @@ FRAME_SCHEMA = StructType(
 def sample_frames(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:
-    """Frame sampling plumbing for video rows: emits one row per sampled
-    timestamp. The real frame decode (ffmpeg) is stubbed with a
-    deterministic byte-slice of the payload; schema, fan-out shape, and
-    partition-parallelism are the real contract. One input row explodes
-    to duration_ms/every_ms output rows — at scale, repartition after
-    this to rebalance."""
+    """Frame sampling for video rows: emits one row per sampled
+    timestamp. MJPEG/AVI payloads (RIFF magic) are parsed for REAL —
+    each emitted ``frame_payload`` is the standalone baseline-JPEG frame
+    nearest the sampled timestamp (container walk in ``datapipe/avi.py``,
+    decodable by ``decode_image``). Opaque containers (mp4/mkv — codec
+    bitstreams this sandbox cannot decode) keep the deterministic
+    byte-slice stub so the fan-out plumbing stays testable. One input
+    row explodes to duration_ms/every_ms output rows — at scale,
+    repartition after this to rebalance."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import parse_avi
+
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
             for mid, kind, payload, dur in zip(
@@ -126,12 +171,20 @@ def sample_frames(
                 if kind != "video" or dur is None or pd.isna(dur):
                     continue
                 b = bytes(payload) if payload is not None else b""
+                avi = None
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    avi = parse_avi(b)  # (fps, w, h, [jpeg frames])
                 n_frames = max(int(dur) // every_ms, 1)
                 for i in range(n_frames):
                     ts = i * every_ms
-                    # stub "frame": deterministic 16-byte slice
-                    start = (ts % max(len(b), 1)) if b else 0
-                    frame = b[start : start + 16] or b"\x00"
+                    if avi is not None:
+                        fps, _, _, jpegs = avi
+                        src = min(ts * fps // 1000, len(jpegs) - 1)
+                        frame = jpegs[src]
+                    else:
+                        # stub "frame": deterministic 16-byte slice
+                        start = (ts % max(len(b), 1)) if b else 0
+                        frame = b[start : start + 16] or b"\x00"
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(ts)
@@ -296,17 +349,18 @@ def image_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Per-image features over binary PNG columns via Arrow
-    mapInPandas (the decode_wav/audio_features pattern): dimensions,
-    channels, per-image mean/std of the pixel values. Undecodable
-    payloads yield nulls with the error kept — never dropped rows."""
+    """Per-image features over binary image columns (PNG or baseline
+    JPEG, dispatched on magic bytes) via Arrow mapInPandas (the
+    decode_wav/audio_features pattern): dimensions, channels,
+    per-image mean/std of the pixel values. Undecodable payloads
+    yield nulls with the error kept — never dropped rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    img = decode_png(bytes(blob))
+                    img = decode_image(bytes(blob))
                     h, w = img.shape[0], img.shape[1]
                     ch = 1 if img.ndim == 2 else img.shape[2]
                     flat = img.astype(np.float64)
