@@ -4189,6 +4189,19 @@ def q_dedup_embed(spark, sf_dir):
     return cosine_neardup_pairs(emb, threshold=0.4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shape semantic dedup: IVF coarse clusters (map-only
+    Arrow assignment) bound the pairwise space, per-cluster numpy gram
+    marks each vector dup iff cosine >= 0.42 to a lower-id cluster-mate
+    (keep-lowest-id policy; anchor_cap guards mega-clusters). One
+    shuffle on centroid_id — N^1.5 total work at sqrt(N) centroids,
+    never all-pairs. datapipe/similarity.py::semantic_dedup."""
+    from lucene_solr_spark.datapipe.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.42).orderBy("vec_id")
+
+
 def _media(spark, sf_dir):
     """Deterministic media table derived from documents: payload =
     UTF-8 text bytes, kind/dims/duration from doc_id arithmetic — the
@@ -4530,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofilt": q_geofilt,
         "dedup_minhash_capped": q_dedup_minhash_capped,
         "dedup_embed": q_dedup_embed,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -4615,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "semantic_dedup",
         "image_features_jpeg",
         "video_frames",
         "hyphenation_compound_freq",
@@ -5048,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": O.knn_cosine_lsh(),
         "knn_ivf": O.knn_cosine_ivf(),
         "dedup_embed": O.cosine_neardup(0.4),
+        "semantic_dedup": O.semantic_dedup(0.42),
         "multimodal_meta": O.multimodal_meta(),
         "multimodal_frames": O.multimodal_frames(),
         "multimodal_resize": O.multimodal_resize(),

@@ -122,6 +122,7 @@ HEADLINE = [
     "analyzing_wildcard",
     "image_features_jpeg",
     "video_frames",
+    "semantic_dedup",
 ]
 
 

@@ -533,3 +533,69 @@ def knn_cosine_ivf(
         F.round(cosine(F.col(vec_col), qv), 4).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_cap: int = 4096,
+    cents: list | None = None,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023): coarse
+    k-means-style clustering bounds the pairwise comparisons, then each
+    vector is marked a duplicate if its exact cosine to a LOWER-id
+    vector in the same cluster reaches ``threshold``. Keep policy is
+    lowest-id-wins (the paper's keep-farthest-from-centroid is a
+    one-line swap of the anchor ordering); returns
+    (vec_id, centroid_id, is_dup) for every input vector.
+
+    Scale shape: ``ivf_assign`` is one map-only Arrow matmul (no
+    shuffle); the pairwise step is ONE shuffle keyed on centroid_id
+    with a per-cluster numpy gram matrix — at 10^9 vectors you raise
+    ``n_centroids`` ~ sqrt(N) (the Faiss rule) so clusters stay
+    ~sqrt(N) and the total work is N^1.5, never the N^2 all-pairs.
+    Degenerate-cluster guard: each vector is compared against at most
+    the ``anchor_cap`` lowest-id members of its cluster, so one
+    mega-cluster (constant embeddings) costs O(n * cap), the same
+    boilerplate cap as the MinHash band guard — and with
+    cap >= cluster size the semantics are exactly uncapped (pinned by
+    tests/test_semantic_dedup.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(
+        embeddings, n_centroids, id_col, vec_col, cents=cents
+    )
+    tau = float(threshold)
+    cap = int(anchor_cap)
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        E = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        En = E / _safe_norm(E, axis=1, keepdims=True)
+        n = len(pdf)
+        k = min(n, cap)
+        # anchors = the cap lowest-id members; gram is n x k
+        sims = En @ En[:k].T
+        pos = np.arange(n)
+        # strictly-lower-id anchor mask (anchor j is row j, j < k)
+        mask = pos[:, None] > np.arange(k)[None, :]
+        dup = ((sims >= tau) & mask).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                "centroid_id": pdf["centroid_id"].astype("int64"),
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        per_cluster,
+        f"{id_col} long, centroid_id long, is_dup boolean",
+    )

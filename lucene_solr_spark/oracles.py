@@ -5232,3 +5232,75 @@ FROM {table}
 WHERE NOT regexp_matches(text, '{_sq(rx)}')
 ORDER BY doc_id
 """.strip()
+
+
+def semantic_dedup(
+    threshold: float = 0.42,
+    n_centroids: int = 16,
+    anchor_cap: int = 4096,
+) -> str:
+    """SemDeDup twin of datapipe.similarity.semantic_dedup: centroid
+    seeds = vec_ids < n_centroids, argmax-cosine assignment (ties to
+    lower centroid id), then a vector is a duplicate iff a LOWER-id
+    same-cluster vector within the anchor cap has exact double cosine
+    >= threshold."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+ce AS (
+  SELECT cid, unnest(cv) AS c, generate_subscripts(cv, 1) AS i FROM cent
+),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, cid,
+         sum(CAST(v AS DOUBLE) * CAST(c AS DOUBLE)) AS d,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv,
+         sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS nc
+  FROM e JOIN ce USING (i) GROUP BY vec_id, cid
+),
+asg AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY d / (sqrt(nv) * sqrt(nc)) DESC, cid ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (
+           PARTITION BY centroid_id ORDER BY vec_id ASC) AS r
+  FROM asg
+),
+norms AS (
+  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nv
+  FROM e GROUP BY vec_id
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.centroid_id = b.centroid_id
+   AND a.vec_id < b.vec_id
+   AND a.r <= {anchor_cap}
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY b.vec_id, a.vec_id, na.nv, nb.nv
+  HAVING sum(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE))
+         / (sqrt(na.nv) * sqrt(nb.nv)) >= {float(threshold)}
+),
+out AS (
+  SELECT g.vec_id, g.centroid_id,
+         (d.vec_id IS NOT NULL) AS is_dup
+  FROM asg g LEFT JOIN dup d USING (vec_id)
+)
+SELECT vec_id, centroid_id, is_dup FROM out ORDER BY vec_id
+""".strip()
