@@ -4202,6 +4202,38 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.42).orderBy("vec_id")
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE merge-table training (Sennrich 2016 / HF trainer shape):
+    the corpus-scale stage is ONE distributed word-frequency groupBy;
+    merge learning runs on the distinct-word dict (driver-side, ~10^7
+    words even at 100 TB). Deterministic tie-break -> bit-stable
+    table. functions/bpe.py::train_bpe; pinned oracle justified by the
+    published Sennrich worked example in tests/test_bpe.py."""
+    from lucene_solr_spark.functions.bpe import train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=40)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).orderBy("rank")
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Per-doc BPE token accounting under corpus-trained merges:
+    (doc_id, n_words, n_tokens, preview). Encode is map-only Arrow
+    with a distinct-word memo per batch; merges ride the closure
+    (broadcast-sized). functions/bpe.py::bpe_encode."""
+    from lucene_solr_spark.functions.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=40)
+    out = bpe_encode(
+        docs.where(F.col("doc_id") < 100), merges
+    )
+    return out.orderBy("doc_id")
+
+
 def _media(spark, sf_dir):
     """Deterministic media table derived from documents: payload =
     UTF-8 text bytes, kind/dims/duration from doc_id arithmetic — the
@@ -4544,6 +4576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_capped": q_dedup_minhash_capped,
         "dedup_embed": q_dedup_embed,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_train": q_bpe_train,
+        "bpe_tokens": q_bpe_tokens,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -4629,6 +4663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "bpe_train",
+        "bpe_tokens",
         "semantic_dedup",
         "image_features_jpeg",
         "video_frames",

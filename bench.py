@@ -123,6 +123,7 @@ HEADLINE = [
     "image_features_jpeg",
     "video_frames",
     "semantic_dedup",
+    "bpe_tokens",
 ]
 
 
