@@ -63,24 +63,7 @@ def write_json(
     indent: bool = False,
 ) -> str:
     """JSONResponseWriter: the canonical Solr JSON response body."""
-    docs, _ = _doc_rows(result, fl)
-    body: dict[str, Any] = {
-        "responseHeader": {
-            "status": 0,
-            "QTime": int(qtime_ms),
-            "params": {k: str(v) for k, v in (params or {}).items()},
-        },
-        "response": {
-            "numFound": int(
-                num_found if num_found is not None else len(docs)
-            ),
-            "start": int(start),
-            "docs": docs,
-        },
-    }
-    facets = _facet_lists(result)
-    if facets:
-        body["facet_counts"] = {"facet_fields": facets}
+    body = _body(result, params, fl, num_found, start, qtime_ms)
     return _json.dumps(
         body, indent=2 if indent else None, default=str
     )
@@ -167,3 +150,212 @@ def write_csv(
     for d in docs:
         lines.append(separator.join(cell(d.get(c)) for c in cols))
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# eval-able writers: wt=python / ruby / php / phps
+#
+# Reference: solr/core/src/java/org/apache/solr/response/
+# {PythonResponseWriter,RubyResponseWriter,PHPResponseWriter,
+# PHPSerializedResponseWriter}.java. All four serialize the SAME
+# NamedList tree as wt=json (NamedLists map-mangled), differing only in
+# literal syntax: Python dict/list source, Ruby hash (=> keys, nil),
+# PHP array(...) source, and PHP serialize() wire bytes.
+# ---------------------------------------------------------------------------
+
+
+def _body(
+    result: dict,
+    params: dict[str, Any] | None,
+    fl: list[str] | None,
+    num_found: int | None,
+    start: int,
+    qtime_ms: int,
+) -> dict[str, Any]:
+    """The NamedList tree every non-XML writer serializes (as dicts,
+    i.e. writeNamedListAsMapMangled)."""
+    docs, _ = _doc_rows(result, fl)
+    body: dict[str, Any] = {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int(qtime_ms),
+            "params": {k: str(v) for k, v in (params or {}).items()},
+        },
+        "response": {
+            "numFound": int(
+                num_found if num_found is not None else len(docs)
+            ),
+            "start": int(start),
+            "docs": docs,
+        },
+    }
+    facets = _facet_lists(result)
+    if facets:
+        body["facet_counts"] = {"facet_fields": facets}
+    return body
+
+
+def _py_str(s: str) -> str:
+    """PythonWriter.writeStr: escape \\ ' \\r \\n \\t; chars outside
+    visible ASCII become \\uXXXX with a u'' prefix."""
+    out = []
+    need_unicode = False
+    for ch in s:
+        if ch in ("'", "\\"):
+            out.append("\\" + ch)
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch < " " or ord(ch) > 127:
+            cp = ord(ch)
+            if cp > 0xFFFF:  # surrogate pair, as Java chars would
+                cp -= 0x10000
+                out.append("\\u%04x" % (0xD800 + (cp >> 10)))
+                out.append("\\u%04x" % (0xDC00 + (cp & 0x3FF)))
+            else:
+                out.append("\\u%04x" % cp)
+            need_unicode = True
+        else:
+            out.append(ch)
+    return ("u'" if need_unicode else "'") + "".join(out) + "'"
+
+
+def _sq_str(s: str) -> str:
+    """Ruby/PHP single-quoted string: only \\ and ' are escaped
+    (RubyWriter.writeStr / PHPWriter.writeStr); raw UTF-8 passes."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _py_val(v: Any) -> str:
+    import math
+
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return "True" if v else "False"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "float('NaN')"
+        if math.isinf(v):
+            return "float('Inf')" if v > 0 else "-float('Inf')"
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_py_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{_py_str(str(k))}:{_py_val(x)}" for k, x in v.items()
+            )
+            + "}"
+        )
+    return _py_str(str(v))
+
+
+def write_python(result: dict, **kw: Any) -> str:
+    """PythonResponseWriter (wt=python): an eval()-able dict literal.
+    NaN/Inf follow NaNFloatWriter: float('NaN') / float('Inf')."""
+    return _py_val(_body(result, kw.get("params"), kw.get("fl"),
+                         kw.get("num_found"), kw.get("start", 0),
+                         kw.get("qtime_ms", 0)))
+
+
+def _rb_val(v: Any) -> str:
+    import math
+
+    if v is None:
+        return "nil"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "(0.0/0.0)"
+        if math.isinf(v):
+            return "(1.0/0.0)" if v > 0 else "-(1.0/0.0)"
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_rb_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{_sq_str(str(k))}=>{_rb_val(x)}" for k, x in v.items()
+            )
+            + "}"
+        )
+    return _sq_str(str(v))
+
+
+def write_ruby(result: dict, **kw: Any) -> str:
+    """RubyResponseWriter (wt=ruby): an eval-able Ruby hash; nil for
+    null, 'k'=>v keys, NaN/Inf as (0.0/0.0) / (1.0/0.0)."""
+    return _rb_val(_body(result, kw.get("params"), kw.get("fl"),
+                         kw.get("num_found"), kw.get("start", 0),
+                         kw.get("qtime_ms", 0)))
+
+
+def _php_val(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v) if isinstance(v, float) else str(v)
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(_php_val(x) for x in v) + ")"
+    if isinstance(v, dict):
+        return (
+            "array("
+            + ",".join(
+                f"{_sq_str(str(k))}=>{_php_val(x)}" for k, x in v.items()
+            )
+            + ")"
+        )
+    return _sq_str(str(v))
+
+
+def write_php(result: dict, **kw: Any) -> str:
+    """PHPResponseWriter (wt=php): eval-able array(...) source."""
+    return _php_val(_body(result, kw.get("params"), kw.get("fl"),
+                          kw.get("num_found"), kw.get("start", 0),
+                          kw.get("qtime_ms", 0)))
+
+
+def _phps_val(v: Any) -> str:
+    """PHP serialize() wire format (PHPSerializedWriter): string
+    lengths are UTF-8 BYTE counts, docs arrays use integer keys."""
+    if v is None:
+        return "N;"
+    if isinstance(v, bool):
+        return "b:1;" if v else "b:0;"
+    if isinstance(v, int):
+        return f"i:{v};"
+    if isinstance(v, float):
+        return f"d:{repr(v)};"
+    if isinstance(v, (list, tuple)):
+        inner = "".join(
+            f"i:{i};{_phps_val(x)}" for i, x in enumerate(v)
+        )
+        return f"a:{len(v)}:{{{inner}}}"
+    if isinstance(v, dict):
+        inner = "".join(
+            _phps_val(str(k)) + _phps_val(x) for k, x in v.items()
+        )
+        return f"a:{len(v)}:{{{inner}}}"
+    s = str(v)
+    return f's:{len(s.encode("utf-8"))}:"{s}";'
+
+
+def write_phps(result: dict, **kw: Any) -> str:
+    """PHPSerializedResponseWriter (wt=phps): unserialize()-ready
+    bytes; byte-counted strings, integer-keyed doc arrays."""
+    return _phps_val(_body(result, kw.get("params"), kw.get("fl"),
+                           kw.get("num_found"), kw.get("start", 0),
+                           kw.get("qtime_ms", 0)))

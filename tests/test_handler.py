@@ -535,3 +535,89 @@ def test_q_alt_blank_query_fallback(searcher):
     a = select(searcher, q="error", q_alt="*:*", rows=100)["response"].count()
     b = select(searcher, q="error", rows=100)["response"].count()
     assert a == b
+
+
+def test_eval_writers_goldens():
+    """wt=python/ruby/php/phps wire shapes (PythonResponseWriter /
+    RubyResponseWriter / PHPResponseWriter / PHPSerializedResponseWriter):
+    literal syntax, escaping, NaN/Inf spellings, and phps byte-counted
+    strings — pinned against hand-derived goldens and (for python)
+    round-tripped through eval/ast.literal_eval-compatible parsing."""
+    from lucene_solr_spark.search.response import (
+        write_php,
+        write_phps,
+        write_python,
+        write_ruby,
+    )
+
+    class FakeRow:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self, recursive=True):
+            return self._d
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._r = rows
+
+        def collect(self):
+            return self._r
+
+    res = {
+        "response": FakeDF(
+            [
+                FakeRow(
+                    {
+                        "id": "d'1",
+                        "n": 2,
+                        "score": 1.5,
+                        "ok": True,
+                        "tags": ["a", "b"],
+                        "gap": None,
+                    }
+                )
+            ]
+        )
+    }
+    py = write_python(res, params={"q": "x\ny"}, qtime_ms=3)
+    # eval()-able, as PythonResponseWriter promises
+    body = eval(py)  # noqa: S307 - the point of the format
+    assert body["responseHeader"]["QTime"] == 3
+    assert body["responseHeader"]["params"]["q"] == "x\ny"
+    doc = body["response"]["docs"][0]
+    assert doc["id"] == "d'1" and doc["tags"] == ["a", "b"]
+    assert doc["gap"] is None and doc["ok"] is True
+    # newline escaped, not literal (python eval chokes on raw newlines)
+    assert "\n" not in py and "\\n" in py
+    # non-ASCII forces the u'' unicode-string spelling
+    res_u = {"response": FakeDF([FakeRow({"id": "café"})])}
+    py_u = write_python(res_u)
+    assert "u'caf\\u00e9'" in py_u
+
+    rb = write_ruby(res, qtime_ms=3)
+    assert "'QTime'=>3" in rb
+    assert "'gap'=>nil" in rb
+    assert "'ok'=>true" in rb
+    assert "'id'=>'d\\'1'" in rb
+    assert "'tags'=>['a','b']" in rb
+    # NaN/Inf spellings per NaNFloatWriter subclasses
+    res_nan = {"response": FakeDF([FakeRow({"v": float("nan")})])}
+    res_inf = {"response": FakeDF([FakeRow({"v": float("inf")})])}
+    assert "float('NaN')" in write_python(res_nan)
+    assert "float('Inf')" in write_python(res_inf)
+    assert "(0.0/0.0)" in write_ruby(res_nan)
+    assert "(1.0/0.0)" in write_ruby(res_inf)
+
+    php = write_php(res, qtime_ms=3)
+    assert php.startswith("array(")
+    assert "'QTime'=>3" in php
+    assert "'gap'=>null" in php
+    assert "'tags'=>array('a','b')" in php
+
+    phps = write_phps({"response": FakeDF([FakeRow({"id": "café", "n": 2})])})
+    # strings are BYTE-counted (café = 5 UTF-8 bytes), ints are i:v;
+    assert 's:5:"café";' in phps
+    assert 'i:2;' in phps
+    # docs array is integer-keyed: a:1:{i:0;a:2:{...}}
+    assert '"docs";a:1:{i:0;a:2:{' in phps
