@@ -3366,6 +3366,20 @@ def q_suggest(spark, sf_dir):
     return lookup(sg, "s", 8)
 
 
+def q_suggest_fst(spark, sf_dir):
+    """FSTCompletionLookup analogue: weights discretized into 10
+    quantile buckets (histogram cumsum + broadcast join, never a global
+    row_number), lookup by (exact-first, bucket desc, key asc)."""
+    from lucene_solr_spark.search.suggest import (
+        build_fst_completion,
+        build_suggester,
+        fst_lookup,
+    )
+
+    sg = build_suggester(_index(spark, sf_dir).terms_stats)
+    return fst_lookup(build_fst_completion(sg, buckets=10), "s", 8)
+
+
 def q_collector_hist(spark, sf_dir):
     """Custom Collector extension point: per-partition applyInPandas
     accumulation + groupBy merge (ScoreHistogramCollector example)."""
@@ -4402,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 5 ---
+        "suggest_fst": q_suggest_fst,
         "hyphenation_compound_freq": q_hyphenation_compound_freq,
         "analyzing_wildcard": q_analyzing_wildcard,
         "extendable_prefix": q_extendable_prefix,
@@ -4663,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "suggest_fst",
         "bpe_train",
         "bpe_tokens",
         "semantic_dedup",
@@ -5040,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         "spellcheck_collate": O.spellcheck_collate("qery", "scan"),
         "elevation": O.query_elevation("scan", [490, 7]),
         "suggest": O.suggest_lookup("s", 8),
+        "suggest_fst": O.fst_suggest_lookup("s", 8, buckets=10),
         "collector_hist": O.score_histogram("scan", 0.1),
         "term_vectors": O.term_vector(0),
         "facet_query": O.facet_query_counts(

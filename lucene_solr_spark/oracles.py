@@ -2498,6 +2498,39 @@ LIMIT {num}
 """.strip()
 
 
+def fst_suggest_lookup(
+    prefix: str,
+    num: int = 5,
+    buckets: int = 10,
+    table: str = "documents",
+) -> str:
+    """FSTCompletionLookup twin: weights discretized into quantile
+    buckets — bucket = (first line of the weight's run in the
+    (weight asc) external sort) * buckets / inputLines, integer math
+    (FSTCompletionLookup.java:171-206); lookup by (exact-first,
+    bucket desc, key asc)."""
+    return f"""
+WITH {tok_ctes(table)},
+sg AS (SELECT term AS key, count(*) AS weight FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM sg),
+wc AS (SELECT weight, count(*) AS c FROM sg GROUP BY weight),
+cum AS (
+  SELECT weight,
+         coalesce(sum(c) OVER (ORDER BY weight
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM wc
+)
+SELECT key, weight,
+       CAST((below * {buckets}) // n.n AS BIGINT) AS bucket
+FROM sg JOIN cum USING (weight), n
+WHERE key LIKE '{_sq(prefix)}%'
+ORDER BY (CASE WHEN key = '{_sq(prefix)}' THEN 1 ELSE 0 END) DESC,
+         bucket DESC, key ASC
+LIMIT {num}
+""".strip()
+
+
 def score_histogram(
     term: str, width: float = 0.1, table: str = "documents"
 ) -> str:

@@ -53,3 +53,66 @@ def lookup(
         .select("key", "weight")
         .limit(num)
     )
+
+
+def build_fst_completion(
+    suggester: DataFrame, buckets: int = 10
+) -> DataFrame:
+    """FSTCompletionLookup.build analogue: discretize weights into
+    ``buckets`` quantile buckets.
+
+    Reference: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    fst/FSTCompletionLookup.java:171-206 — entries are external-sorted by
+    (weight asc, key asc) and bucket = (int)(line * buckets / inputLines),
+    where equal weights share the bucket of the run's FIRST line. Since a
+    run of equal weights is contiguous in that sort, the run's first line
+    equals the number of entries with strictly smaller weight — so the
+    bucket is a function of the WEIGHT alone. The Spark shape exploits
+    that: aggregate a per-distinct-weight histogram (tiny vs the
+    dictionary), one cumulative-sum window over it, then broadcast-join
+    the bucket back — no global row_number over 10^8 dictionary entries.
+    """
+    from pyspark.sql import Window
+
+    n = suggester.count()  # inputLines — Lucene's build knows it too
+    wc = suggester.groupBy("weight").agg(F.count("*").alias("c"))
+    win = Window.orderBy("weight").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = wc.select(
+        "weight",
+        F.coalesce(F.sum("c").over(win), F.lit(0)).alias("below"),
+    )
+    return suggester.join(F.broadcast(cum), "weight").select(
+        "key",
+        "weight",
+        F.floor(
+            F.col("below") * F.lit(int(buckets)) / F.lit(int(n))
+        ).cast("long").alias("bucket"),
+    )
+
+
+def fst_lookup(
+    completion: DataFrame,
+    prefix: str,
+    num: int = 5,
+    exact_first: bool = True,
+) -> DataFrame:
+    """FSTCompletion.lookup with higherWeightsFirst: completions by
+    (bucket desc, key asc) — alphabetical within a weight bucket, NOT by
+    exact weight (the discretization is the point: near-equal weights
+    tie and resolve alphabetically). exactMatchFirst promotes an exact
+    key hit ahead of heavier buckets
+    (FSTCompletion.java:92-121, checkExactMatchFirst)."""
+    cand = completion.where(F.col("key").startswith(prefix))
+    order = [F.desc("bucket"), F.asc("key")]
+    if exact_first:
+        cand = cand.withColumn(
+            "is_exact", F.when(F.col("key") == prefix, 1).otherwise(0)
+        )
+        order = [F.desc("is_exact")] + order
+    return (
+        cand.orderBy(*order)
+        .select("key", "weight", "bucket")
+        .limit(num)
+    )

@@ -621,3 +621,50 @@ def test_eval_writers_goldens():
     assert 'i:2;' in phps
     # docs array is integer-keyed: a:1:{i:0;a:2:{...}}
     assert '"docs";a:1:{i:0;a:2:{' in phps
+
+
+def test_fst_completion_bucketing(spark):
+    """FSTCompletionLookup quantile bucketing: bucket = (int)(line *
+    buckets / inputLines) over the (weight asc) sort, with equal
+    weights sharing the run-head bucket (FSTCompletionLookup.java:
+    190-197) — pinned against a literal transcription of that loop."""
+    from lucene_solr_spark.search.suggest import (
+        build_fst_completion,
+        fst_lookup,
+    )
+
+    entries = [
+        ("alpha", 1), ("beta", 1), ("gamma", 2), ("delta", 2),
+        ("eps", 2), ("zeta", 5), ("eta", 7), ("theta", 7),
+        ("iota", 9), ("kappa", 20),
+    ]
+    # literal transcription of the reference loop
+    srt = sorted(entries, key=lambda kv: (kv[1], kv[0]))
+    n = len(srt)
+    buckets = 4
+    expect = {}
+    prev_score, prev_bucket = None, 0
+    for line, (k, w) in enumerate(srt):
+        if line > 0 and w == prev_score:
+            b = prev_bucket
+        else:
+            b = line * buckets // n
+        prev_score, prev_bucket = w, b
+        expect[k] = b
+
+    sg = spark.createDataFrame(entries, "key string, weight long")
+    got = {
+        r["key"]: r["bucket"]
+        for r in build_fst_completion(sg, buckets=buckets).collect()
+    }
+    assert got == expect
+
+    # higherWeightsFirst ordering: bucket desc, ALPHABETICAL within a
+    # bucket — iota (w=9) and kappa (w=20) share bucket 3, so iota
+    # sorts first despite the lower raw weight: the discretization IS
+    # the semantic difference vs WFSTCompletionLookup's exact order
+    assert expect["iota"] == expect["kappa"]
+    comp = build_fst_completion(sg, buckets=buckets)
+    keys = [r["key"] for r in fst_lookup(comp, "", 10, exact_first=False).collect()]
+    assert keys[0] == "iota" and keys[1] == "kappa"
+    assert keys.index("eta") < keys.index("theta")
