@@ -2702,6 +2702,25 @@ def q_synonym_or(spark, sf_dir):
     return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
 
 
+def q_synonym_wordnet(spark, sf_dir):
+    """WordnetSynonymParser wire format (prolog s(...) synsets, ''
+    quote escape) feeding the query-time synonym slot: a {scan, merge}
+    synset expands TermQuery('scan') into the variant disjunction —
+    identical scoring to synonym_or, arrived at through the parser."""
+    from lucene_solr_spark.search.synonyms import (
+        expand_query,
+        parse_wordnet_synonyms,
+    )
+
+    prolog = (
+        "s(100001740,1,'scan',v,1,0).\n"
+        "s(100001740,2,'merge',v,1,0).\n"
+    )
+    syn = parse_wordnet_synonyms(prolog)
+    q = expand_query(TermQuery("scan"), syn)
+    return _topk_rounded(_searcher(spark, sf_dir).search(q, 10))
+
+
 def q_common_grams_freq(spark, sf_dir):
     """CommonGramsFilter in the analyzer slot: unigrams + '_' grams at
     stopword boundaries (the CDL XTF bigram trick that makes stopword
@@ -4417,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- new in round 5 ---
         "suggest_fst": q_suggest_fst,
+        "synonym_wordnet": q_synonym_wordnet,
         "hyphenation_compound_freq": q_hyphenation_compound_freq,
         "analyzing_wildcard": q_analyzing_wildcard,
         "extendable_prefix": q_extendable_prefix,
@@ -4679,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = [
         # added this session — newest first
         "suggest_fst",
+        "synonym_wordnet",
         "bpe_train",
         "bpe_tokens",
         "semantic_dedup",
@@ -5080,6 +5101,9 @@ def oracle_sql() -> dict[str, str]:
         "text_clean": O.text_clean(),
         "train_split": O.split_assign(),
         "synonym_or": O.bm25_bool(must=[], should=["merge", "scan"]),
+        "synonym_wordnet": O.bm25_bool(
+            must=[], should=["merge", "scan"]
+        ),
         "sessions": O.events_sessions(30),
         "facet_taxonomy": O.taxonomy_facets("scan"),
         "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),

@@ -1087,6 +1087,54 @@ class SegmentIndex:
         self.n_buckets = manifest["n_buckets"]
         self.split_range = int(manifest.get("split_range", SPLIT_RANGE))
         self._bucket_cache: dict[tuple, list[int]] = {}
+        self._split_meta_cache: "dict[str, pd.DataFrame]" = {}
+
+    _SPLIT_META_CACHE_MAX = 4096  # terms; FIFO evict past this
+
+    def split_meta(self, terms: list[str]) -> "pd.DataFrame":
+        """Per-(term, split) block metadata for the WAND bound pass:
+        columns (term, split, max_tf, min_nb, nd), one row per block.
+
+        Memoized per TERM on the driver — the TermStates / skip-data
+        cache analogue (Lucene readers keep term metadata hot per
+        segment; here the unit is the query term). Terms not yet cached
+        are fetched in ONE narrow job: filter + project + toPandas via
+        Arrow, no shuffle — the groupBy that used to run per query now
+        happens driver-side in pandas over ≤ (#splits × #blocks/split)
+        rows per term (~10^6 at 10^12 docs, the same bounded-metadata
+        budget as the bound pass itself)."""
+        missing = sorted(
+            {t for t in terms if t not in self._split_meta_cache}
+        )
+        if missing:
+            fetched = (
+                self.blocks.where(
+                    F.col("bucket").isin(self.buckets_of(missing))
+                    & F.col("term").isin(missing)
+                )
+                .select(
+                    "term",
+                    (F.col("first_doc") / F.lit(self.split_range))
+                    .cast("long")
+                    .alias("split"),
+                    "max_tf",
+                    "min_nb",
+                    F.col("num_docs").alias("nd"),
+                )
+                .toPandas()
+            )
+            for t in missing:
+                self._split_meta_cache[t] = fetched[
+                    fetched["term"] == t
+                ].reset_index(drop=True)
+            while (
+                len(self._split_meta_cache) > self._SPLIT_META_CACHE_MAX
+            ):
+                self._split_meta_cache.pop(
+                    next(iter(self._split_meta_cache))
+                )
+        frames = [self._split_meta_cache[t] for t in sorted(set(terms))]
+        return pd.concat(frames, ignore_index=True)
 
     @classmethod
     def open(

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -138,42 +139,48 @@ def wand_or_search(
     }
 
     # -- 1. metadata-only bound per split --------------------------------
-    meta = index.blocks.where(
-        F.col("bucket").isin(index.buckets_of(present))
-        & F.col("term").isin(present)
-    )
+    # driver-side pandas aggregation over the memoized per-term split
+    # metadata (index.split_meta): the per-query Spark job drops from a
+    # 2-stage shuffle+collect to (at most) one narrow fetch for terms
+    # not yet cached — the one-shot route then pays ~no bound-pass tax
+    # over its exhaustive twin.
     cache64 = searcher.cache64
-    cache_arr = F.array(*[F.lit(float(v)) for v in cache64.tolist()])
-    tfq = F.col("max_tf").cast("double")
-    meta = meta.select(
-        "term",
-        (F.col("first_doc") / F.lit(index.split_range))
-        .cast("long")
-        .alias("split"),
-        (tfq / (tfq + F.element_at(cache_arr, F.col("min_nb") + 1)))
-        .alias("ub_factor"),
-        F.col("num_docs").alias("nd"),
-    )
-    wmap = F.create_map(
-        *[x for t in present for x in (F.lit(t), F.lit(weights[t]))]
-    )
-    tot = (
-        meta.groupBy("split", "term")
-        .agg(F.max("ub_factor").alias("ub"), F.sum("nd").alias("nd"))
-        .select(
-            "split",
-            (F.col("ub") * wmap[F.col("term")]).alias("wub"),
-            "nd",
+    mdf = index.split_meta(present)
+    if len(mdf):
+        tf = mdf["max_tf"].to_numpy(dtype="float64")
+        ub_factor = tf / (
+            tf + cache64[mdf["min_nb"].to_numpy(dtype="int64")]
         )
-        .groupBy("split")
-        .agg(F.sum("wub").alias("tot"), F.sum("nd").alias("nd"))
-        .collect()
-    )
-    if not tot:
+        agg = (
+            pd.DataFrame(
+                {
+                    "split": mdf["split"].to_numpy(),
+                    "term": mdf["term"].to_numpy(),
+                    "ubf": ub_factor,
+                    "nd": mdf["nd"].to_numpy(dtype="int64"),
+                }
+            )
+            .groupby(["split", "term"], sort=False)
+            .agg(ub=("ubf", "max"), nd=("nd", "sum"))
+            .reset_index()
+        )
+        agg["wub"] = agg["ub"] * agg["term"].map(weights)
+        tot = (
+            agg.groupby("split", sort=False)
+            .agg(tot=("wub", "sum"), nd=("nd", "sum"))
+            .reset_index()
+        )
+        splits_desc = [
+            {"split": int(r.split), "tot": float(r.tot), "nd": int(r.nd)}
+            for r in tot.itertuples()
+        ]
+        splits_desc.sort(key=lambda r: -r["tot"])
+    else:
+        splits_desc = []
+    if not splits_desc:
         return index.spark.createDataFrame(
             [], f"doc_id long, score {searcher._score_type}"
         )
-    splits_desc = sorted(tot, key=lambda r: -r["tot"])
 
     def score_splits(split_ids: list[int]) -> DataFrame:
         pruned = index.blocks.where(
@@ -289,43 +296,50 @@ def wand_and_search(
     }
 
     # -- 1. metadata pass: per-split presence + score upper bound --------
-    meta = index.blocks.where(
-        F.col("bucket").isin(index.buckets_of(musts))
-        & F.col("term").isin(musts)
-    )
-    cache_arr = F.array(
-        *[F.lit(float(v)) for v in searcher.cache64.tolist()]
-    )
-    tfq = F.col("max_tf").cast("double")
-    meta = meta.select(
-        "term",
-        (F.col("first_doc") / F.lit(index.split_range))
-        .cast("long")
-        .alias("split"),
-        (tfq / (tfq + F.element_at(cache_arr, F.col("min_nb") + 1)))
-        .alias("ub_factor"),
-        F.col("num_docs").alias("nd"),
-    )
-    wmap = F.create_map(
-        *[x for t in musts for x in (F.lit(t), F.lit(weights[t]))]
-    )
-    per_split = (
-        meta.groupBy("split", "term")
-        .agg(F.max("ub_factor").alias("ub"), F.sum("nd").alias("nd"))
-        .select(
-            "split",
-            "term",
-            (F.col("ub") * wmap[F.col("term")]).alias("wub"),
-            "nd",
+    # driver-side pandas over the memoized per-term split metadata (see
+    # wand_or_search) — presence prune AND bound both come from the same
+    # cached rows, with no per-query shuffle job.
+    cache64 = searcher.cache64
+    mdf = index.split_meta(musts)
+    if len(mdf):
+        tf = mdf["max_tf"].to_numpy(dtype="float64")
+        ub_factor = tf / (
+            tf + cache64[mdf["min_nb"].to_numpy(dtype="int64")]
         )
-        .groupBy("split")
-        .agg(
-            F.countDistinct("term").alias("nt"),
-            F.sum("wub").alias("tot"),
-            F.sum("nd").alias("nd"),
+        agg = (
+            pd.DataFrame(
+                {
+                    "split": mdf["split"].to_numpy(),
+                    "term": mdf["term"].to_numpy(),
+                    "ubf": ub_factor,
+                    "nd": mdf["nd"].to_numpy(dtype="int64"),
+                }
+            )
+            .groupby(["split", "term"], sort=False)
+            .agg(ub=("ubf", "max"), nd=("nd", "sum"))
+            .reset_index()
         )
-        .collect()
-    )
+        agg["wub"] = agg["ub"] * agg["term"].map(weights)
+        per = (
+            agg.groupby("split", sort=False)
+            .agg(
+                nt=("term", "nunique"),
+                tot=("wub", "sum"),
+                nd=("nd", "sum"),
+            )
+            .reset_index()
+        )
+        per_split = [
+            {
+                "split": int(r.split),
+                "nt": int(r.nt),
+                "tot": float(r.tot),
+                "nd": int(r.nd),
+            }
+            for r in per.itertuples()
+        ]
+    else:
+        per_split = []
     splits_any = len(per_split)
     candidates = sorted(
         (r for r in per_split if r["nt"] == n), key=lambda r: -r["tot"]
@@ -490,42 +504,40 @@ def wand_phrase_search(
         )
     weight = w * (1.2 + 1)
 
-    meta = index.blocks.where(
-        F.col("bucket").isin(index.buckets_of(distinct))
-        & F.col("term").isin(distinct)
-    ).select(
-        "term",
-        (F.col("first_doc") / F.lit(index.split_range))
-        .cast("long")
-        .alias("split"),
-        "max_tf",
-        "min_nb",
-        F.col("num_docs").alias("nd"),
-    )
-    per_split = (
-        meta.groupBy("split", "term")
-        .agg(
-            F.max("max_tf").alias("tmax"),
-            F.min("min_nb").alias("nbmin"),
-            F.sum("nd").alias("nd"),
+    # driver-side pandas over the memoized per-term split metadata
+    # (see wand_or_search) — no per-query shuffle job.
+    mdf = index.split_meta(distinct)
+    if len(mdf):
+        per_term = (
+            mdf.groupby(["split", "term"], sort=False)
+            .agg(
+                tmax=("max_tf", "max"),
+                nbmin=("min_nb", "min"),
+                nd=("nd", "sum"),
+            )
+            .reset_index()
         )
-        .groupBy("split")
-        .agg(
-            F.countDistinct("term").alias("nt"),
-            F.min("tmax").alias("tf_ub"),
-            F.min("nbmin").alias("nb_min"),
-            F.sum("nd").alias("nd"),
+        per = (
+            per_term.groupby("split", sort=False)
+            .agg(
+                nt=("term", "nunique"),
+                tf_ub=("tmax", "min"),
+                nb_min=("nbmin", "min"),
+                nd=("nd", "sum"),
+            )
+            .reset_index()
         )
-        .collect()
-    )
+        per_split = list(per.itertuples())
+    else:
+        per_split = []
     cache64 = searcher.cache64
     candidates = []
     for r in per_split:
-        if r["nt"] != n:
+        if int(r.nt) != n:
             continue
-        tf_ub = float(r["tf_ub"])
-        ub = weight * tf_ub / (tf_ub + float(cache64[int(r["nb_min"])]))
-        candidates.append((int(r["split"]), ub, int(r["nd"])))
+        tf_ub = float(r.tf_ub)
+        ub = weight * tf_ub / (tf_ub + float(cache64[int(r.nb_min)]))
+        candidates.append((int(r.split), ub, int(r.nd)))
     candidates.sort(key=lambda t: -t[1])
     if stats_out is not None:
         stats_out.update(
