@@ -116,3 +116,34 @@ def fst_lookup(
         .select("key", "weight", "bucket")
         .limit(num)
     )
+
+
+def parse_file_dictionary(text: str) -> list[tuple[str, int]]:
+    """FileDictionary wire format (lucene/suggest/.../FileDictionary.java:
+    33-98): one entry per line, optionally TAB-separated from an integer
+    weight (floats accepted for back-compat, truncated to long); no
+    weight means 1. The entry itself may contain spaces."""
+    out: list[tuple[str, int]] = []
+    for line in text.splitlines():
+        if not line:
+            continue
+        fields = line.split("\t")
+        if len(fields) > 1:
+            try:
+                w = int(fields[1])
+            except ValueError:
+                w = int(float(fields[1]))
+            out.append((fields[0], w))
+        else:
+            out.append((line, 1))
+    return out
+
+
+def suggester_from_file(spark, text: str) -> DataFrame:
+    """(key, weight) suggestion table from FileDictionary text — the
+    external-dictionary Suggester path (solr/core/.../spelling/suggest/
+    Suggester.java sourceLocation), interchangeable with
+    build_suggester's index-derived table."""
+    return spark.createDataFrame(
+        parse_file_dictionary(text), "key string, weight long"
+    )

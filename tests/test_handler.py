@@ -668,3 +668,29 @@ def test_fst_completion_bucketing(spark):
     keys = [r["key"] for r in fst_lookup(comp, "", 10, exact_first=False).collect()]
     assert keys[0] == "iota" and keys[1] == "kappa"
     assert keys.index("eta") < keys.index("theta")
+
+
+def test_file_dictionary_suggester(spark):
+    """FileDictionary format (entry [TAB weight], float weights
+    truncated, weightless lines default to 1) through the Lookup path,
+    including multi-word entries."""
+    from lucene_solr_spark.search.suggest import (
+        lookup,
+        parse_file_dictionary,
+        suggester_from_file,
+    )
+
+    txt = "wizard\t7\nwizard of oz\t100.9\nwitch\nwindow\t7\n"
+    assert parse_file_dictionary(txt) == [
+        ("wizard", 7),
+        ("wizard of oz", 100),
+        ("witch", 1),
+        ("window", 7),
+    ]
+    sg = suggester_from_file(spark, txt)
+    got = [
+        (r["key"], r["weight"])
+        for r in lookup(sg, "wi", 3, exact_first=False).collect()
+    ]
+    # weight desc, key asc on ties
+    assert got == [("wizard of oz", 100), ("window", 7), ("wizard", 7)]
