@@ -3925,6 +3925,22 @@ def q_stats_nchars(spark, sf_dir):
     )
 
 
+def q_group_main(spark, sf_dir):
+    """group.format=simple / group.main=true: per-group top docs
+    flattened into one main docList ordered by group heads
+    (Grouping.java Format.simple)."""
+    from lucene_solr_spark.search.grouping import grouped_main
+
+    s = _searcher(spark, sf_dir)
+    return grouped_main(
+        s.score(TermQuery("scan")),
+        _index(spark, sf_dir).docs,
+        "lang",
+        per_group=2,
+        rows=10,
+    )
+
+
 def q_group_topk(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     scored = s.score(TermQuery("scan"))
@@ -4437,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "suggest_fst": q_suggest_fst,
         "synonym_wordnet": q_synonym_wordnet,
+        "group_main": q_group_main,
         "hyphenation_compound_freq": q_hyphenation_compound_freq,
         "analyzing_wildcard": q_analyzing_wildcard,
         "extendable_prefix": q_extendable_prefix,
@@ -4700,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added this session — newest first
         "suggest_fst",
         "synonym_wordnet",
+        "group_main",
         "bpe_train",
         "bpe_tokens",
         "semantic_dedup",
@@ -5109,6 +5127,9 @@ def oracle_sql() -> dict[str, str]:
         "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),
         "stats_nchars": O.stats_nchars("scan"),
         "group_topk": O.group_topk_per_field("scan", "lang"),
+        "group_main": O.group_main_flat(
+            "scan", "lang", per_group=2, rows=10
+        ),
         "terms_enum": O.terms_enum("s"),
         "join_semi": O.join_semi_customers(),
         "block_join": O.block_join_orders(),

@@ -124,6 +124,9 @@ HEADLINE = [
     "video_frames",
     "semantic_dedup",
     "bpe_tokens",
+    "suggest_fst",
+    "synonym_wordnet",
+    "group_main",
 ]
 
 

@@ -1304,6 +1304,35 @@ SELECT {field}, doc_id, round(score, 4) AS score FROM (
 """.strip()
 
 
+def group_main_flat(
+    term: str,
+    field: str,
+    per_group: int = 1,
+    rows: int = 10,
+    table: str = "documents",
+) -> str:
+    """group.format=simple / group.main twin: flatten per-group heads,
+    groups ordered by their head doc (score desc, doc_id asc)."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)}
+SELECT {field}, doc_id, round(score, 4) AS score FROM (
+  SELECT d.{field} AS {field}, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.{field} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn,
+         first_value(s.score) OVER (
+           PARTITION BY d.{field} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS hscore,
+         first_value(s.doc_id) OVER (
+           PARTITION BY d.{field} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS hdoc
+  FROM scored s JOIN {table} d USING (doc_id)
+) WHERE rn <= {per_group}
+ORDER BY hscore DESC, hdoc ASC, rn ASC
+LIMIT {rows}
+""".strip()
+
+
 def terms_enum(prefix: str, k: int = 20, table: str = "documents") -> str:
     return f"""
 WITH {tok_ctes(table)}

@@ -141,3 +141,42 @@ def grouped_by_func(
     return grouped_topk(
         scored, keyed, "group_f", per_group=per_group, ngroups=ngroups
     )
+
+
+def grouped_main(
+    scored: DataFrame,
+    docs: DataFrame,
+    group_field: str,
+    per_group: int = 1,
+    rows: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """group.format=simple / group.main=true (Grouping.java:153-232,
+    Format.simple; grouped.main flattens the grouped result into the
+    main docList): the top ``per_group`` docs of each group, flattened
+    into ONE list ordered by the groups' head docs (score desc, doc_id
+    asc), docs within a group in group order; start/rows paginate the
+    flattened list. Window functions only — no extra shuffle beyond
+    the groupBy the collapse already pays."""
+    joined = scored.join(docs.select("doc_id", group_field), "doc_id")
+    w = Window.partitionBy(group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("hscore", F.first("score").over(w))
+        .withColumn("hdoc", F.first("doc_id").over(w))
+        .where(F.col("rn") <= F.lit(int(per_group)))
+    )
+    return (
+        ranked.orderBy(
+            F.desc("hscore"), F.asc("hdoc"), F.asc("rn")
+        )
+        .select(
+            group_field,
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .offset(int(offset))
+        .limit(int(rows))
+    )

@@ -694,3 +694,75 @@ def test_file_dictionary_suggester(spark):
     ]
     # weight desc, key asc on ties
     assert got == [("wizard of oz", 100), ("window", 7), ("wizard", 7)]
+
+
+def test_phps_roundtrip_unserialize():
+    """write_phps output must round-trip through a PHP unserialize()
+    twin (string lengths are UTF-8 BYTE counts consumed verbatim —
+    the part a naive char-count writer gets wrong on multi-byte text)."""
+    from lucene_solr_spark.search.response import write_phps
+
+    def unserialize(b: bytes, pos: int = 0):
+        t = chr(b[pos])
+        if t == "N":
+            return None, pos + 2
+        if t == "b":
+            return b[pos + 2 : pos + 3] == b"1", pos + 4
+        if t == "i":
+            end = b.index(b";", pos)
+            return int(b[pos + 2 : end]), end + 1
+        if t == "d":
+            end = b.index(b";", pos)
+            return float(b[pos + 2 : end]), end + 1
+        if t == "s":
+            colon = b.index(b":", pos + 2)
+            n = int(b[pos + 2 : colon])
+            start = colon + 2  # skip :"
+            val = b[start : start + n].decode("utf-8")
+            assert b[start + n : start + n + 2] == b'";'
+            return val, start + n + 2
+        if t == "a":
+            colon = b.index(b":", pos + 2)
+            n = int(b[pos + 2 : colon])
+            p = colon + 2  # skip :{
+            out = {}
+            for _ in range(n):
+                k, p = unserialize(b, p)
+                v, p = unserialize(b, p)
+                out[k] = v
+            assert b[p : p + 1] == b"}"
+            return out, p + 1
+        raise AssertionError(f"bad type {t!r} at {pos}")
+
+    class FakeRow:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self, recursive=True):
+            return self._d
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._r = rows
+
+        def collect(self):
+            return self._r
+
+    res = {
+        "response": FakeDF(
+            [FakeRow({"id": "héllo wörld — 你好", "n": -3,
+                      "f": 2.5, "ok": False, "gap": None,
+                      "tags": ["ü", "v"]})]
+        )
+    }
+    out = write_phps(res, params={"q": "café"}, qtime_ms=9).encode("utf-8")
+    body, end = unserialize(out)
+    assert end == len(out)
+    assert body["responseHeader"]["QTime"] == 9
+    assert body["responseHeader"]["params"]["q"] == "café"
+    doc = body["response"]["docs"][0]
+    assert doc["id"] == "héllo wörld — 你好"
+    assert doc["n"] == -3 and doc["f"] == 2.5
+    assert doc["ok"] is False and doc["gap"] is None
+    # arrays serialize with integer keys (PHPSerializedWriter.writeArray)
+    assert doc["tags"] == {0: "ü", 1: "v"}
