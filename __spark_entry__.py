@@ -812,6 +812,67 @@ def q_length_filter_freq(spark, sf_dir):
     )
 
 
+def q_mapping_charfilter_freq(spark, sf_dir):
+    """MappingCharFilter in the char-filter slot (lucene/analysis/
+    common/.../charfilter/MappingCharFilter.java + NormalizeCharMap
+    greedy longest-match): 'scan'->'skip' beats the shorter 'sc'->'sk'
+    wherever both match; runs on the RAW text before tokenize/lower.
+    Top-20 post-stop terms by count."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(
+        char_filters=[("mapping", {"sc": "sk", "scan": "skip"})]
+    )
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_keep_word_freq(spark, sf_dir):
+    """KeepWordFilter (lucene/analysis/common/.../miscellaneous/
+    KeepWordFilter.java — FilteringTokenFilter, position gaps): only a
+    4-word whitelist survives the chain; counts per kept term."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(
+        keep_words=frozenset({"scan", "merge", "key", "hash"})
+    )
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+    )
+
+
 def q_whitespace_freq(spark, sf_dir):
     """WhitespaceTokenizer + explicit lowercase in the tokenizer slot
     (lucene/analysis/core/.../WhitespaceTokenizer.java): maximal
@@ -4519,6 +4580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_position_range": q_span_position_range,
         "length_filter_freq": q_length_filter_freq,
         "pattern_replace_freq": q_pattern_replace_freq,
+        "mapping_charfilter_freq": q_mapping_charfilter_freq,
+        "keep_word_freq": q_keep_word_freq,
         "complex_phrase": q_complex_phrase,
         "complex_phrase_wild": q_complex_phrase_wild,
         "replica_search": q_replica_search,
@@ -4715,6 +4778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "mapping_charfilter_freq",
+        "keep_word_freq",
         "suggest_fst",
         "synonym_wordnet",
         "group_main",
@@ -4893,6 +4958,10 @@ def oracle_sql() -> dict[str, str]:
         "span_position_range": O.span_position_range_docs("merge", 3, 12),
         "length_filter_freq": O.length_filter_freq(4, 5),
         "pattern_replace_freq": O.pattern_replace_freq("[0-9]", "#"),
+        "mapping_charfilter_freq": O.mapping_charfilter_freq(),
+        "keep_word_freq": O.keep_word_freq(
+            ("scan", "merge", "key", "hash")
+        ),
         "complex_phrase": O.complex_phrase_docs(
             [{"fuzzy": ("scan", 1)}, {"term": "order"}], slop=1
         ),

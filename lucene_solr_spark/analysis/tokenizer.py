@@ -541,6 +541,73 @@ _TOKENIZERS = {
 }
 
 
+def make_mapping_char_filter(mappings: dict[str, str]):
+    """MappingCharFilter over a NormalizeCharMap (LA/charfilter/
+    MappingCharFilter.java:36-44 + NormalizeCharMap greedy matching):
+    at each input position the LONGEST configured source string wins;
+    replacement text is not re-scanned. Runs before the tokenizer.
+
+    A regex alternation sorted longest-first reproduces the greedy
+    longest-match walk (alternations try branches in order)."""
+    import re as _re
+
+    if not mappings:
+        return lambda t: t
+    keys = sorted(mappings, key=len, reverse=True)
+    rx = _re.compile("|".join(_re.escape(k) for k in keys))
+    return lambda t: rx.sub(lambda m: mappings[m.group(0)], t)
+
+
+def make_pattern_replace_char_filter(pattern: str, replacement: str):
+    """PatternReplaceCharFilter (LA/pattern/PatternReplaceCharFilter
+    .java): regex replaceAll over the raw character stream before the
+    tokenizer (vs PatternReplaceFilter which rewrites tokens)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    return lambda t: rx.sub(replacement, t)
+
+
+def capitalize_token(tok: str) -> str:
+    """CapitalizationFilter with the reference defaults (LA/
+    miscellaneous/CapitalizationFilter.java:79-122: onlyFirstWord=true,
+    forceFirstLetter=true, minWordLength=0): the token splits into
+    words on chars <= ' ' or '.', the first word gets Upper+lower, the
+    rest are lowercased wholesale. The word-scan's separator double
+    advance (i++ both in the branch and the loop) is preserved — a
+    run of separators folds the skipped char into the next word."""
+    buf = list(tok)
+    n = len(buf)
+
+    def process(off: int, length: int, word_count: int) -> None:
+        if length < 1:
+            return
+        if word_count > 0:  # onlyFirstWord: subsequent words lowercase
+            for i in range(off, off + length):
+                buf[i] = buf[i].lower()
+            return
+        buf[off] = buf[off].upper()
+        for i in range(off + 1, off + length):
+            buf[i] = buf[i].lower()
+
+    word_count = 0
+    last_start = 0
+    i = 0
+    while i < n:
+        c = buf[i]
+        if c <= " " or c == ".":
+            length = i - last_start
+            if length > 0:
+                process(last_start, length, word_count)
+                word_count += 1
+                last_start = i + 1
+                i += 1
+        i += 1
+    if last_start < n:
+        process(last_start, n - last_start, word_count)
+    return "".join(buf)
+
+
 def make_analyzer(
     tokenizer="standard",
     lowercase: bool | None = None,
@@ -566,6 +633,12 @@ def make_analyzer(
     pattern_replace: tuple[str, str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     html_strip: bool = False,
+    char_filters: list | None = None,
+    trim: bool = False,
+    keep_words: frozenset[str] | None = None,
+    capitalization: bool = False,
+    remove_duplicates: bool = False,
+    limit_tokens: int | None = None,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -611,14 +684,33 @@ def make_analyzer(
     # protected words bypass the stemmer.
     # HTMLStripCharFilter runs BEFORE the tokenizer (a CharFilter):
     # wrap the fold slot so every tokenize path sees stripped text
+    # CharFilter chain (runs before the tokenizer, in schema order:
+    # HTMLStrip -> mapping/pattern charfilters; the ASCII fold slot is a
+    # whole-text transform so it composes at the same point, last):
+    # ("mapping", {src: dst}) -> MappingCharFilter,
+    # ("pattern", regex, repl) -> PatternReplaceCharFilter.
+    cf_fns = []
     if html_strip:
         from .htmlstrip import strip_html
 
-        if fold_fn is not None:
-            _inner_fold = fold_fn
-            fold_fn = lambda t: _inner_fold(strip_html(t))  # noqa: E731
+        cf_fns.append(strip_html)
+    for spec in char_filters or ():
+        if spec[0] == "mapping":
+            cf_fns.append(make_mapping_char_filter(spec[1]))
+        elif spec[0] == "pattern":
+            cf_fns.append(make_pattern_replace_char_filter(spec[1], spec[2]))
         else:
-            fold_fn = strip_html
+            raise ValueError(f"unknown char filter {spec[0]!r}")
+    if fold_fn is not None:
+        cf_fns.append(fold_fn)
+    if len(cf_fns) == 1:
+        fold_fn = cf_fns[0]
+    elif cf_fns:
+
+        def fold_fn(t, _fns=tuple(cf_fns)):
+            for f in _fns:
+                t = f(t)
+            return t
     pr_rx = None
     if pattern_replace is not None:
         import re as _re
@@ -627,6 +719,14 @@ def make_analyzer(
     if (length or pattern_replace) and common_grams:
         raise ValueError(
             "length/pattern_replace cannot combine with common_grams"
+        )
+    if common_grams and (
+        trim or keep_words or capitalization or remove_duplicates
+        or limit_tokens
+    ):
+        raise ValueError(
+            "trim/keep_words/capitalization/remove_duplicates/"
+            "limit_tokens cannot combine with common_grams"
         )
     if cjk_bigram and (ngram or edge_ngram or shingle):
         raise ValueError("cjk_bigram cannot combine with gram filters")
@@ -760,12 +860,26 @@ def make_analyzer(
             raw = base_tok(
                 fold_fn(text) if fold_fn else text
             )
+        # LimitTokenCountFilter (LA/miscellaneous/LimitTokenCountFilter
+        # .java): consume at most N tokens straight off the tokenizer
+        if limit_tokens is not None:
+            raw = raw[:limit_tokens]
         terms: list[str] = []
         positions: list[int] = []
         for pos, tok in enumerate(raw):
+            if trim:
+                # TrimFilter (LA/miscellaneous/TrimFilter.java): strip
+                # leading/trailing whitespace in place; a token trimmed
+                # to empty stays in the stream (not a FilteringFilter)
+                tok = tok.strip()
             if possessive:
                 tok = english_possessive(tok)
             if stop and tok in stop_set:
+                continue
+            if keep_words is not None and tok not in keep_words:
+                # KeepWordFilter (LA/miscellaneous/KeepWordFilter.java):
+                # FilteringTokenFilter — dropped slots leave position
+                # gaps exactly like stop removal
                 continue
             if pr_rx is not None:
                 tok = pr_rx[0].sub(pr_rx[1], tok)
@@ -777,6 +891,8 @@ def make_analyzer(
                 stem_exclusions and tok in stem_exclusions
             ):
                 tok = stem_fn(tok)
+            if capitalization:
+                tok = capitalize_token(tok)
             if gram_fn is not None:
                 # all grams of one source token share its position
                 # (NGramTokenFilter keeps posIncrement of the first gram
@@ -789,9 +905,23 @@ def make_analyzer(
                 positions.append(pos)
         if shingle is None:
             if phon_fn is not None:
-                return phon_fn(terms, positions)
-            if comp_fn is not None:
-                return comp_fn(terms, positions)
+                terms, positions = phon_fn(terms, positions)
+            elif comp_fn is not None:
+                terms, positions = comp_fn(terms, positions)
+            if remove_duplicates:
+                # RemoveDuplicatesTokenFilter (LA/miscellaneous/
+                # RemoveDuplicatesTokenFilter.java): drop a token iff
+                # the same term already occurred at the same position
+                # (posIncrement 0 duplicates from injectors/compounds)
+                seen: set[tuple[str, int]] = set()
+                out_t, out_p = [], []
+                for t, p in zip(terms, positions):
+                    if (t, p) in seen:
+                        continue
+                    seen.add((t, p))
+                    out_t.append(t)
+                    out_p.append(p)
+                return out_t, out_p
             return terms, positions
         if not terms:
             return [], []

@@ -4661,6 +4661,33 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def mapping_charfilter_freq(k: int = 20, table: str = "documents") -> str:
+    """MappingCharFilter twin: greedy longest-match {'scan'->'skip',
+    'sc'->'sk'} on the raw text before tokenization. Nested replace()
+    (longest key first) is equivalent because the replacements create
+    no new matches for either key."""
+    src = (
+        f"(SELECT doc_id, replace(replace(text, 'scan', 'skip'), "
+        f"'sc', 'sk') AS text FROM {table})"
+    )
+    return f"""
+WITH {tok_ctes(src)}
+SELECT term, count(*) AS cnt FROM tok
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def keep_word_freq(words: tuple, table: str = "documents") -> str:
+    """KeepWordFilter twin: only whitelist terms survive."""
+    lst = ", ".join(f"'{_sq(w)}'" for w in words)
+    return f"""
+WITH {tok_ctes(table)}
+SELECT term, count(*) AS cnt FROM tok
+WHERE term IN ({lst})
+GROUP BY term ORDER BY cnt DESC, term ASC
+""".strip()
+
+
 def whitespace_freq(k: int = 20, table: str = "documents") -> str:
     """WhitespaceTokenizer twin: lowercased maximal non-whitespace
     runs, no stop filter."""

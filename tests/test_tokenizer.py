@@ -5,6 +5,7 @@ position-increment gaps, dl = surviving token count."""
 from lucene_solr_spark.analysis.tokenizer import (
     ENGLISH_STOP_WORDS,
     analyze,
+    make_analyzer,
     tokenize_raw,
 )
 
@@ -457,3 +458,86 @@ def test_caverphone2_spec_pins():
     assert len(caverphone2("x")) == 10
     an = make_analyzer(phonetic="caverphone", phonetic_inject=False)
     assert an("peter stevenson")[0] == ["PTA1111111", "STFNSN1111"]
+
+
+def test_mapping_char_filter_longest_match():
+    from lucene_solr_spark.analysis.tokenizer import make_mapping_char_filter
+
+    # NormalizeCharMap greedy longest-match: "aa"->"x" wins over "a"->"y"
+    cf = make_mapping_char_filter({"a": "y", "aa": "x"})
+    assert cf("aaa b a") == "xy b y"
+    # replacement text is not rescanned
+    cf2 = make_mapping_char_filter({"a": "aa"})
+    assert cf2("aba") == "aabaa"
+    an = make_analyzer(char_filters=[("mapping", {"ph": "f"})], stop=False)
+    assert an("phone graphs")[0] == ["fone", "grafs"]
+
+
+def test_pattern_replace_char_filter():
+    an = make_analyzer(
+        char_filters=[("pattern", r"[0-9]+", " ")], stop=False
+    )
+    # digits become separators BEFORE tokenization -> two tokens
+    assert an("ab12cd")[0] == ["ab", "cd"]
+    # vs PatternReplaceFilter (token rewrite) which keeps one token
+    an2 = make_analyzer(pattern_replace=(r"[0-9]+", ""), stop=False)
+    assert an2("ab12cd")[0] == ["ab12cd".replace("12", "")]
+
+
+def test_char_filter_order_strip_then_map_then_fold():
+    an = make_analyzer(
+        html_strip=True,
+        char_filters=[("mapping", {"&": " and "})],
+        fold=True,
+        stop=False,
+    )
+    terms, _ = an("<b>café &amp; bar</b>")
+    # strip decodes &amp; to &, mapping turns & into ' and ', fold
+    # ascii-folds the e-acute
+    assert terms == ["cafe", "and", "bar"]
+
+
+def test_trim_and_keep_word_filters():
+    # trim matters with non-splitting tokenizers
+    an = make_analyzer(tokenizer="keyword", trim=True, stop=False)
+    assert an("  hello world  ")[0] == ["hello world"]
+    an2 = make_analyzer(keep_words=frozenset({"scan", "merge"}), stop=False)
+    terms, positions = an2("scan the merge key scan")
+    assert terms == ["scan", "merge", "scan"]
+    assert positions == [0, 2, 4]  # position gaps preserved
+
+
+def test_capitalization_filter():
+    from lucene_solr_spark.analysis.tokenizer import capitalize_token
+
+    assert capitalize_token("hello") == "Hello"
+    assert capitalize_token("HELLO") == "Hello"
+    # onlyFirstWord default: later words lowercased
+    assert capitalize_token("big CITY lights") == "Big city lights"
+    assert capitalize_token("") == ""
+    an = make_analyzer(tokenizer="keyword", capitalization=True, stop=False)
+    assert an("john SMITH")[0] == ["John smith"]
+
+
+def test_remove_duplicates_and_limit_tokens():
+    an = make_analyzer(
+        compound=frozenset({"soft", "ball"}),
+        remove_duplicates=True,
+        stop=False,
+    )
+    # compound injects subwords at the same position; a repeated
+    # injection at the same slot would be dropped (none here), while
+    # the same term at DIFFERENT positions survives
+    terms, positions = an("softball softball")
+    assert terms == ["softball", "soft", "ball", "softball", "soft", "ball"]
+    assert positions == [0, 0, 0, 1, 1, 1]
+    an2 = make_analyzer(limit_tokens=3, stop=False)
+    assert an2("one two three four five")[0] == ["one", "two", "three"]
+    # dedup at same position: double-metaphone inject where primary ==
+    # token encoding collapses
+    an3 = make_analyzer(
+        phonetic="soundex", phonetic_inject=True, remove_duplicates=True,
+        stop=False,
+    )
+    t3, p3 = an3("r150")  # a token already equal to its soundex code?
+    assert len(t3) == len(set(zip(t3, p3)))
