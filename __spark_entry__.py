@@ -3338,6 +3338,19 @@ def q_group_facet(spark, sf_dir):
     return group_facet(scored, _index(spark, sf_dir).docs, "lang", "source")
 
 
+def q_group_truncate(spark, sf_dir):
+    """group.truncate=true (solr/core/.../grouping/CommandHandler.java:
+    141-166): facet counts on the group-HEADS docset — source counts
+    over the most relevant 'scan' doc of each lang group."""
+    from lucene_solr_spark.search.grouping import group_truncate_facet
+
+    s = _searcher(spark, sf_dir)
+    scored = s.score(TermQuery("scan"))
+    return group_truncate_facet(
+        scored, _index(spark, sf_dir).docs, "lang", "source"
+    )
+
+
 def q_span_near_unord_rpts(spark, sf_dir):
     """Unordered SpanNear with a REPEATED term ('scan scan merge'~6):
     same-term clauses must occupy distinct positions
@@ -4661,6 +4674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_scored": q_block_join_scored,
         "group_topk_ngroups": q_group_topk_ngroups,
         "group_facet": q_group_facet,
+        "group_truncate": q_group_truncate,
         "span_near_unord_rpts": q_span_near_unord_rpts,
         "knn_ivf_kmeans": q_knn_ivf_kmeans,
         # --- new in round 3 ---
@@ -4778,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "group_truncate",
         "mapping_charfilter_freq",
         "keep_word_freq",
         "suggest_fst",
@@ -5110,6 +5125,7 @@ def oracle_sql() -> dict[str, str]:
         "block_join_scored": O.block_join_scored("scan", "max"),
         "group_topk_ngroups": O.group_topk_ngroups("scan", "lang", 2),
         "group_facet": O.group_facet_counts("scan", "lang", "source"),
+        "group_truncate": O.group_truncate_facet("scan", "lang", "source"),
         "span_near_unord_rpts": O.span_near_docs(
             ["scan", "scan", "merge"], 6, False
         ),

@@ -3164,6 +3164,33 @@ GROUP BY d.{facet_field} ORDER BY {facet_field}
 """.strip()
 
 
+def group_truncate_facet(
+    term: str,
+    group_field: str,
+    facet_field: str,
+    table: str = "documents",
+) -> str:
+    """group.truncate=true twin: facet counts over the per-group head
+    doc (score desc, doc_id asc within group) of the match set."""
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+heads AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id,
+           row_number() OVER (
+             PARTITION BY d.{group_field}
+             ORDER BY s.score DESC, s.doc_id ASC
+           ) AS rn
+    FROM scored s JOIN {table} d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT d.{facet_field} AS {facet_field},
+       CAST(count(*) AS BIGINT) AS cnt
+FROM {table} d JOIN heads USING (doc_id)
+GROUP BY d.{facet_field} ORDER BY {facet_field}
+""".strip()
+
+
 # --- round-4b ValueSource twins (dist/ord/hsin/geohash/const/boost) ---
 
 _GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"

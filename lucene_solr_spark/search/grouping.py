@@ -93,6 +93,38 @@ def group_facet(
     )
 
 
+def group_truncate_facet(
+    scored: DataFrame,
+    docs: DataFrame,
+    group_field: str,
+    facet_field: str,
+) -> DataFrame:
+    """group.truncate=true: facet counts computed over the GROUP-HEAD
+    docset only — the most relevant doc of each group (score desc,
+    docID asc within the group), per
+    solr/core/.../search/grouping/CommandHandler.java:141-166
+    (computeGroupedDocSet via TermAllGroupHeadsCollector) feeding
+    SimpleFacets with the truncated base DocSet.
+
+    Spark shape: window row_number()==1 per group picks the heads (one
+    shuffle on the group key), then a hash agg on the facet field —
+    both scale-free of group cardinality."""
+    joined = scored.select("doc_id", "score").join(
+        docs.select("doc_id", group_field, facet_field), "doc_id"
+    )
+    w = Window.partitionBy(group_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    heads = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        heads.groupBy(facet_field)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(facet_field)
+    )
+
+
 def grouped_by_queries(
     scored_main: DataFrame,
     group_queries: dict[str, DataFrame],
