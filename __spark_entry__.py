@@ -873,6 +873,36 @@ def q_keep_word_freq(spark, sf_dir):
     )
 
 
+def q_snowball_freq(spark, sf_dir):
+    """SnowballFilter language=English — the Porter2 stemmer
+    (LA/snowball/SnowballFilter.java + org/tartarus/snowball/ext/
+    EnglishStemmer.java): stemmed term counts over documents. The
+    oracle pins the hand-traced Porter2 image of the corpus's closed
+    31-word vocabulary (customer->custom, merge->merg, query->queri,
+    table->tabl, value->valu; the rest are fixed points)."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(stem="snowball")
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+    )
+
+
 def q_whitespace_freq(spark, sf_dir):
     """WhitespaceTokenizer + explicit lowercase in the tokenizer slot
     (lucene/analysis/core/.../WhitespaceTokenizer.java): maximal
@@ -4595,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_replace_freq": q_pattern_replace_freq,
         "mapping_charfilter_freq": q_mapping_charfilter_freq,
         "keep_word_freq": q_keep_word_freq,
+        "snowball_freq": q_snowball_freq,
         "complex_phrase": q_complex_phrase,
         "complex_phrase_wild": q_complex_phrase_wild,
         "replica_search": q_replica_search,
@@ -4792,6 +4823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "snowball_freq",
         "group_truncate",
         "mapping_charfilter_freq",
         "keep_word_freq",
@@ -4974,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "length_filter_freq": O.length_filter_freq(4, 5),
         "pattern_replace_freq": O.pattern_replace_freq("[0-9]", "#"),
         "mapping_charfilter_freq": O.mapping_charfilter_freq(),
+        "snowball_freq": O.snowball_freq(),
         "keep_word_freq": O.keep_word_freq(
             ("scan", "merge", "key", "hash")
         ),

@@ -671,7 +671,12 @@ def make_analyzer(
         from .folding import fold_to_ascii as fold_fn
     if stem and minimal_stem:
         raise ValueError("stem and minimal_stem are mutually exclusive")
-    if stem:
+    if stem == "snowball":
+        # SnowballFilter language="English" (LA/snowball/SnowballFilter
+        # .java + org/tartarus/snowball/ext/EnglishStemmer.java): the
+        # Porter2 algorithm, distinct from the classic PorterStemFilter
+        from .snowball import porter2_stem as stem_fn
+    elif stem:
         from .porter import porter_stem as stem_fn
     elif minimal_stem:
         stem_fn = english_minimal_stem

@@ -4704,6 +4704,27 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
 
 
+def snowball_freq(table: str = "documents") -> str:
+    """Porter2 twin over the corpus's CLOSED vocabulary: each of the 31
+    generator words was stemmed BY HAND through the published Porter2
+    spec (regions/steps traced in tests/test_snowball.py); the CASE
+    mapping below is that trace, so the oracle is independent of the
+    engine's stemmer code."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT CASE term
+         WHEN 'customer' THEN 'custom'
+         WHEN 'merge' THEN 'merg'
+         WHEN 'query' THEN 'queri'
+         WHEN 'table' THEN 'tabl'
+         WHEN 'value' THEN 'valu'
+         ELSE term END AS term,
+       count(*) AS cnt
+FROM tok
+GROUP BY 1 ORDER BY cnt DESC, term ASC
+""".strip()
+
+
 def keep_word_freq(words: tuple, table: str = "documents") -> str:
     """KeepWordFilter twin: only whitelist terms survive."""
     lst = ", ".join(f"'{_sq(w)}'" for w in words)
