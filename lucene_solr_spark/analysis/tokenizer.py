@@ -568,6 +568,30 @@ def make_pattern_replace_char_filter(pattern: str, replacement: str):
     return lambda t: rx.sub(replacement, t)
 
 
+def merge_hyphenated(tokens: list[str]) -> list[str]:
+    """HyphenatedWordsFilter (LA/miscellaneous/HyphenatedWordsFilter
+    .java:79-115): tokens ending in '-' (line-break hyphenation)
+    accumulate — hyphens stripped — until a non-hyphen-ending token
+    completes the word; the merged token takes the FIRST part's
+    position slot. A trailing unfinished fragment gets its hyphen
+    added back (reference back-compat branch). Meaningful after a
+    whitespace tokenizer (the standard grammar never keeps '-')."""
+    out: list[str] = []
+    pending: list[str] = []
+    for tok in tokens:
+        if tok.endswith("-") and len(tok) > 0:
+            pending.append(tok[:-1])
+        elif pending:
+            pending.append(tok)
+            out.append("".join(pending))
+            pending = []
+        else:
+            out.append(tok)
+    if pending:
+        out.append("".join(pending) + "-")
+    return out
+
+
 def capitalize_token(tok: str) -> str:
     """CapitalizationFilter with the reference defaults (LA/
     miscellaneous/CapitalizationFilter.java:79-122: onlyFirstWord=true,
@@ -639,6 +663,7 @@ def make_analyzer(
     capitalization: bool = False,
     remove_duplicates: bool = False,
     limit_tokens: int | None = None,
+    hyphenated_words: bool = False,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -865,6 +890,8 @@ def make_analyzer(
             raw = base_tok(
                 fold_fn(text) if fold_fn else text
             )
+        if hyphenated_words:
+            raw = merge_hyphenated(raw)
         # LimitTokenCountFilter (LA/miscellaneous/LimitTokenCountFilter
         # .java): consume at most N tokens straight off the tokenizer
         if limit_tokens is not None:

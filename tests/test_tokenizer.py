@@ -541,3 +541,22 @@ def test_remove_duplicates_and_limit_tokens():
     )
     t3, p3 = an3("r150")  # a token already equal to its soundex code?
     assert len(t3) == len(set(zip(t3, p3)))
+
+
+def test_hyphenated_words_filter():
+    from lucene_solr_spark.analysis.tokenizer import merge_hyphenated
+
+    assert merge_hyphenated(["ecologi-", "cal"]) == ["ecological"]
+    assert merge_hyphenated(["a", "hy-", "phen-", "ated", "word"]) == [
+        "a", "hyphenated", "word",
+    ]
+    # trailing unfinished fragment gets the hyphen back
+    assert merge_hyphenated(["broken-"]) == ["broken-"]
+    assert merge_hyphenated([]) == []
+    an = make_analyzer(
+        tokenizer="whitespace", lowercase=True,
+        hyphenated_words=True, stop=False,
+    )
+    terms, positions = an("eco- logical scan")
+    assert terms == ["ecological", "scan"]
+    assert positions == [0, 1]
