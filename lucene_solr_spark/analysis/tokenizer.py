@@ -378,6 +378,39 @@ def common_grams_fold(
     return terms, positions
 
 
+def common_grams_query_fold(
+    raw: list[str], common: frozenset[str] = ENGLISH_STOP_WORDS
+) -> tuple[list[str], list[int]]:
+    """CommonGramsQueryFilter (LA/commongrams/CommonGramsQueryFilter
+    .java:79-110) over the CommonGramsFilter stream: a unigram is
+    dropped when the NEXT stream token is a gram (its `previous` slot
+    is overwritten), and the trailing held token is dropped iff the
+    last emitted token was a gram. Pinned to the reference's OWN test
+    vectors (CommonGramsFilterTest.java:100-148 — e.g. 's n n' ->
+    [s_n, n, n], 'n s n' -> [n_s, s_n]); the class javadoc's
+    'spain'-dropped example disagrees with those tests and the code,
+    and the tests win."""
+    # the CommonGramsFilter stream: unigram then (maybe) gram per slot
+    stream: list[tuple[str, bool]] = []
+    for i, tok in enumerate(raw):
+        stream.append((tok, False))
+        if i + 1 < len(raw) and (tok in common or raw[i + 1] in common):
+            stream.append((f"{tok}_{raw[i + 1]}", True))
+    out: list[str] = []
+    prev: tuple[str, bool] | None = None
+    last_emitted_gram = False
+    for tok, is_gram in stream:
+        if prev is not None and not is_gram:
+            out.append(prev[0])
+            last_emitted_gram = prev[1]
+        prev = (tok, is_gram)
+    if prev is not None and not (out and last_emitted_gram):
+        # exhaustion branch: emit the held token unless the previous
+        # emission was a gram (reference previousType check)
+        out.append(prev[0])
+    return out, list(range(len(out)))
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer registry (lucene/analysis/core + pattern): alternatives to
 # the StandardTokenizer grammar for the make_analyzer tokenizer slot.
@@ -864,6 +897,12 @@ def make_analyzer(
             )
 
     def run(text: str) -> tuple[list[str], list[int]]:
+        if common_grams == "query":
+            # CommonGramsQueryFilter chain (query side of the pair):
+            # grams replace covered unigrams, no stop filter — the
+            # phrase-with-stopword query form the index grams serve
+            raw = tokenize_raw(fold_fn(text) if fold_fn else text)
+            return common_grams_query_fold(raw, stop_set)
         if common_grams:
             # CommonGrams index chain: unigrams + '_' grams; a
             # following StopFilter (stop=True) drops the common

@@ -560,3 +560,42 @@ def test_hyphenated_words_filter():
     terms, positions = an("eco- logical scan")
     assert terms == ["ecological", "scan"]
     assert positions == [0, 1]
+
+
+def test_common_grams_query_filter_reference_vectors():
+    """CommonGramsFilterTest.java:100-148 pinned vectors (s = common,
+    n = normal) — the class javadoc's example disagrees with these and
+    the tests win."""
+    from lucene_solr_spark.analysis.tokenizer import common_grams_query_fold
+
+    common = frozenset({"s", "the", "of"})
+
+    def q(text):
+        return common_grams_query_fold(text.split(), common)[0]
+
+    assert q("brown fox") == ["brown", "fox"]
+    assert q("the fox") == ["the_fox"]
+    assert q("fox of") == ["fox_of"]
+    assert q("of the") == ["of_the"]
+    assert q("the") == ["the"]
+    assert q("foo") == ["foo"]
+    assert q("n n n") == ["n", "n", "n"]
+    assert q("n n s") == ["n", "n_s"]
+    assert q("n s n") == ["n_s", "s_n"]
+    assert q("n s s") == ["n_s", "s_s"]
+    assert q("s n n") == ["s_n", "n", "n"]
+    assert q("s n s") == ["s_n", "n_s"]
+    assert q("s s n") == ["s_s", "s_n"]
+    assert q("quick brown fox") == ["quick", "brown", "fox"]
+    assert q("quick brown the") == ["quick", "brown_the"]
+    assert q("quick the brown") == ["quick_the", "the_brown"]
+    assert q("fox of the") == ["fox_of", "of_the"]
+    assert q("the quick brown") == ["the_quick", "quick", "brown"]
+    assert q("of the fox") == ["of_the", "the_fox"]
+    # analyzer slot: query mode pairs with the index-side grams
+    an_q = make_analyzer(common_grams="query")
+    an_i = make_analyzer(common_grams=True)
+    q_terms, _ = an_q("merge the scan")
+    i_terms, _ = an_i("merge the scan")
+    assert q_terms == ["merge_the", "the_scan"]
+    assert set(q_terms) <= set(i_terms)  # every query token is indexed
