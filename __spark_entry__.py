@@ -374,6 +374,30 @@ def q_payload_term_max(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_payload_near(spark, sf_dir):
+    """PayloadNearQuery 'scan .. merge'~4 ordered with
+    AveragePayloadFunction (PayloadNearQuery.java:58-66,147-201):
+    BM25 sloppy-span score (NearSpansOrdered shortest-match walk,
+    summed idf) times the mean payload of the used occurrences of
+    slop-passing matches."""
+    from lucene_solr_spark.search.payloads import payload_near_topk
+
+    return payload_near_topk(
+        _payloaded_docs(spark, sf_dir), ["scan", "merge"], 4,
+        func="avg", k=10,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_payload_near_max(spark, sf_dir):
+    """PayloadNearQuery with MaxPayloadFunction, slop 2."""
+    from lucene_solr_spark.search.payloads import payload_near_topk
+
+    return payload_near_topk(
+        _payloaded_docs(spark, sf_dir), ["key", "hash"], 2,
+        func="max", k=10,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_boosting(spark, sf_dir):
     """BoostingQuery(match='scan', context='merge', boost=0.2): docs
     containing 'merge' keep matching but are demoted 5×
@@ -4653,6 +4677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "atomic_update": q_atomic_update,
         "payload_term": q_payload_term,
+        "payload_near": q_payload_near,
+        "payload_near_max": q_payload_near_max,
         "payload_term_max": q_payload_term_max,
         "boosting": q_boosting,
         "custom_score": q_custom_score,
@@ -4823,6 +4849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage. Gates added this session go ahead of this list.
     never_checked = [
         # added this session — newest first
+        "payload_near",
+        "payload_near_max",
         "snowball_freq",
         "group_truncate",
         "mapping_charfilter_freq",
@@ -5257,6 +5285,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": O.dedup_canonical(),
         "atomic_update": O.atomic_update_view(),
         "payload_term": O.payload_term("scan", "avg"),
+        "payload_near": O.payload_near("scan", "merge", 4, "avg"),
+        "payload_near_max": O.payload_near("key", "hash", 2, "max"),
         "payload_term_max": O.payload_term("merge", "max"),
         "boosting": O.boosting("scan", "merge", 0.2),
         "edge_ngram_freq": O.edge_ngram_freq(2, 4),

@@ -158,3 +158,196 @@ def payload_term_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def _near_ordered_walk(
+    pos_lists: list, pay_lists: list, slop: int
+) -> tuple[float, list]:
+    """One document's NearSpansOrdered enumeration
+    (lucene/core/.../spans/NearSpansOrdered.java:182-337) for
+    single-term clauses (every span is [p, p+1)):
+
+      stretchToOrder (:244-259): advance clause i until strictly after
+      clause i-1 (equal-length term spans make docSpansOrdered a strict
+      start comparison).
+      shrinkToAfterShortestMatch (:265-337): fix the LAST clause's
+      span, then walk clauses n-2..0 backward, advancing each to its
+      latest occurrence before the running match start — pointers are
+      left PAST the used occurrence, which is what guarantees progress;
+      slop accumulates only non-overlapping gaps; a clause exhausting
+      its list mid-shrink still lets the final match be evaluated
+      (the reference's 'check remaining subSpans' branches).
+
+    Returns (freq, payloads): freq = sum of 1/(matchLength+1) over
+    slop-passing matches (BM25Similarity.sloppyFreq:71-73 via
+    SpanScorer.setFreqCurrentDoc), payloads = the used occurrences'
+    payloads of those matches (shrink's possibleMatchPayloads,
+    :332-334 — collected only when the match passes)."""
+    n = len(pos_lists)
+    ptr = [0] * n
+    freq = 0.0
+    payloads: list = []
+    while True:
+        # stretchToOrder
+        for i in range(1, n):
+            while not (pos_lists[i - 1][ptr[i - 1]] < pos_lists[i][ptr[i]]):
+                ptr[i] += 1
+                if ptr[i] >= len(pos_lists[i]):
+                    return freq, payloads
+        # shrinkToAfterShortestMatch
+        last = n - 1
+        match_start = pos_lists[last][ptr[last]]
+        match_end = match_start + 1
+        last_start = match_start
+        used_pay = [pay_lists[last][ptr[last]]]
+        slop_acc = 0
+        exhausted = False
+        for i in range(n - 2, -1, -1):
+            prev_start = pos_lists[i][ptr[i]]
+            used = pay_lists[i][ptr[i]]
+            while True:
+                ptr[i] += 1
+                if ptr[i] >= len(pos_lists[i]):
+                    exhausted = True
+                    break
+                pp = pos_lists[i][ptr[i]]
+                if not (pp < last_start):
+                    break
+                prev_start = pp
+                used = pay_lists[i][ptr[i]]
+            used_pay.append(used)
+            if match_start > prev_start + 1:
+                slop_acc += match_start - (prev_start + 1)
+            match_start = prev_start
+            last_start = prev_start
+        if slop_acc <= slop:
+            freq += 1.0 / ((match_end - match_start) + 1)
+            payloads.extend(used_pay)
+        if exhausted:
+            return freq, payloads
+
+
+def payload_near_topk(
+    docs: DataFrame,
+    terms: list[str],
+    slop: int,
+    func: str = "avg",
+    k: int = 10,
+    text_col: str = "text",
+    delimiter: str = "|",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PayloadNearQuery (lucene/core/.../payloads/PayloadNearQuery.java:
+    58-66,147-201) over ordered single-term clauses: score =
+    spanScore * payloadFunction.docScore, where spanScore is BM25 with
+    freq = the sloppy sum over NearSpansOrdered matches and idf summed
+    over the query's DISTINCT terms (SpanWeight extractTerms is a set),
+    and the payload function aggregates the used occurrences' payloads
+    of slop-passing matches.
+
+    Spark shape: clause-position lists per candidate doc (docs holding
+    ALL clause terms — an all-terms groupBy filter, one shuffle), the
+    per-doc walk as an Arrow-batched kernel (linear in positions,
+    partition-parallel), then the shared broadcast norm-interval join.
+    """
+    if func not in ("avg", "max", "min"):
+        raise ValueError(f"unknown payload function {func!r}")
+    if len(terms) < 2:
+        raise ValueError("payload_near_topk needs >= 2 clauses")
+    spark = docs.sparkSession
+    rows = payload_token_rows(docs, text_col, delimiter, id_col)
+    dls = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dls.agg(F.sum("dl").alias("sdl")).collect()[0]
+    n_docs = docs.count()
+    avgdl = float(stats["sdl"]) / float(n_docs) if n_docs else 1.0
+    uniq = sorted(set(terms))
+    df_rows = (
+        rows.where(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in df_rows}
+    if any(dfs.get(t, 0) == 0 for t in uniq):
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    idf_sum = sum(
+        math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in uniq
+    )
+    crows = rows.where(F.col("term").isin(uniq))
+    cand = (
+        crows.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "term", "payload"))
+            ).alias("occ"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .where(F.col("nt") == len(uniq))
+        .select(id_col, "occ")
+    )
+    clause_terms = list(terms)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, freqs, pfs = [], [], []
+            for did, occ in zip(pdf[id_col], pdf["occ"]):
+                by_term: dict = {}
+                for o in occ:
+                    by_term.setdefault(o["term"], ([], []))
+                    by_term[o["term"]][0].append(o["pos"])
+                    by_term[o["term"]][1].append(o["payload"])
+                pos_lists = [by_term[t][0] for t in clause_terms]
+                pay_lists = [by_term[t][1] for t in clause_terms]
+                freq, pays = _near_ordered_walk(pos_lists, pay_lists, slop)
+                if freq <= 0.0:
+                    continue
+                if pays:
+                    if func == "avg":
+                        pf = sum(pays) / len(pays)
+                    elif func == "max":
+                        pf = max(pays)
+                    else:
+                        pf = min(pays)
+                else:
+                    pf = 1.0
+                ids.append(did)
+                freqs.append(freq)
+                pfs.append(pf)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "freq": pd.Series(freqs, dtype="float64"),
+                    "pf": pd.Series(pfs, dtype="float64"),
+                }
+            )
+
+    matched = cand.mapInPandas(run, f"{id_col} long, freq double, pf double")
+    qdl = _qdl_intervals(spark)
+    scored = (
+        matched.join(dls, id_col)
+        .join(
+            F.broadcast(qdl),
+            (F.col("dl") >= F.col("lo")) & (F.col("dl") <= F.col("hi")),
+        )
+        .select(
+            id_col,
+            (
+                F.lit(idf_sum)
+                * F.lit(1.2 + 1)
+                * F.col("freq")
+                / (
+                    F.col("freq")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1 - 0.75)
+                        + F.lit(0.75) * F.col("q") / F.lit(avgdl)
+                    )
+                )
+                * F.col("pf")
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -68,3 +68,58 @@ def test_mixed_payload_and_plain_occurrences(spark):
     # dl=3 quantizes to 4.0 (floatToByte315), avgdl=3
     bm25_t = idf * 2.2 * 3 / (3 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
     assert abs(got["score"] - bm25_t * 3.0) < 1e-9
+
+
+def test_near_ordered_walk_hand_traces():
+    """NearSpansOrdered walk fixtures traced by hand through
+    NearSpansOrdered.java:182-337 (see each comment)."""
+    from lucene_solr_spark.search.payloads import _near_ordered_walk as w
+
+    # two disjoint matches: (0,2) len 3 -> 1/4; (5,7) len 3 -> 1/4
+    freq, pays = w([[0, 5], [2, 7]], [[1, 2], [3, 4]], 10)
+    assert freq == 0.5 and pays == [3, 1, 4, 2]
+    # shrink picks the LATEST t1 before t2: (1,2), not (0,2)
+    freq, pays = w([[0, 1], [2]], [[7, 8], [9]], 10)
+    assert abs(freq - 1 / 3) < 1e-12 and pays == [9, 8]
+    # slop 0: only the adjacent pair matches; the far pair is walked
+    # but contributes nothing
+    freq, pays = w([[0, 4], [1, 9]], [[1, 2], [3, 4]], 0)
+    assert abs(freq - 1 / 3) < 1e-12 and pays == [3, 1]
+    # 3 ordered clauses: one match spanning 0..4 -> len 5 -> 1/6
+    freq, pays = w([[0], [2], [4]], [[1], [2], [3]], 10)
+    assert abs(freq - 1 / 6) < 1e-12 and pays == [3, 2, 1]
+    # same term in two clauses: strict ordering forces distinct
+    # positions (docSpansOrdered equal-start is false)
+    freq, pays = w([[3, 5], [3, 5]], [[1, 2], [1, 2]], 10)
+    assert abs(freq - 1 / 4) < 1e-12 and pays == [2, 1]
+    # no passing match at all
+    freq, pays = w([[0], [9]], [[1], [2]], 0)
+    assert freq == 0.0 and pays == []
+
+
+def test_payload_near_topk_end_to_end(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.search.payloads import payload_near_topk
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "scan|2 merge|4 x|1",          # adjacent, payloads 2,4
+                "scan|1 x|1 x|1 merge|5",      # gap 2, payloads 1,5
+                "merge|9 scan|9",              # wrong order: no match
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    rows = payload_near_topk(docs, ["scan", "merge"], 4, "avg", 10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == {0, 1}
+    # doc0 freq 1/3 beats doc1 freq 1/5; both pf = 3.0
+    assert got[0] > got[1]
+    # max function
+    rows = payload_near_topk(docs, ["scan", "merge"], 4, "max", 10).collect()
+    got_max = {r["doc_id"]: r["score"] for r in rows}
+    assert got_max[0] / got[0] == (4.0 / 3.0)
+    assert got_max[1] / got[1] == (5.0 / 3.0)
