@@ -4846,7 +4846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # those, newly-VALUES-pinned ex-rows-only gates first (they were
     # permanently `err:no_oracle` before and should now show the full
     # rows+schema+hash green), so round 5's window is 100% first-time
-    # coverage. Gates added this session go ahead of this list.
+    # coverage. Gates added this session go ahead of this list. With
+    # the registry at 254 and a 50-row window, gates past the window
+    # are certified by the local full sweeps instead (BASELINE.md
+    # round-5 certification: every registered gate green at sf0.01 AND
+    # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
         "payload_near",
