@@ -836,6 +836,31 @@ def q_length_filter_freq(spark, sf_dir):
     )
 
 
+def _analyzer_term_freq(spark, sf_dir, analyzer, limit=None):
+    """Shared analyzer-chain gate kernel: run ``analyzer`` over every
+    document text (Arrow-batched), count terms, order by cnt desc /
+    term asc, optional top-N."""
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = analyzer(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    out = (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+    )
+    return out.limit(limit) if limit is not None else out
+
+
 def q_mapping_charfilter_freq(spark, sf_dir):
     """MappingCharFilter in the char-filter slot (lucene/analysis/
     common/.../charfilter/MappingCharFilter.java + NormalizeCharMap
@@ -847,25 +872,7 @@ def q_mapping_charfilter_freq(spark, sf_dir):
     an = make_analyzer(
         char_filters=[("mapping", {"sc": "sk", "scan": "skip"})]
     )
-    docs = _docs(spark, sf_dir).select("text")
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows: list[str] = []
-            for t in pdf["text"]:
-                terms, _ = an(t or "")
-                rows.extend(terms)
-            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
-
-    return (
-        docs.mapInPandas(run, "term string")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("term"))
-        .limit(20)
-    )
+    return _analyzer_term_freq(spark, sf_dir, an, limit=20)
 
 
 def q_keep_word_freq(spark, sf_dir):
@@ -877,24 +884,7 @@ def q_keep_word_freq(spark, sf_dir):
     an = make_analyzer(
         keep_words=frozenset({"scan", "merge", "key", "hash"})
     )
-    docs = _docs(spark, sf_dir).select("text")
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows: list[str] = []
-            for t in pdf["text"]:
-                terms, _ = an(t or "")
-                rows.extend(terms)
-            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
-
-    return (
-        docs.mapInPandas(run, "term string")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("term"))
-    )
+    return _analyzer_term_freq(spark, sf_dir, an)
 
 
 def q_snowball_freq(spark, sf_dir):
@@ -907,24 +897,7 @@ def q_snowball_freq(spark, sf_dir):
     from lucene_solr_spark.analysis.tokenizer import make_analyzer
 
     an = make_analyzer(stem="snowball")
-    docs = _docs(spark, sf_dir).select("text")
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows: list[str] = []
-            for t in pdf["text"]:
-                terms, _ = an(t or "")
-                rows.extend(terms)
-            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
-
-    return (
-        docs.mapInPandas(run, "term string")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("term"))
-    )
+    return _analyzer_term_freq(spark, sf_dir, an)
 
 
 def q_whitespace_freq(spark, sf_dir):

@@ -785,7 +785,7 @@ def make_analyzer(
         )
     if common_grams and (
         trim or keep_words or capitalization or remove_duplicates
-        or limit_tokens
+        or limit_tokens is not None
     ):
         raise ValueError(
             "trim/keep_words/capitalization/remove_duplicates/"
@@ -900,9 +900,17 @@ def make_analyzer(
         if common_grams == "query":
             # CommonGramsQueryFilter chain (query side of the pair):
             # grams replace covered unigrams, no stop filter — the
-            # phrase-with-stopword query form the index grams serve
+            # phrase-with-stopword query form the index grams serve.
+            # Surviving unigrams stem exactly like the index chain's
+            # (grams stay raw on both sides), so index/query pairs
+            # built with the same options produce matchable terms.
             raw = tokenize_raw(fold_fn(text) if fold_fn else text)
-            return common_grams_query_fold(raw, stop_set)
+            terms0, pos0 = common_grams_query_fold(raw, stop_set)
+            if stem_fn is not None:
+                terms0 = [
+                    stem_fn(t) if "_" not in t else t for t in terms0
+                ]
+            return terms0, pos0
         if common_grams:
             # CommonGrams index chain: unigrams + '_' grams; a
             # following StopFilter (stop=True) drops the common

@@ -338,6 +338,8 @@ class _Decoder:
         self.tag = 0
 
     def _byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise EOFError("truncated javabin stream")
         b = self.buf[self.pos]
         self.pos += 1
         return b

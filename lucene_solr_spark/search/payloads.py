@@ -304,6 +304,10 @@ def payload_near_topk(
                 freq, pays = _near_ordered_walk(pos_lists, pay_lists, slop)
                 if freq <= 0.0:
                     continue
+                # occurrences without a payload are never seen by the
+                # PayloadFunction (payloadsSeen not incremented) — same
+                # null-ignoring contract as payload_term_topk
+                pays = [p for p in pays if p is not None]
                 if pays:
                     if func == "avg":
                         pf = sum(pays) / len(pays)

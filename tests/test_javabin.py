@@ -177,3 +177,14 @@ def test_write_javabin_response(spark):
     assert resp.num_found == 42
     assert [d["doc_id"] for d in resp] == ["d1", "d2"]
     assert resp.max_score == 2.0
+
+
+def test_truncated_stream_raises_eoferror():
+    data = marshal(NamedList().add("a", [1, "xy", JLong(99)]))
+    import pytest as _pytest
+
+    for cut in range(1, len(data)):
+        with _pytest.raises((EOFError, ValueError)):
+            unmarshal(data[:cut])
+    with _pytest.raises(EOFError):
+        unmarshal(b"")

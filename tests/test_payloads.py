@@ -123,3 +123,28 @@ def test_payload_near_topk_end_to_end(spark):
     got_max = {r["doc_id"]: r["score"] for r in rows}
     assert got_max[0] / got[0] == (4.0 / 3.0)
     assert got_max[1] / got[1] == (5.0 / 3.0)
+
+
+def test_payload_near_null_payload_occurrences(spark):
+    """Occurrences without a '|payload' suffix are invisible to the
+    PayloadFunction (payloadsSeen not incremented) — and all-plain
+    matches fall back to pf=1."""
+    import pandas as pd
+
+    from lucene_solr_spark.search.payloads import payload_near_topk
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "scan merge|4 x|1",   # scan carries no payload
+                "scan merge x",       # no payloads at all -> pf 1.0
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    rows = payload_near_topk(docs, ["scan", "merge"], 4, "avg", 10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == {0, 1}
+    # doc0 pf = avg([4.0]) = 4; doc1 pf = 1 -> doc0 scores 4x doc1
+    assert abs(got[0] / got[1] - 4.0) < 1e-9

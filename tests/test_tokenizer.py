@@ -599,3 +599,19 @@ def test_common_grams_query_filter_reference_vectors():
     i_terms, _ = an_i("merge the scan")
     assert q_terms == ["merge_the", "the_scan"]
     assert set(q_terms) <= set(i_terms)  # every query token is indexed
+
+
+def test_common_grams_query_stems_like_index_side():
+    an_i = make_analyzer(common_grams=True, stem=True)
+    an_q = make_analyzer(common_grams="query", stem=True)
+    i_terms, _ = an_i("merging the scan")
+    q_terms, _ = an_q("merging the scan")
+    # unigrams stem on both sides; grams stay raw on both sides
+    assert set(q_terms) <= set(i_terms)
+    assert "merging_the" in q_terms and "the_scan" in q_terms
+    # guard: limit_tokens=0 is rejected with common_grams like any
+    # other incompatible option
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_analyzer(common_grams=True, limit_tokens=0)
