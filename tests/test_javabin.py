@@ -188,3 +188,40 @@ def test_truncated_stream_raises_eoferror():
             unmarshal(data[:cut])
     with _pytest.raises(EOFError):
         unmarshal(b"")
+
+
+# ---- hypothesis round-trip fuzz --------------------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.text(max_size=40),
+        st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+        st.integers(min_value=0, max_value=(1 << 55)).map(JLong),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.binary(max_size=24),
+    )
+
+    def _trees(children):
+        return st.one_of(
+            st.lists(children, max_size=5),
+            st.dictionaries(st.text(max_size=8), children, max_size=4),
+            st.builds(
+                lambda pairs: NamedList(pairs),
+                st.lists(
+                    st.tuples(st.text(max_size=8), children), max_size=4
+                ),
+            ),
+        )
+
+    _values = st.recursive(_scalars, _trees, max_leaves=20)
+
+    @given(_values)
+    @settings(max_examples=300, deadline=None)
+    def test_roundtrip_fuzz(v):
+        assert unmarshal(marshal(v)) == v
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
