@@ -3440,6 +3440,19 @@ def q_span_near_unord3(spark, sf_dir):
     )
 
 
+def q_span_near_scored(spark, sf_dir):
+    """SCORED SpanNearQuery ordered (SpanScorer.setFreqCurrentDoc +
+    BM25Similarity.sloppyFreq): top-10 by the sloppy-span BM25 score —
+    freq = sum of 1/(matchLength+1) over the NearSpansOrdered
+    shortest-match enumeration of 'scan .. merge'~4, idf summed over
+    the clause terms, quantized index norm."""
+    from lucene_solr_spark.search.spans import span_near_scored
+
+    return span_near_scored(
+        _searcher(spark, sf_dir), ["scan", "merge"], 4, k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_span_not(spark, sf_dir):
     """SpanNotQuery: 'scan' spans not overlapping 'merge' spans (term
     spans overlap iff same position — degenerate but exercises the
@@ -4799,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range": q_numeric_range,
         "span_first": q_span_first,
         "span_near": q_span_near,
+        "span_near_scored": q_span_near_scored,
         "span_near_unord": q_span_near_unord,
         "span_not": q_span_not,
         "stats_by_lang": q_stats_by_lang,
@@ -4826,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "span_near_scored",
         "payload_near",
         "payload_near_max",
         "snowball_freq",
@@ -5208,6 +5223,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_first": O.span_first_docs("scan", 5),
         "span_near": O.span_near_docs(["scan", "merge"], 4, True),
+        "span_near_scored": O.span_near_scored("scan", "merge", 4, k=10),
         "span_near_unord": O.span_near_docs(["scan", "merge"], 3, False),
         "span_near_unord3": O.span_near_docs(
             ["scan", "merge", "key"], 6, False

@@ -1612,6 +1612,73 @@ scored AS (
 """.strip()
 
 
+def span_near_scored(
+    t1: str,
+    t2: str,
+    slop: int,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """Scored ordered SpanNearQuery twin (2 clauses): the same
+    recursive-CTE NearSpansOrdered walk as payload_near, over the
+    ANALYZED positions (rawtok — 1-based pre-stop indices, which the
+    engine's surviving-token positions match up to a constant shift,
+    so matchLength/slop are identical), scored with summed idf and the
+    standard quantized-norm BM25 (freq = sloppy sum)."""
+    return f"""
+WITH RECURSIVE {tok_ctes(table)}, {_rawtok(table)},
+p1 AS (SELECT doc_id, pos FROM rawtok WHERE term = '{_sq(t1)}'),
+p2 AS (SELECT doc_id, pos FROM rawtok WHERE term = '{_sq(t2)}'),
+idfs AS (
+  SELECT sum(ln(1 + ((SELECT max_doc FROM coll) - df + 0.5) / (df + 0.5)))
+           AS idf_sum
+  FROM (
+    SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{_sq(t1)}'
+    UNION ALL
+    SELECT count(DISTINCT doc_id) FROM tok WHERE term = '{_sq(t2)}'
+  )
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id FROM p1 JOIN p2 USING (doc_id)
+),
+walk(doc_id, p1_used, p2_used) AS (
+  SELECT doc_id, CAST(-1 AS BIGINT), CAST(NULL AS BIGINT) FROM cand
+  UNION ALL
+  SELECT s.doc_id,
+         (SELECT max(pos) FROM p1
+          WHERE p1.doc_id = s.doc_id AND pos < s.p2_next),
+         s.p2_next
+  FROM (
+    SELECT w.doc_id,
+           (SELECT min(p2.pos) FROM p2
+            WHERE p2.doc_id = w.doc_id AND p2.pos >
+              (SELECT min(p1.pos) FROM p1
+               WHERE p1.doc_id = w.doc_id AND p1.pos > w.p1_used)
+           ) AS p2_next
+    FROM walk w
+  ) s
+  WHERE s.p2_next IS NOT NULL
+),
+freqs AS (
+  SELECT doc_id,
+         sum(1.0 / ((p2_used + 1 - p1_used) + 1)) AS freq
+  FROM walk
+  WHERE p2_used IS NOT NULL AND (p2_used - p1_used - 1) <= {int(slop)}
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT f.doc_id,
+         (SELECT idf_sum FROM idfs)
+           * ({K1}+1) * f.freq
+           / (f.freq + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM coll)))
+           AS score
+  FROM freqs f
+  JOIN dls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 def word_breaks(
     word: str, k: int = 5, table: str = "documents"
 ) -> str:

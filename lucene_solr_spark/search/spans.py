@@ -189,3 +189,88 @@ def field_masking_span_near(
         .select("doc_id")
         .distinct()
     )
+
+
+def span_near_scored(
+    searcher: Searcher,
+    terms: list[str],
+    slop: int,
+    k: int = 10,
+) -> DataFrame:
+    """SCORED ordered SpanNearQuery — top-k (doc_id, score) where
+    score is the SpanScorer sloppy-span BM25
+    (lucene/core/.../spans/SpanScorer.java setFreqCurrentDoc: freq =
+    sum of sloppyFreq(matchLength) over the NearSpansOrdered
+    enumeration, BM25Similarity.java:71-73 sloppyFreq = 1/(d+1)) with
+    idf summed over the query's DISTINCT terms (SpanWeight extractTerms
+    is a set) and the quantized index norm.
+
+    Reuses the fuzz-pinned NearSpansOrdered walk from the payload
+    module (payloads._near_ordered_walk, pinned against a test-only
+    transcription of NearSpansOrdered.java:182-337) with payloads
+    ignored. Plan: pruned positions scan -> one groupBy(doc) with an
+    all-terms filter -> Arrow-batched per-doc walk -> broadcast-free
+    scoring (norms are denormalized onto posting rows)."""
+    import math
+
+    from ..index.norms import NORM_TABLE
+    from .payloads import _near_ordered_walk
+
+    idx = searcher.index
+    uniq = sorted(set(terms))
+    stats = idx.term_stats(uniq)
+    if any(t not in stats for t in uniq):
+        return idx.spark.createDataFrame([], "doc_id long, score double")
+    n_docs = idx.stats.max_doc
+    avgdl = idx.stats.avgdl
+    idf_sum = sum(
+        math.log(1 + (n_docs - stats[t][0] + 0.5) / (stats[t][0] + 0.5))
+        for t in uniq
+    )
+    rows = searcher._postings_for(uniq, want_positions=True).select(
+        "doc_id", "term", "positions", "norm_byte"
+    )
+    cand = (
+        rows.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("term", "positions")).alias("occ"),
+            F.first("norm_byte").alias("norm_byte"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .where(F.col("nt") == len(uniq))
+        .select("doc_id", "occ", "norm_byte")
+    )
+    clause_terms = list(terms)
+    norm_table = [float(x) for x in NORM_TABLE]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, scores = [], []
+            for did, occ, nb in zip(
+                pdf["doc_id"], pdf["occ"], pdf["norm_byte"]
+            ):
+                by_term = {o["term"]: list(o["positions"]) for o in occ}
+                pos_lists = [by_term[t] for t in clause_terms]
+                freq, _ = _near_ordered_walk(pos_lists, pos_lists, slop)
+                if freq <= 0.0:
+                    continue
+                q = norm_table[int(nb) & 0xFF]
+                score = (
+                    idf_sum
+                    * (1.2 + 1)
+                    * freq
+                    / (freq + 1.2 * ((1 - 0.75) + 0.75 * q / avgdl))
+                )
+                ids.append(did)
+                scores.append(score)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "score": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    scored = cand.mapInPandas(run, "doc_id long, score double")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
