@@ -85,6 +85,28 @@ def _seg_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(seg)
 
 
+_BLOOM_SEG_CACHE: dict[str, object] = {}
+
+
+def _bloom_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Searcher over a bloom-attached view of the gate segment store
+    (index/bloom.py, the BloomFilteringPostingsFormat analogue —
+    FuzzySet.java + MurmurHash2.java bit-exact): term lookups
+    intersect split pruning with the per-split term blooms, and a term
+    absent from every split short-circuits to an empty result without
+    decoding any postings block."""
+    s = _BLOOM_SEG_CACHE.get(sf_dir)
+    if s is None:
+        from lucene_solr_spark.index.segments import SegmentIndex
+
+        base = _seg_searcher(spark, sf_dir).index  # builds the store
+        seg = SegmentIndex.open(spark, base.index_dir)
+        seg.attach_blooms(build=True)
+        s = Searcher(seg)
+        _BLOOM_SEG_CACHE[sf_dir] = s
+    return s
+
+
 def _stream_reader(spark: SparkSession, sf_dir: str):
     """Index built incrementally in three foreachBatch-style deltas —
     must equal the batch build (NRT analogue, SURVEY.md §2.10)."""
@@ -1664,6 +1686,35 @@ def q_bm25_seg(spark, sf_dir):
     delta-varint block codec round-trips rank-identically."""
     return _topk_rounded(
         _seg_searcher(spark, sf_dir).search(_bool(should=["scan", "merge"]), 10)
+    )
+
+
+def q_bloom_term(spark, sf_dir):
+    """Term search through bloom split pruning — must be identical to
+    the exhaustive oracle (false positives only over-include splits)."""
+    return _topk_rounded(
+        _bloom_searcher(spark, sf_dir).search(TermQuery("scan"), 10)
+    )
+
+
+def q_bloom_absent(spark, sf_dir):
+    """Absent term: the bloom answers NO for (almost) every split, so
+    the plan never decodes postings — Lucene's fail-fast primary-key
+    lookup pattern (BloomFilteringPostingsFormat.java:324)."""
+    return _topk_rounded(
+        _bloom_searcher(spark, sf_dir).search(
+            TermQuery("qqzbloomabsent"), 10
+        )
+    )
+
+
+def q_bloom_and(spark, sf_dir):
+    """Conjunction over a bloom-attached store: the WAND AND route's
+    split set intersects the blooms' maybe-set per term."""
+    return _topk_rounded(
+        _bloom_searcher(spark, sf_dir).search(
+            _bool(must=["scan", "merge"]), 10
+        )
     )
 
 
@@ -4565,6 +4616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 5 ---
+        "bloom_term": q_bloom_term,
+        "bloom_absent": q_bloom_absent,
+        "bloom_and": q_bloom_and,
         "suggest_fst": q_suggest_fst,
         "synonym_wordnet": q_synonym_wordnet,
         "group_main": q_group_main,
@@ -4840,6 +4894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "bloom_term",
+        "bloom_absent",
+        "bloom_and",
         "span_near_scored",
         "payload_near",
         "payload_near_max",
@@ -5088,6 +5145,9 @@ def oracle_sql() -> dict[str, str]:
             must=[], should=["scan", "merge"], k=10, offset=10
         ),
         "bm25_seg": O.bm25_bool(must=[], should=["scan", "merge"]),
+        "bloom_term": O.bm25_term("scan"),
+        "bloom_absent": O.bm25_term("qqzbloomabsent"),
+        "bloom_and": O.bm25_bool(must=["scan", "merge"]),
         "bm25_wand": O.bm25_bool(must=[], should=["scan", "merge"]),
         "bm25_and_wand": O.bm25_bool(must=["scan", "merge"]),
         "bm25_phrase_wand": O.bm25_phrase(["key", "order"]),

@@ -1088,6 +1088,21 @@ class SegmentIndex:
         self.split_range = int(manifest.get("split_range", SPLIT_RANGE))
         self._bucket_cache: dict[tuple, list[int]] = {}
         self._split_meta_cache: "dict[str, pd.DataFrame]" = {}
+        # Optional per-split term blooms (index/bloom.py, the
+        # BloomFilteringPostingsFormat analogue). None until a caller
+        # attaches one; postings_for_terms then intersects its split
+        # pruning with the bloom's maybe-set.
+        self.blooms = None
+
+    def attach_blooms(self, build: bool = False) -> "SegmentIndex":
+        """Load (or build-and-load) the per-split term blooms and turn
+        on bloom split pruning for this view. Returns self."""
+        from .bloom import BloomIndex, build_blooms
+
+        if build:
+            build_blooms(self)
+        self.blooms = BloomIndex.open(self)
+        return self
 
     _SPLIT_META_CACHE_MAX = 4096  # terms; FIFO evict past this
 
@@ -1175,7 +1190,25 @@ class SegmentIndex:
         pruning happen BEFORE decode (the .tip/FST lookup analogue).
         ``splits``: optionally restrict to the given doc-range splits
         (first_doc // split_range) — the skip-list analogue the WAND
-        paths use to decode only bound-surviving splits."""
+        paths use to decode only bound-surviving splits.
+
+        With blooms attached (attach_blooms), the candidate splits are
+        further intersected with the bloom's maybe-set — the
+        BloomFilteringPostingsFormat.java:324 NO-answer short-circuit:
+        a term absent from every split never touches the blocks scan."""
+        if self.blooms is not None:
+            maybe = self.blooms.splits_for(list(terms))
+            n_splits = self.stats.max_doc // self.split_range + 1
+            if splits is None and len(maybe) >= n_splits:
+                pass  # bloom excludes nothing — keep the unpruned scan
+            else:
+                splits = sorted(
+                    maybe if splits is None else (set(splits) & maybe)
+                )
+                if not splits:
+                    return self.blocks.where(F.lit(False)).mapInPandas(
+                        _decode_partitions(False), DECODED_SCHEMA
+                    )
         pruned = self.blocks.where(
             F.col("bucket").isin(self.buckets_of(terms))
             & F.col("term").isin(list(terms))
