@@ -922,6 +922,22 @@ def q_snowball_freq(spark, sf_dir):
     return _analyzer_term_freq(spark, sf_dir, an)
 
 
+def q_stemmer_override_freq(spark, sf_dir):
+    """StemmerOverrideFilter ahead of the Porter2 stemmer
+    (LA/miscellaneous/StemmerOverrideFilter.java:54-65): dictionary
+    hits replace the term and set the keyword attribute so the
+    stemmer never touches them — 'merge' maps to 'combine' (instead
+    of stemming to 'merg') and 'query' pins to itself (instead of
+    'queri'); everything else stems normally."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(
+        stem="snowball",
+        stemmer_overrides={"merge": "combine", "query": "query"},
+    )
+    return _analyzer_term_freq(spark, sf_dir, an)
+
+
 def q_whitespace_freq(spark, sf_dir):
     """WhitespaceTokenizer + explicit lowercase in the tokenizer slot
     (lucene/analysis/core/.../WhitespaceTokenizer.java): maximal
@@ -4690,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_charfilter_freq": q_mapping_charfilter_freq,
         "keep_word_freq": q_keep_word_freq,
         "snowball_freq": q_snowball_freq,
+        "stemmer_override_freq": q_stemmer_override_freq,
         "complex_phrase": q_complex_phrase,
         "complex_phrase_wild": q_complex_phrase_wild,
         "replica_search": q_replica_search,
@@ -4894,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "stemmer_override_freq",
         "bloom_term",
         "bloom_absent",
         "bloom_and",
@@ -5084,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_replace_freq": O.pattern_replace_freq("[0-9]", "#"),
         "mapping_charfilter_freq": O.mapping_charfilter_freq(),
         "snowball_freq": O.snowball_freq(),
+        "stemmer_override_freq": O.stemmer_override_freq(),
         "keep_word_freq": O.keep_word_freq(
             ("scan", "merge", "key", "hash")
         ),

@@ -689,6 +689,7 @@ def make_analyzer(
     length: tuple[int, int] | None = None,
     pattern_replace: tuple[str, str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    stemmer_overrides: dict[str, str] | None = None,
     html_strip: bool = False,
     char_filters: list | None = None,
     trim: bool = False,
@@ -785,11 +786,12 @@ def make_analyzer(
         )
     if common_grams and (
         trim or keep_words or capitalization or remove_duplicates
-        or limit_tokens is not None
+        or limit_tokens is not None or stemmer_overrides is not None
     ):
         raise ValueError(
             "trim/keep_words/capitalization/remove_duplicates/"
-            "limit_tokens cannot combine with common_grams"
+            "limit_tokens/stemmer_overrides cannot combine with "
+            "common_grams"
         )
     if cjk_bigram and (ngram or edge_ngram or shingle):
         raise ValueError("cjk_bigram cannot combine with gram filters")
@@ -966,7 +968,13 @@ def make_analyzer(
                 length[0] <= len(tok) <= length[1]
             ):
                 continue
-            if stem_fn and not (
+            if stemmer_overrides is not None and tok in stemmer_overrides:
+                # StemmerOverrideFilter (LA/miscellaneous/
+                # StemmerOverrideFilter.java:54-65): dictionary hit
+                # replaces the term AND sets the keyword attribute, so
+                # the downstream stemmer never touches it
+                tok = stemmer_overrides[tok]
+            elif stem_fn and not (
                 stem_exclusions and tok in stem_exclusions
             ):
                 tok = stem_fn(tok)

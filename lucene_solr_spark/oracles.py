@@ -4890,6 +4890,26 @@ GROUP BY 1 ORDER BY cnt DESC, term ASC
 """.strip()
 
 
+def stemmer_override_freq(table: str = "documents") -> str:
+    """StemmerOverrideFilter twin over the same closed-vocabulary
+    Porter2 trace as snowball_freq, with the gate's two dictionary
+    overrides applied FIRST (a dictionary hit bypasses the stemmer —
+    StemmerOverrideFilter.java:54-65): merge->combine, query->query."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT CASE term
+         WHEN 'merge' THEN 'combine'
+         WHEN 'query' THEN 'query'
+         WHEN 'customer' THEN 'custom'
+         WHEN 'table' THEN 'tabl'
+         WHEN 'value' THEN 'valu'
+         ELSE term END AS term,
+       count(*) AS cnt
+FROM tok
+GROUP BY 1 ORDER BY cnt DESC, term ASC
+""".strip()
+
+
 def keep_word_freq(words: tuple, table: str = "documents") -> str:
     """KeepWordFilter twin: only whitelist terms survive."""
     lst = ", ".join(f"'{_sq(w)}'" for w in words)

@@ -615,3 +615,25 @@ def test_common_grams_query_stems_like_index_side():
 
     with _pytest.raises(ValueError):
         make_analyzer(common_grams=True, limit_tokens=0)
+
+
+def test_stemmer_override_filter():
+    # StemmerOverrideFilter.java:54-65 — dictionary hits replace the
+    # term and keyword-mark it so the stemmer is bypassed; misses stem
+    # normally.
+    an = make_analyzer(
+        stem=True,
+        stemmer_overrides={"running": "sprint", "queries": "queries"},
+    )
+    terms, _ = an("running queries tables")
+    assert terms == ["sprint", "queries", "tabl"]
+    # overrides compose with snowball too, and exclusions still apply
+    an2 = make_analyzer(
+        stem="snowball", stemmer_overrides={"merge": "combine"}
+    )
+    t2, _ = an2("merge merging value")
+    assert t2 == ["combine", "merg", "valu"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_analyzer(common_grams=True, stemmer_overrides={"a": "b"})
