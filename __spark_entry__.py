@@ -2531,6 +2531,40 @@ def q_url_classify(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dih_transform(spark, sf_dir):
+    """DataImportHandler transformer chain (solr/contrib/
+    dataimporthandler/.../RegexTransformer.java:70-145 +
+    TemplateTransformer.java:40-75): regex group extraction, named
+    multi-group columns, NULL-on-no-match replaceWith, String.split
+    splitBy, and ${var} templates — all pure Catalyst projections."""
+    from lucene_solr_spark.io.dih import dih_transform
+
+    out = dih_transform(
+        _docs(spark, sf_dir),
+        fields=[
+            {"column": "src_num", "sourceColName": "source",
+             "regex": r"src(\d+)"},
+            {"column": "src_parts", "sourceColName": "source",
+             "regex": r"(src)(\d+)", "groupNames": "src_tag,src_id"},
+            {"column": "lang_en", "sourceColName": "lang",
+             "regex": "en", "replaceWith": "english"},
+            {"column": "words", "sourceColName": "text",
+             "splitBy": " "},
+            {"column": "tpl", "template": "${source}/${lang}"},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        "src_num",
+        "src_tag",
+        "src_id",
+        "lang_en",
+        F.size("words").cast("long").alias("n_words"),
+        F.element_at("words", 1).alias("word0"),
+        "tpl",
+    ).orderBy("doc_id")
+
+
 def q_chain_mutate(spark, sf_dir):
     """UpdateRequestProcessorChain of field-mutating processors
     (solr/core/.../update/processor/FieldMutatingUpdateProcessor.java
@@ -4676,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_textprofile": q_signature_textprofile,
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
+        "dih_transform": q_dih_transform,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -4911,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "dih_transform",
         "stemmer_override_freq",
         "bloom_term",
         "bloom_absent",
@@ -5213,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_assoc_sum": O.facet_assoc_sum("scan"),
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
+        "dih_transform": O.dih_transform(),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

@@ -4245,6 +4245,28 @@ WHERE converted_minor BETWEEN {lo} AND {hi} ORDER BY doc_id
 """.strip()
 
 
+def dih_transform(table: str = "documents") -> str:
+    """DIH transformer-chain twin: regex group extraction and
+    replaceWith are NULL on no match (RegexTransformer.java:92,
+    readfromRegExp returning null), splitBy mirrors String.split's
+    trailing-empty removal, template is plain concat."""
+    return f"""
+SELECT doc_id,
+  CASE WHEN regexp_matches(source, 'src(\\d+)')
+       THEN regexp_extract(source, 'src(\\d+)', 1) END AS src_num,
+  CASE WHEN regexp_matches(source, '(src)(\\d+)')
+       THEN regexp_extract(source, '(src)(\\d+)', 1) END AS src_tag,
+  CASE WHEN regexp_matches(source, '(src)(\\d+)')
+       THEN regexp_extract(source, '(src)(\\d+)', 2) END AS src_id,
+  CASE WHEN regexp_matches(lang, 'en')
+       THEN regexp_replace(lang, 'en', 'english', 'g') END AS lang_en,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  string_split(text, ' ')[1] AS word0,
+  source || '/' || lang AS tpl
+FROM {table} ORDER BY doc_id
+""".strip()
+
+
 def chain_mutate(table: str = "documents") -> str:
     """UpdateRequestProcessorChain twin: trim / clone+truncate /
     field-length / first+last value / uniq / count-values / name-based
