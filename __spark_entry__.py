@@ -2565,6 +2565,17 @@ def q_dih_transform(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_simpletext_dump(spark, sf_dir):
+    """SimpleText debug codec dump (lucene/codecs/.../simpletext/
+    SimpleTextFieldsWriter.java:20-40): the exact field/term/doc/freq/
+    pos line vocabulary for two terms, globally line-numbered."""
+    from lucene_solr_spark.index.simpletext import simpletext_dump
+
+    return simpletext_dump(
+        _index(spark, sf_dir), terms=["merge", "scan"]
+    )
+
+
 def q_chain_mutate(spark, sf_dir):
     """UpdateRequestProcessorChain of field-mutating processors
     (solr/core/.../update/processor/FieldMutatingUpdateProcessor.java
@@ -4711,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
         "dih_transform": q_dih_transform,
+        "simpletext_dump": q_simpletext_dump,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -4946,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "simpletext_dump",
         "dih_transform",
         "stemmer_override_freq",
         "bloom_term",
@@ -5250,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "dih_transform": O.dih_transform(),
+        "simpletext_dump": O.simpletext_dump(["merge", "scan"]),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

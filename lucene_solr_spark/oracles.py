@@ -4267,6 +4267,54 @@ FROM {table} ORDER BY doc_id
 """.strip()
 
 
+def simpletext_dump(terms: list[str], table: str = "documents") -> str:
+    """SimpleTextFieldsWriter twin: same line vocabulary built in SQL.
+    Index positions are 0-based pre-stop token indexes, so rawtok's
+    1-based generate_subscripts shifts by one."""
+    tl = ", ".join(f"'{_sq(t)}'" for t in sorted(terms))
+    return f"""
+WITH rawtok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term,
+           generate_subscripts(
+             regexp_extract_all(lower(text), {PATTERN_LIT}), 1) AS pos
+    FROM {table}
+  )
+),
+sel AS (
+  SELECT doc_id, term, pos - 1 AS pos FROM rawtok WHERE term IN ({tl})
+),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS tf,
+         list(pos ORDER BY pos) AS poss
+  FROM sel GROUP BY term, doc_id
+),
+with_lines AS (
+  SELECT term, doc_id,
+    CASE WHEN row_number() OVER (PARTITION BY term ORDER BY doc_id) = 1
+         THEN ['  term ' || term] ELSE [] END
+    || ['    doc ' || doc_id, '      freq ' || tf]
+    || list_transform(poss, p -> '      pos ' || p) AS lines
+  FROM per_doc
+),
+exploded AS (
+  SELECT 1 AS sect, term, doc_id,
+         generate_subscripts(lines, 1) AS idx, unnest(lines) AS line
+  FROM with_lines
+),
+everything AS (
+  SELECT 0 AS sect, '' AS term, -1 AS doc_id, 0 AS idx,
+         'field text' AS line
+  UNION ALL SELECT sect, term, doc_id, idx, line FROM exploded
+  UNION ALL SELECT 2, '', -1, 0, 'END'
+)
+SELECT CAST(row_number() OVER (ORDER BY sect, term, doc_id, idx)
+            AS BIGINT) AS line_no, line
+FROM everything
+""".strip()
+
+
 def chain_mutate(table: str = "documents") -> str:
     """UpdateRequestProcessorChain twin: trim / clone+truncate /
     field-length / first+last value / uniq / count-values / name-based
