@@ -2565,6 +2565,28 @@ def q_dih_transform(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_domain_mix(spark, sf_dir):
+    """Domain reweighting (DoReMi/Pile recipe): target token-mass
+    weights src0=0.5/src1=0.25/src2=0.25 over the 20-source corpus —
+    deterministic md5 up/downsampling with integer copies; per-source
+    rows and token mass of the materialized mix."""
+    from lucene_solr_spark.datapipe.training import domain_mix
+
+    mixed = domain_mix(
+        _docs(spark, sf_dir),
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        domain_col="source",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").alias("toks"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_simpletext_dump(spark, sf_dir):
     """SimpleText debug codec dump (lucene/codecs/.../simpletext/
     SimpleTextFieldsWriter.java:20-40): the exact field/term/doc/freq/
@@ -4722,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classify": q_url_classify,
         "chain_mutate": q_chain_mutate,
         "dih_transform": q_dih_transform,
+        "domain_mix": q_domain_mix,
         "simpletext_dump": q_simpletext_dump,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
@@ -4958,6 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "domain_mix",
         "simpletext_dump",
         "dih_transform",
         "stemmer_override_freq",
@@ -5263,6 +5287,7 @@ def oracle_sql() -> dict[str, str]:
         "url_classify": O.url_classify(),
         "chain_mutate": O.chain_mutate(),
         "dih_transform": O.dih_transform(),
+        "domain_mix": O.domain_mix({"src0": 0.5, "src1": 0.25, "src2": 0.25}),
         "simpletext_dump": O.simpletext_dump(["merge", "scan"]),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),

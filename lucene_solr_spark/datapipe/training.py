@@ -213,3 +213,75 @@ def pack_next_fit(
     return base.groupBy("bucket").applyInPandas(
         pack, "doc_id long, bucket int, n_tokens long, bin_idx long"
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_fraction: float = 1.0,
+) -> DataFrame:
+    """Domain reweighting for a pretraining mix (the DoReMi / Pile
+    recipe): choose per-domain sampling rates so the OUTPUT token mass
+    approaches ``target_weights`` (normalized), then materialize the
+    mix deterministically — downsampled domains keep a doc iff
+    md5(doc_id) mod 10000 < frac*10000 (the stratified_sample
+    convention), upsampled domains emit floor(rate) full copies plus
+    one more under the same hash rule. Deterministic, replayable, no
+    rand().
+
+    rate_d = (w_d / token_share_d) * budget_fraction, so sum_d
+    rate_d * tokens_d == budget_fraction * total_tokens and the output
+    token shares equal the normalized targets in expectation.
+
+    Plan shape: one map-side token count + one tiny groupBy(domain)
+    agg collected to the driver (|domains| rows), then a broadcast
+    rate map and a map-only explode — no full-width shuffle, scales
+    as a linear pass at 100 TB.
+
+    Output: input columns + (n_tokens, copy) — one row per emitted
+    copy, copy in [0, n_copies).
+    """
+    toks = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    ).cast("long")
+    base = df.withColumn("n_tokens", toks)
+    shares = {
+        r[domain_col]: int(r["toks"])
+        for r in base.groupBy(domain_col)
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    total = float(sum(shares.values())) or 1.0
+    wsum = float(sum(target_weights.values())) or 1.0
+    rates = {
+        d: (target_weights.get(d, 0.0) / wsum)
+        / (shares[d] / total)
+        * budget_fraction
+        for d in shares
+    }
+    rate_map = F.create_map(
+        *[x for kv in rates.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    rate = F.coalesce(rate_map[F.col(domain_col)], F.lit(0.0))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    n_copies = F.floor(rate).cast("long") + F.when(
+        h < ((rate - F.floor(rate)) * 10000).cast("long"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        base.withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        )
+        .drop("n_copies")
+    )

@@ -4267,6 +4267,52 @@ FROM {table} ORDER BY doc_id
 """.strip()
 
 
+def domain_mix(
+    weights: dict[str, float], table: str = "documents"
+) -> str:
+    """domain_mix twin: same rate arithmetic in IEEE doubles —
+    rate_d = (w_d / sum(w)) / (domain_tokens / total_tokens); copies =
+    floor(rate) + (md5(doc_id) mod 10000 < floor(frac(rate)*10000)).
+    The engine truncates the threshold (Spark cast long), so the twin
+    floors explicitly (DuckDB CAST rounds)."""
+    wsum = 0.0
+    for w in weights.values():
+        wsum += w  # same left-to-right float accumulation as python sum()
+    cases = " ".join(
+        f"WHEN '{_sq(k)}' THEN CAST({v!r} AS DOUBLE)"
+        for k, v in weights.items()
+    )
+    h = _hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tokens
+  FROM {table}
+),
+dom AS (SELECT source, SUM(n_tokens) AS dtoks FROM toks GROUP BY source),
+tot AS (SELECT CAST(SUM(dtoks) AS DOUBLE) AS t FROM dom),
+rates AS (
+  SELECT source,
+    ((CASE source {cases} ELSE 0.0 END) / CAST({wsum!r} AS DOUBLE))
+      / (CAST(dtoks AS DOUBLE) / (SELECT t FROM tot)) * 1.0 AS rate
+  FROM dom
+),
+perdoc AS (
+  SELECT t.source, t.n_tokens,
+    CAST(floor(r.rate) AS BIGINT)
+      + CASE WHEN {h} % 10000 <
+             CAST(floor((r.rate - floor(r.rate)) * 10000) AS BIGINT)
+        THEN 1 ELSE 0 END AS n_copies
+  FROM toks t JOIN rates r USING (source)
+)
+SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+       CAST(SUM(n_tokens * n_copies) AS BIGINT) AS toks
+FROM perdoc WHERE n_copies > 0
+GROUP BY source ORDER BY source
+""".strip()
+
+
 def simpletext_dump(terms: list[str], table: str = "documents") -> str:
     """SimpleTextFieldsWriter twin: same line vocabulary built in SQL.
     Index positions are 0-based pre-stop token indexes, so rawtok's

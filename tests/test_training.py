@@ -119,3 +119,43 @@ def test_pack_next_fit_invariants(spark):
                     if r["bin_idx"] == b1
                 )
                 assert prev_fill + opener["n_tokens"] > budget
+
+
+def test_domain_mix_upsamples_and_downsamples(spark):
+    from lucene_solr_spark.datapipe.training import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "heavy" if i < 80 else "light")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    # targets: half the token mass each; 'light' holds 20% of tokens
+    # so it upsamples (rate 2.5), 'heavy' downsamples (rate 0.625)
+    out = domain_mix(
+        docs, {"heavy": 0.5, "light": 0.5}, domain_col="source"
+    )
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"])
+             .count("*").alias("n"))
+        .collect()
+    }
+    # expectation: heavy 80*0.625 = 50, light 20*2.5 = 50; md5
+    # thresholding is deterministic so just bound the deviation
+    assert 35 <= by["heavy"] <= 65
+    assert 35 <= by["light"] <= 65
+    # every light doc appears at least floor(2.5)=2 times
+    light_copies = (
+        out.where("source = 'light'").groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] >= 2 for r in light_copies)
+    # deterministic: same call twice gives identical rows
+    a = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["copy"])
+        for r in domain_mix(
+            docs, {"heavy": 0.5, "light": 0.5}, domain_col="source"
+        ).collect()
+    )
+    assert a == b
