@@ -4068,6 +4068,19 @@ def q_geofilt(spark, sf_dir):
     return geofilt(pts, 12.5, 40.0, 2500.0)
 
 
+def q_geofilt_prefix(spark, sf_dir):
+    """{!geofilt} through the RecursivePrefixTreeStrategy analogue:
+    covering-geohash-cell pruning before exact haversine — results
+    identical to the scan path (the cover is complete)."""
+    from lucene_solr_spark.search.spatial import (
+        geofilt_prefix,
+        with_synthetic_coords,
+    )
+
+    pts = with_synthetic_coords(_docs(spark, sf_dir).select("doc_id"))
+    return geofilt_prefix(pts, 12.5, 40.0, 2500.0)
+
+
 def q_bbox(spark, sf_dir):
     """{!bbox} (SpatialBoxQParserPlugin): box-only spatial filter —
     the geofilt prune without the exact distance test (admits box
@@ -4745,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_mutate": q_chain_mutate,
         "dih_transform": q_dih_transform,
         "domain_mix": q_domain_mix,
+        "geofilt_prefix": q_geofilt_prefix,
         "simpletext_dump": q_simpletext_dump,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
@@ -4981,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "geofilt_prefix",
         "domain_mix",
         "simpletext_dump",
         "dih_transform",
@@ -5419,6 +5434,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": O.events_sessions(30),
         "facet_taxonomy": O.taxonomy_facets("scan"),
         "geofilt": O.geofilt_docs(12.5, 40.0, 2500.0),
+        "geofilt_prefix": O.geofilt_docs(12.5, 40.0, 2500.0),
         "stats_nchars": O.stats_nchars("scan"),
         "group_topk": O.group_topk_per_field("scan", "lang"),
         "group_main": O.group_main_flat(

@@ -266,3 +266,103 @@ def with_synthetic_coords(docs: DataFrame) -> DataFrame:
     lat = (F.pmod(F.col("doc_id") * F.lit(37), F.lit(1800)) / 10.0) - 90.0
     lon = (F.pmod(F.col("doc_id") * F.lit(73), F.lit(3600)) / 10.0) - 180.0
     return docs.withColumn("lat", lat).withColumn("lon", lon)
+
+
+# --- prefix-tree strategy (RecursivePrefixTreeStrategy) ----------------
+
+
+def _gh_spans(precision: int) -> tuple[float, float]:
+    """(lat_span, lon_span) degrees of one geohash cell at the given
+    precision — lon takes the ceil half of the 5p bits (interleave
+    starts with lon)."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    return 180.0 / (1 << lat_bits), 360.0 / (1 << lon_bits)
+
+
+def cover_cells(
+    lat: float, lon: float, d_km: float, max_cells: int = 64
+) -> tuple[int, list[str]]:
+    """Geohash prefixes covering the query circle — the grid-cell
+    enumeration of RecursivePrefixTreeFilter.java (lucene/spatial/.../
+    prefix/RecursivePrefixTreeFilter.java:90-150: descend the SPT until
+    cells are small enough, collect covering cells). Picks the finest
+    precision whose cover stays within ``max_cells`` (the
+    prefixGridScanLevel analogue), enumerates the circle's bounding
+    box on that grid, and returns the cell prefixes. The cover is
+    COMPLETE (every point within d lies in some returned cell), so
+    pruning by it can never drop a true match."""
+    dlat = math.degrees(d_km / EARTH_RADIUS_KM)
+    coslat = math.cos(math.radians(lat))
+    dlon = 180.0 if coslat <= 1e-9 else math.degrees(
+        d_km / (EARTH_RADIUS_KM * coslat)
+    )
+    lat_min = max(-90.0, lat - dlat)
+    lat_max = min(90.0, lat + dlat)
+    lon_min = max(-180.0, lon - dlon)
+    lon_max = min(180.0, lon + dlon)
+    best = (1, None)
+    for p in range(1, 8):
+        lat_span, lon_span = _gh_spans(p)
+        n_lat = int((lat_max - lat_min) / lat_span) + 2
+        n_lon = int((lon_max - lon_min) / lon_span) + 2
+        if n_lat * n_lon > max_cells:
+            break
+        best = (p, (lat_span, lon_span, n_lat, n_lon))
+    p, dims = best
+    if dims is None:
+        lat_span, lon_span = _gh_spans(1)
+        dims = (
+            lat_span,
+            lon_span,
+            int((lat_max - lat_min) / lat_span) + 2,
+            int((lon_max - lon_min) / lon_span) + 2,
+        )
+    lat_span, lon_span, n_lat, n_lon = dims
+    # snap to the grid so enumeration starts at the containing cell
+    lat0 = math.floor((lat_min + 90.0) / lat_span) * lat_span - 90.0
+    lon0 = math.floor((lon_min + 180.0) / lon_span) * lon_span - 180.0
+    cells: list[str] = []
+    seen = set()
+    for i in range(n_lat):
+        clat = min(89.9999999, max(-90.0, lat0 + (i + 0.5) * lat_span))
+        if clat - lat_span > lat_max:
+            continue
+        for j in range(n_lon):
+            clon = lon0 + (j + 0.5) * lon_span
+            if clon > 180.0:
+                clon -= 360.0
+            gh = geohash_encode_py(clat, clon)[:p]
+            if gh not in seen:
+                seen.add(gh)
+                cells.append(gh)
+    return p, cells
+
+
+def geofilt_prefix(
+    docs: DataFrame,
+    lat: float,
+    lon: float,
+    d_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    gh_col: str | None = None,
+    max_cells: int = 64,
+) -> DataFrame:
+    """{!geofilt} through the prefix-tree index path
+    (RecursivePrefixTreeStrategy.java / TermQueryPrefixTreeStrategy.
+    java): candidate docs are pruned by covering-geohash-prefix
+    membership BEFORE the exact haversine verify — with a stored
+    ``gh_col`` the IN-prefix predicate pushes into the parquet scan,
+    so at 10^12 points only the cover cells' row groups decode.
+    Identical results to :func:`geofilt` (the cover is complete;
+    false-positive cells are removed by the exact verify)."""
+    p, cells = cover_cells(lat, lon, d_km, max_cells)
+    gh = (
+        F.col(gh_col)
+        if gh_col is not None
+        else geohash_encode(F.col(lat_col), F.col(lon_col))
+    )
+    pruned = docs.where(F.substring(gh, 1, p).isin(cells))
+    return geofilt(pruned, lat, lon, d_km, lat_col, lon_col)
