@@ -2587,6 +2587,33 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_dih_entity(spark, sf_dir):
+    """Nested DIH entities (DocBuilder.buildDocument +
+    CachedSqlEntityProcessor): one doc per nation with its customers'
+    names multivalued — child side pre-aggregated (the DIH cache) and
+    broadcast-joined."""
+    from lucene_solr_spark.io.dih import entity_join
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey", "c_name"
+    )
+    out = entity_join(
+        nation,
+        cust,
+        on=("n_nationkey", "c_nationkey"),
+        multivalued={"cust_names": "c_name"},
+    )
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        F.size("cust_names").cast("long").alias("n_custs"),
+        F.array_join("cust_names", ",").alias("cust_names"),
+    ).orderBy("n_nationkey")
+
+
 def q_simpletext_dump(spark, sf_dir):
     """SimpleText debug codec dump (lucene/codecs/.../simpletext/
     SimpleTextFieldsWriter.java:20-40): the exact field/term/doc/freq/
@@ -4760,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "geofilt_prefix": q_geofilt_prefix,
         "simpletext_dump": q_simpletext_dump,
+        "dih_entity": q_dih_entity,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -4995,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "dih_entity",
         "geofilt_prefix",
         "domain_mix",
         "simpletext_dump",
@@ -5304,6 +5333,7 @@ def oracle_sql() -> dict[str, str]:
         "dih_transform": O.dih_transform(),
         "domain_mix": O.domain_mix({"src0": 0.5, "src1": 0.25, "src2": 0.25}),
         "simpletext_dump": O.simpletext_dump(["merge", "scan"]),
+        "dih_entity": O.dih_entity(),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

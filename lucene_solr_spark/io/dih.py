@@ -202,3 +202,40 @@ def dih_transform(
             if new_cols:
                 df = df.withColumns(new_cols)
     return df
+
+
+def entity_join(
+    parent: DataFrame,
+    child: DataFrame,
+    on: tuple[str, str],
+    multivalued: dict[str, str],
+) -> DataFrame:
+    """Nested DIH entities: one output doc per ROOT entity row with
+    the sub-entity's fields multivalued (DocBuilder.buildDocument's
+    recursion over <entity> children; CachedSqlEntityProcessor caches
+    the child rows per join key — the hash-join analogue,
+    solr/contrib/dataimporthandler/.../DocBuilder.java +
+    CachedSqlEntityProcessor.java).
+
+    Spark shape: pre-aggregate the child side to one row per key
+    (collect_list sorted for determinism), then join — the child agg
+    is the DIH cache, and Catalyst broadcasts it when small. ``on`` is
+    (parent_key, child_key); ``multivalued`` maps output column ->
+    child column."""
+    pk, ck = on
+    aggs = [
+        F.sort_array(F.collect_list(src)).alias(out)
+        for out, src in multivalued.items()
+    ]
+    child_agg = child.groupBy(F.col(ck).alias(pk)).agg(*aggs)
+    out = parent.join(child_agg, on=pk, how="left")
+    for out_col in multivalued:
+        elem_t = dict(
+            (f.name, f.dataType)
+            for f in child_agg.schema.fields
+        )[out_col].simpleString()
+        out = out.withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.array().cast(elem_t)),
+        )
+    return out

@@ -4313,6 +4313,20 @@ GROUP BY source ORDER BY source
 """.strip()
 
 
+def dih_entity() -> str:
+    """Nested-entity twin: per-nation multivalued customer names,
+    sorted for determinism (engine sort_array == ORDER BY c_name)."""
+    return """
+SELECT n.n_nationkey, n.n_name,
+       CAST(count(c.c_name) AS BIGINT) AS n_custs,
+       coalesce(string_agg(c.c_name, ',' ORDER BY c.c_name), '')
+         AS cust_names
+FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n.n_nationkey
+""".strip()
+
+
 def simpletext_dump(terms: list[str], table: str = "documents") -> str:
     """SimpleTextFieldsWriter twin: same line vocabulary built in SQL.
     Index positions are 0-based pre-stop token indexes, so rawtok's

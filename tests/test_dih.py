@@ -130,3 +130,23 @@ def test_chain_order_later_transformer_sees_earlier_output(rows):
     )
     got = {r["id"]: r["labeled"] for r in out.collect()}
     assert got[1] == "n=42"
+
+
+def test_entity_join_multivalued_and_empty_parent(spark):
+    from lucene_solr_spark.io.dih import entity_join
+
+    parent = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "empty")], "pk long, name string"
+    )
+    child = spark.createDataFrame(
+        [(1, "z"), (1, "x"), (2, "y")], "fk long, val string"
+    )
+    out = {
+        r["pk"]: r["vals"]
+        for r in entity_join(
+            parent, child, on=("pk", "fk"), multivalued={"vals": "val"}
+        ).collect()
+    }
+    assert out[1] == ["x", "z"]  # sorted for determinism
+    assert out[2] == ["y"]
+    assert out[3] == []  # parent without children keeps an empty list
