@@ -198,6 +198,36 @@ def _copyfield_searcher(spark, sf_dir):
     return fs
 
 
+def q_per_field_analyzer(spark, sf_dir):
+    """PerFieldAnalyzerWrapper (LA/miscellaneous/
+    PerFieldAnalyzerWrapper.java:55-70): the 'src' field analyzes with
+    KeywordAnalyzer (whole value, one token, no stop/stem) while 'body'
+    falls back to the default standard chain — top-5 terms by df per
+    field proves the per-field chains diverge."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+    from lucene_solr_spark.index.fields import build_fielded_index
+    from pyspark.sql import Window
+
+    fidx = build_fielded_index(
+        spark,
+        _docs(spark, sf_dir),
+        {"body": "text", "src": "source"},
+        analyzer={"src": make_analyzer(tokenizer="keyword", stop=False)},
+    )
+    w = Window.partitionBy("field").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    return (
+        fidx.terms_stats.select(
+            "field", "term", F.col("df").cast("long").alias("df")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .drop("rk")
+        .orderBy("field", F.desc("df"), "term")
+    )
+
+
 def q_copyfield_bm25(spark, sf_dir):
     """copyField catch-all: 'all' indexes text+lang+source values with
     the positionIncrementGap between them (IndexSchema copyField;
@@ -4788,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofilt_prefix": q_geofilt_prefix,
         "simpletext_dump": q_simpletext_dump,
         "dih_entity": q_dih_entity,
+        "per_field_analyzer": q_per_field_analyzer,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5023,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "per_field_analyzer",
         "dih_entity",
         "geofilt_prefix",
         "domain_mix",
@@ -5334,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": O.domain_mix({"src0": 0.5, "src1": 0.25, "src2": 0.25}),
         "simpletext_dump": O.simpletext_dump(["merge", "scan"]),
         "dih_entity": O.dih_entity(),
+        "per_field_analyzer": O.per_field_analyzer(),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

@@ -162,7 +162,14 @@ def _invert_fields(
     analyzer,
 ) -> Iterator[pd.DataFrame]:
     """DWPT analogue over N fields: every field of the batch is
-    inverted from the SAME in-memory Arrow batch — one corpus scan."""
+    inverted from the SAME in-memory Arrow batch — one corpus scan.
+
+    ``analyzer`` may be a single callable for every field or a mapping
+    field -> callable (PerFieldAnalyzerWrapper, lucene/analysis/common/
+    .../miscellaneous/PerFieldAnalyzerWrapper.java:55-70: wrapped
+    getWrappedAnalyzer falls back to the default for unmapped fields —
+    a missing key here falls back to the default analyzer too)."""
+    per_field = isinstance(analyzer, Mapping)
     for pdf in batches:
         outs = []
         for fname in fields:
@@ -170,7 +177,9 @@ def _invert_fields(
                 pdf["doc_id"],
                 pdf[fname],
                 with_positions=with_positions,
-                analyzer=analyzer,
+                analyzer=(
+                    analyzer.get(fname) if per_field else analyzer
+                ),
             )
             if not len(flat):
                 continue

@@ -4313,6 +4313,34 @@ GROUP BY source ORDER BY source
 """.strip()
 
 
+def per_field_analyzer(table: str = "documents") -> str:
+    """PerFieldAnalyzerWrapper twin: 'src' terms are whole source
+    values (KeywordAnalyzer — no lowercase, no stop), 'body' terms are
+    the standard chain's; top-5 per field by (df desc, term asc)."""
+    return f"""
+WITH {tok_ctes(table)},
+body_df AS (
+  SELECT 'body' AS field, term, CAST(count(DISTINCT doc_id) AS BIGINT)
+         AS df
+  FROM tok GROUP BY term
+),
+src_df AS (
+  SELECT 'src' AS field, source AS term,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM {table} GROUP BY source
+),
+unioned AS (SELECT * FROM body_df UNION ALL SELECT * FROM src_df),
+ranked AS (
+  SELECT field, term, df,
+         row_number() OVER (PARTITION BY field
+                            ORDER BY df DESC, term ASC) AS rk
+  FROM unioned
+)
+SELECT field, term, df FROM ranked WHERE rk <= 5
+ORDER BY field, df DESC, term
+""".strip()
+
+
 def dih_entity() -> str:
     """Nested-entity twin: per-nation multivalued customer names,
     sorted for determinism (engine sort_array == ORDER BY c_name)."""
