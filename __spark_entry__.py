@@ -1966,6 +1966,33 @@ def _synth_url_col():
 _SPLIT_CACHE: dict[str, tuple] = {}
 
 
+def q_index_merge(spark, sf_dir):
+    """IndexMergeTool / addIndexes (lucene/misc/.../IndexMergeTool.
+    java:30-60): merge the two pk_split halves back into one store —
+    block bytes carry VERBATIM (gaps are first_doc-relative, so even a
+    docBase rebase is metadata-only) — and search it; top-10 must
+    equal the original store's oracle."""
+    from lucene_solr_spark.index.merger import merge_stores
+
+    key = f"merge:{sf_dir}"
+    s = _BLOOM_SEG_CACHE.get(key)
+    if s is None:
+        import tempfile
+
+        q_index_split(spark, sf_dir)  # ensures halves exist
+        lo, hi = _SPLIT_CACHE[sf_dir]
+        d = tempfile.mkdtemp(prefix="lss_gate_merge_")
+        merged = merge_stores(
+            spark,
+            [lo.index_dir, hi.index_dir],
+            d,
+            rebase=False,  # split halves keep the original ids
+        )
+        s = Searcher(merged)
+        _BLOOM_SEG_CACHE[key] = s
+    return _topk_rounded(s.search(_bool(should=["scan", "merge"]), 10))
+
+
 def q_index_split(spark, sf_dir):
     """PKIndexSplitter reshard (lucene/misc/.../index/
     PKIndexSplitter.java): split the segment store at maxDoc/2 — blocks
@@ -4819,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpletext_dump": q_simpletext_dump,
         "dih_entity": q_dih_entity,
         "per_field_analyzer": q_per_field_analyzer,
+        "index_merge": q_index_merge,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5054,6 +5082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "index_merge",
         "per_field_analyzer",
         "dih_entity",
         "geofilt_prefix",
@@ -5367,6 +5396,7 @@ def oracle_sql() -> dict[str, str]:
         "simpletext_dump": O.simpletext_dump(["merge", "scan"]),
         "dih_entity": O.dih_entity(),
         "per_field_analyzer": O.per_field_analyzer(),
+        "index_merge": O.bm25_bool(must=[], should=["scan", "merge"]),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

@@ -149,3 +149,67 @@ def test_multipass_round_robin(split_setup):
     assert sum(
         p.term_stats(["error"]).get("error", (0, 0))[0] for p in parts
     ) == full_df
+
+
+def test_merge_with_rebase_shifts_doc_ids(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.merger import merge_stores
+    from lucene_solr_spark.index.segments import write_segments
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.query import TermQuery
+
+    def mk(name, texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        d = str(tmp_path / name)
+        return write_segments(
+            build_index(spark, docs), d, n_buckets=2, split_range=64
+        )
+
+    a = mk("a", ["alpha beta", "alpha gamma", "beta beta"])
+    b = mk("b", ["alpha alpha", "delta"])
+    merged = merge_stores(
+        spark, [a.index_dir, b.index_dir], str(tmp_path / "m"),
+        rebase=True,
+    )
+    # docBase shift: source b's doc 0 becomes 3
+    assert merged.stats.max_doc == 5
+    hits = Searcher(merged).search(TermQuery("alpha"), 10).collect()
+    assert sorted(r["doc_id"] for r in hits) == [0, 1, 3]
+    # delta lives only in source b, shifted
+    d_hits = Searcher(merged).search(TermQuery("delta"), 10).collect()
+    assert [r["doc_id"] for r in d_hits] == [4]
+    # df/ttf re-aggregated across sources
+    stats = {
+        r["term"]: (r["df"], r["ttf"])
+        for r in merged.terms_stats.collect()
+    }
+    assert stats["alpha"] == (3, 4)
+    # doc store shifted too
+    assert merged.docs.where(F.col("doc_id") == 4).count() == 1
+
+
+def test_merge_requires_compatible_stores(spark, tmp_path):
+    import pytest as _pytest
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.merger import merge_stores
+    from lucene_solr_spark.index.segments import write_segments
+
+    docs = spark.createDataFrame(
+        [(0, "x y")], "doc_id long, text string"
+    )
+    a = write_segments(
+        build_index(spark, docs), str(tmp_path / "sa"), n_buckets=2
+    )
+    b = write_segments(
+        build_index(spark, docs), str(tmp_path / "sb"), n_buckets=4
+    )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        merge_stores(
+            spark, [a.index_dir, b.index_dir], str(tmp_path / "sm")
+        )
