@@ -406,6 +406,18 @@ def _payloaded_docs(spark, sf_dir):
     )
 
 
+def q_span_payload_check(spark, sf_dir):
+    """SpanPayloadCheckQuery: span term match gated on the occurrence
+    payload equalling 3.0 (SpanPayloadCheckQuery.java:30-55
+    acceptPosition); freq counts only accepted occurrences while idf
+    keeps the wrapped term's df."""
+    from lucene_solr_spark.search.payloads import span_payload_check_topk
+
+    return span_payload_check_topk(
+        _payloaded_docs(spark, sf_dir), "scan", 3.0, k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_payload_term(spark, sf_dir):
     """PayloadTermQuery with AveragePayloadFunction: BM25 term score *
     mean per-occurrence payload (PayloadTermQuery.java:80-150;
@@ -4847,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dih_entity": q_dih_entity,
         "per_field_analyzer": q_per_field_analyzer,
         "index_merge": q_index_merge,
+        "span_payload_check": q_span_payload_check,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5082,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "span_payload_check",
         "index_merge",
         "per_field_analyzer",
         "dih_entity",
@@ -5397,6 +5411,7 @@ def oracle_sql() -> dict[str, str]:
         "dih_entity": O.dih_entity(),
         "per_field_analyzer": O.per_field_analyzer(),
         "index_merge": O.bm25_bool(must=[], should=["scan", "merge"]),
+        "span_payload_check": O.span_payload_check("scan", 3.0),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

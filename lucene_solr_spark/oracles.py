@@ -1514,6 +1514,56 @@ scored AS (
 """.strip()
 
 
+def span_payload_check(
+    term: str, payload_value: float, k: int = 10,
+    table: str = "documents",
+) -> str:
+    """SpanPayloadCheckQuery twin: accepted occurrences are those whose
+    payload equals the expected value; freq = accepted count; idf uses
+    the unfiltered term df (SpanWeight term statistics)."""
+    words = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, lower(tok) AS term, pos,
+         CAST(((pos - 1) % 5) + 1 AS DOUBLE) AS payload
+  FROM (
+    SELECT doc_id,
+           unnest({words}) AS tok,
+           generate_subscripts({words}, 1) AS pos
+    FROM {table}
+  )
+),
+pdls AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pcoll AS (
+  SELECT (SELECT count(*) FROM {table}) AS max_doc,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM pdls)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM {table}) AS avgdl
+),
+pdf AS (
+  SELECT count(DISTINCT doc_id) AS df FROM ptok
+  WHERE term = '{_sq(term)}'
+),
+qdl AS (SELECT * FROM (VALUES {_qdl()}) AS t(lo, hi, q)),
+m AS (
+  SELECT doc_id, count(*) AS freq
+  FROM ptok
+  WHERE term = '{_sq(term)}'
+    AND payload = CAST({payload_value!r} AS DOUBLE)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + ((SELECT max_doc FROM pcoll) - (SELECT df FROM pdf) + 0.5)
+              / ((SELECT df FROM pdf) + 0.5))
+           * ({K1}+1) * m.freq
+           / (m.freq + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM pcoll)))
+           AS score
+  FROM m JOIN pdls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 def payload_near(
     t1: str,
     t2: str,

@@ -355,3 +355,74 @@ def payload_near_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def span_payload_check_topk(
+    docs: DataFrame,
+    term: str,
+    payload_value: float,
+    k: int = 10,
+    text_col: str = "text",
+    delimiter: str = "|",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SpanPayloadCheckQuery(SpanTermQuery(term), [payload]) — top-k
+    docs where the term occurs WITH the expected payload.
+
+    Reference (lucene/core/.../search/spans/SpanPayloadCheckQuery.
+    java:30-55 acceptPosition): a position is accepted when its
+    payload equals the expected bytes; a position with NO payload
+    returns YES (isPayloadAvailable false -> accept). freq = number of
+    accepted positions (SpanScorer: matchLength 0 -> slopFactor 1 per
+    accepted match); docs with zero accepted positions never match.
+    The weight's idf comes from the wrapped TERM's df (SpanWeight term
+    statistics), not from the payload-filtered doc count.
+    """
+    spark = docs.sparkSession
+    rows = payload_token_rows(docs, text_col, delimiter, id_col)
+    dls = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    sdl = dls.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = float(sdl) / float(n_docs) if n_docs else 1.0
+    df_ = (
+        rows.where(F.col("term") == F.lit(term))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if df_ == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    idf = math.log(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+    accepted = F.col("payload").isNull() | (
+        F.col("payload") == F.lit(float(payload_value))
+    )
+    matched = (
+        rows.where((F.col("term") == F.lit(term)) & accepted)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    qdl = _qdl_intervals(spark)
+    scored = (
+        matched.join(dls, id_col)
+        .join(
+            F.broadcast(qdl),
+            (F.col("dl") >= F.col("lo")) & (F.col("dl") <= F.col("hi")),
+        )
+        .select(
+            id_col,
+            (
+                F.lit(idf)
+                * F.lit(1.2 + 1)
+                * F.col("freq")
+                / (
+                    F.col("freq")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1 - 0.75)
+                        + F.lit(0.75) * F.col("q") / F.lit(avgdl)
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

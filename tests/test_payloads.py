@@ -148,3 +148,26 @@ def test_payload_near_null_payload_occurrences(spark):
     assert set(got) == {0, 1}
     # doc0 pf = avg([4.0]) = 4; doc1 pf = 1 -> doc0 scores 4x doc1
     assert abs(got[0] / got[1] - 4.0) < 1e-9
+
+
+def test_span_payload_check_accepts_missing_payload(spark):
+    from lucene_solr_spark.search.payloads import span_payload_check_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "scan|3.0 scan|1.0 x|2.0"),   # one accepted occurrence
+            (1, "scan|1.0 scan|2.0"),         # zero accepted -> no match
+            (2, "scan scan|3.0"),             # bare token accepted (YES
+                                              # when no payload) + match
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["score"]
+        for r in span_payload_check_topk(docs, "scan", 3.0, k=10)
+        .collect()
+    }
+    assert set(hits) == {0, 2}
+    # doc 2 has freq 2 (payload-less occurrence accepted + exact match)
+    # vs doc 1's zero; doc 0 freq 1
+    assert hits[2] > hits[0]
