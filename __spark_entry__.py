@@ -3637,6 +3637,18 @@ def q_span_first(spark, sf_dir):
     )
 
 
+def q_span_near_wrapper(spark, sf_dir):
+    """SpanMultiTermQueryWrapper inside SpanNearQuery
+    (L/search/spans/SpanMultiTermQueryWrapper.java:40-90): 'scan'
+    followed within slop 4 by ANY term with prefix 'mer' — the wrapper
+    rewrites to a SpanOr over the dictionary expansions."""
+    from lucene_solr_spark.search.spans import span_near_multi
+
+    return span_near_multi(
+        _searcher(spark, sf_dir), ["scan", ("prefix", "mer")], 4
+    )
+
+
 def q_span_near(spark, sf_dir):
     """SpanNearQuery ordered (NearSpansOrdered over term spans):
     'scan' then 'merge' within slop 4."""
@@ -4860,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_field_analyzer": q_per_field_analyzer,
         "index_merge": q_index_merge,
         "span_payload_check": q_span_payload_check,
+        "span_near_wrapper": q_span_near_wrapper,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5095,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "span_near_wrapper",
         "span_payload_check",
         "index_merge",
         "per_field_analyzer",
@@ -5412,6 +5426,7 @@ def oracle_sql() -> dict[str, str]:
         "per_field_analyzer": O.per_field_analyzer(),
         "index_merge": O.bm25_bool(must=[], should=["scan", "merge"]),
         "span_payload_check": O.span_payload_check("scan", 3.0),
+        "span_near_wrapper": O.span_near_multi_docs(["scan", ("prefix", "mer")], 4),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

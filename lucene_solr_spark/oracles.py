@@ -3147,6 +3147,44 @@ ORDER BY doc_id
 """.strip()
 
 
+def span_near_multi_docs(
+    clauses: list, slop: int, table: str = "documents"
+) -> str:
+    """SpanMultiTermQueryWrapper-in-SpanNearQuery twin: a clause is a
+    literal term or ('prefix', p) matched with LIKE against the
+    POST-STOP dictionary (the wrapper expands against the index's
+    terms, which exclude stopwords)."""
+    n = len(clauses)
+    p_ctes = []
+    for i, c in enumerate(clauses):
+        if isinstance(c, str):
+            cond = f"term = '{_sq(c)}'"
+        else:
+            kind, pat = c
+            if kind != "prefix":
+                raise ValueError("oracle supports literal/prefix only")
+            cond = (
+                f"term LIKE '{_sq(pat)}%' AND term NOT IN ({STOP_LIST})"
+            )
+        p_ctes.append(
+            f"p{i} AS (SELECT DISTINCT doc_id, pos AS v{i} FROM rawtok "
+            f"WHERE {cond})"
+        )
+    join = "p0"
+    conds = []
+    for i in range(1, n):
+        join += f" JOIN p{i} USING (doc_id)"
+        conds.append(f"v{i} > v{i-1}")
+    conds.append(f"(v{n-1} - v0) - {n-1} <= {slop}")
+    return f"""
+WITH {_rawtok(table)},
+{', '.join(p_ctes)}
+SELECT DISTINCT doc_id FROM {join}
+WHERE {' AND '.join(conds)}
+ORDER BY doc_id
+""".strip()
+
+
 def span_not_docs(
     include: str, exclude: str, table: str = "documents"
 ) -> str:

@@ -274,3 +274,85 @@ def span_near_scored(
 
     scored = cand.mapInPandas(run, "doc_id long, score double")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _expand_clause(
+    searcher: Searcher, clause, max_expansions: int = 1024
+) -> list[str]:
+    """SpanMultiTermQueryWrapper rewrite: expand a ('prefix'|'wildcard',
+    pattern) clause against the term dictionary into its matching
+    terms — the SpanOr-of-term-spans the wrapper rewrites to
+    (L/search/spans/SpanMultiTermQueryWrapper.java:40-90,
+    SCORING_SPAN_QUERY_REWRITE). Literal strings pass through."""
+    if isinstance(clause, str):
+        return [clause]
+    kind, pat = clause
+    ts = searcher.index.terms_stats
+    if kind == "prefix":
+        matched = ts.where(F.col("term").startswith(pat))
+    elif kind == "wildcard":
+        import re as _re
+
+        parts = []
+        i = 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == "\\" and i + 1 < len(pat):
+                parts.append(_re.escape(pat[i + 1]))
+                i += 2
+                continue
+            parts.append(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            )
+            i += 1
+        matched = ts.where(F.col("term").rlike("^" + "".join(parts) + "$"))
+    else:
+        raise ValueError(f"unknown multiterm span clause {kind!r}")
+    rows = matched.select("term").limit(max_expansions + 1).collect()
+    if len(rows) > max_expansions:
+        raise ValueError(
+            "span multiterm clause expands past the 1024-clause cap "
+            "(BooleanQuery.maxClauseCount, the wrapper's rewrite limit)"
+        )
+    return [r["term"] for r in rows]
+
+
+def _clause_positions(
+    searcher: Searcher, terms: list[str], alias: str
+) -> DataFrame:
+    """Positions of a (possibly multi-term) span clause — the union of
+    the expansions' term spans, one pruned decode for all of them."""
+    return (
+        searcher._postings_for(sorted(set(terms)), want_positions=True)
+        .select("doc_id", F.explode("positions").alias(alias))
+        .distinct()
+    )
+
+
+def span_near_multi(
+    searcher: Searcher,
+    clauses: list,
+    slop: int,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Ordered SpanNearQuery whose clauses may be multi-term wrappers:
+    a clause is a literal term or ('prefix'|'wildcard', pattern) —
+    SpanMultiTermQueryWrapper inside SpanNearQuery. Match rule is the
+    NearSpansOrdered one (strictly increasing positions, width - (n-1)
+    <= slop); returns distinct doc_id."""
+    n = len(clauses)
+    if n < 2:
+        raise ValueError("span_near_multi needs >= 2 clauses")
+    expanded = [
+        _expand_clause(searcher, c, max_expansions) for c in clauses
+    ]
+    if any(not terms for terms in expanded):
+        return searcher.index.spark.createDataFrame([], "doc_id long")
+    cur = _clause_positions(searcher, expanded[0], "p0")
+    for i in range(1, n):
+        nxt = _clause_positions(searcher, expanded[i], f"p{i}")
+        cur = cur.join(nxt, on="doc_id").where(
+            F.col(f"p{i}") > F.col(f"p{i-1}")
+        )
+    width = F.col(f"p{n-1}") - F.col("p0") - F.lit(n - 1)
+    return cur.where(width <= F.lit(slop)).select("doc_id").distinct()
