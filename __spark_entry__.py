@@ -4761,6 +4761,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-accelerated decontamination: the FuzzySet kernel
+    (index/bloom.py) broadcast in place of the eval gram strings;
+    map-side NO answers drop ~90% of corpus grams before the exact
+    join removes the false positives — output identical to the exact
+    path (same oracle)."""
+    from lucene_solr_spark.datapipe.training import decontaminate_bloom
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 23 == 0)
+    corpus = d.where(F.col("doc_id") % 23 != 0)
+    return decontaminate_bloom(corpus, ev, n=4).orderBy("doc_id")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 Appendix C / Dolma 13-gram
     rule, n=4 for this corpus's ~54-token short-vocab docs): corpus docs
@@ -4873,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_merge": q_index_merge,
         "span_payload_check": q_span_payload_check,
         "span_near_wrapper": q_span_near_wrapper,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5108,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "decontaminate_bloom",
         "span_near_wrapper",
         "span_payload_check",
         "index_merge",
@@ -5427,6 +5443,7 @@ def oracle_sql() -> dict[str, str]:
         "index_merge": O.bm25_bool(must=[], should=["scan", "merge"]),
         "span_payload_check": O.span_payload_check("scan", 3.0),
         "span_near_wrapper": O.span_near_multi_docs(["scan", ("prefix", "mer")], 4),
+        "decontaminate_bloom": O.decontaminate(n=4, eval_mod=23),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

@@ -285,3 +285,84 @@ def domain_mix(
         )
         .drop("n_copies")
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    saturation: float = 0.10,
+) -> DataFrame:
+    """Bloom-accelerated decontamination — same contract and OUTPUT as
+    :func:`decontaminate`, different broadcast: instead of shipping the
+    eval set's distinct n-gram STRINGS to every executor, ship a
+    FuzzySet bloom over them (index/bloom.py — the
+    BloomFilteringPostingsFormat kernel reused pipeline-side). Corpus
+    n-grams are pre-filtered map-side by a vectorized bloom probe (NO
+    answers drop immediately; ~90% at the default saturation), and
+    only the surviving sliver joins the exact gram set — which removes
+    the bloom's false positives, so results are exactly the exact
+    path's. At a 13-gram Dolma-scale eval suite the bloom is tens of
+    MB where the gram strings are GBs; the exact join's build side
+    shrinks by the same ratio.
+    """
+    import numpy as np
+
+    from ..index.bloom import (
+        USABLE_BITSET_SIZES,
+        _pack_words,
+        murmur2_hash32_batch,
+        nearest_set_size,
+        positive_hash_batch,
+    )
+
+    eval_grams = (
+        _gram_rows(eval_set, n, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    grams = [r["gram"] for r in eval_grams.collect()]
+    size = nearest_set_size(max(len(grams), 1), saturation)
+    if size == -1:
+        size = USABLE_BITSET_SIZES[-1]
+    pos = (
+        positive_hash_batch(
+            murmur2_hash32_batch(g.encode("utf-8") for g in grams)
+        )
+        & size
+    )
+    words = np.asarray(_pack_words(pos, size)).view(np.uint64)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((int(size), words))
+
+    def probe(batches):
+        bsize, bwords = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            p = (
+                positive_hash_batch(
+                    murmur2_hash32_batch(
+                        g.encode("utf-8") for g in pdf["gram"]
+                    )
+                )
+                & bsize
+            )
+            hit = (
+                bwords[(p >> 6).astype(np.int64)]
+                >> (p.astype(np.uint64) & np.uint64(63))
+            ) & np.uint64(1)
+            out = pdf[hit.astype(bool)]
+            if len(out):
+                yield out
+
+    corpus_grams = _gram_rows(corpus, n, text_col, id_col)
+    maybe = corpus_grams.mapInPandas(
+        probe, "doc_id long, gram string"
+    )
+    hits = maybe.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )

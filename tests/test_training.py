@@ -159,3 +159,29 @@ def test_domain_mix_upsamples_and_downsamples(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    from lucene_solr_spark.datapipe.training import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i % 9} alpha beta gamma tok{i % 7} delta")
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1000, "alpha beta gamma tok3"), (1001, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in decontaminate(corpus, ev, n=4).collect()
+    )
+    fast = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in decontaminate_bloom(corpus, ev, n=4).collect()
+    )
+    assert exact == fast and len(exact) > 0
