@@ -418,6 +418,21 @@ def q_span_payload_check(spark, sf_dir):
     ).select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_span_near_payload_check(spark, sf_dir):
+    """SpanNearPayloadCheckQuery: ordered near matches of scan..merge
+    (slop 4) accepted only when the two used occurrences carry
+    payloads {2.0, 4.0} (SpanNearPayloadCheckQuery.java:30-60); plain
+    SpanScorer BM25, no payload multiplication."""
+    from lucene_solr_spark.search.payloads import (
+        span_near_payload_check_topk,
+    )
+
+    return span_near_payload_check_topk(
+        _payloaded_docs(spark, sf_dir), ["scan", "merge"], 4,
+        [2.0, 4.0], k=10,
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_payload_term(spark, sf_dir):
     """PayloadTermQuery with AveragePayloadFunction: BM25 term score *
     mean per-occurrence payload (PayloadTermQuery.java:80-150;
@@ -4888,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_payload_check": q_span_payload_check,
         "span_near_wrapper": q_span_near_wrapper,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "span_near_payload_check": q_span_near_payload_check,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5123,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "span_near_payload_check",
         "decontaminate_bloom",
         "span_near_wrapper",
         "span_payload_check",
@@ -5444,6 +5461,7 @@ def oracle_sql() -> dict[str, str]:
         "span_payload_check": O.span_payload_check("scan", 3.0),
         "span_near_wrapper": O.span_near_multi_docs(["scan", ("prefix", "mer")], 4),
         "decontaminate_bloom": O.decontaminate(n=4, eval_mod=23),
+        "span_near_payload_check": O.span_near_payload_check("scan", "merge", 4, [2.0, 4.0]),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

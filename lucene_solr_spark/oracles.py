@@ -1514,6 +1514,98 @@ scored AS (
 """.strip()
 
 
+def span_near_payload_check(
+    t1: str,
+    t2: str,
+    slop: int,
+    expected: list[float],
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """SpanNearPayloadCheckQuery twin: the payload_near recursive-CTE
+    walk, but a slop-passing match counts only when its two used
+    payloads equal the expected pair (order-insensitive), and the
+    score has NO payload multiplication (plain SpanScorer)."""
+    lo, hi = sorted(float(p) for p in expected)
+    words = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH RECURSIVE ptok AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM (
+    SELECT doc_id,
+           unnest({words}) AS tok,
+           generate_subscripts({words}, 1) AS pos
+    FROM {table}
+  )
+),
+pdls AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+pcoll AS (
+  SELECT (SELECT count(*) FROM {table}) AS max_doc,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM pdls)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM {table}) AS avgdl
+),
+p1 AS (SELECT doc_id, pos FROM ptok WHERE term = '{_sq(t1)}'),
+p2 AS (SELECT doc_id, pos FROM ptok WHERE term = '{_sq(t2)}'),
+idfs AS (
+  SELECT sum(ln(1 + ((SELECT max_doc FROM pcoll) - df + 0.5) / (df + 0.5)))
+           AS idf_sum
+  FROM (
+    SELECT count(DISTINCT doc_id) AS df FROM ptok
+    WHERE term = '{_sq(t1)}'
+    UNION ALL
+    SELECT count(DISTINCT doc_id) FROM ptok WHERE term = '{_sq(t2)}'
+  )
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id FROM p1 JOIN p2 USING (doc_id)
+),
+walk(doc_id, p1_used, p2_used) AS (
+  SELECT doc_id, CAST(-1 AS BIGINT), CAST(NULL AS BIGINT) FROM cand
+  UNION ALL
+  SELECT s.doc_id,
+         (SELECT max(pos) FROM p1
+          WHERE p1.doc_id = s.doc_id AND pos < s.p2_next),
+         s.p2_next
+  FROM (
+    SELECT w.doc_id,
+           (SELECT min(p2.pos) FROM p2
+            WHERE p2.doc_id = w.doc_id AND p2.pos >
+              (SELECT min(p1.pos) FROM p1
+               WHERE p1.doc_id = w.doc_id AND p1.pos > w.p1_used)
+           ) AS p2_next
+    FROM walk w
+  ) s
+  WHERE s.p2_next IS NOT NULL
+),
+matches AS (
+  SELECT doc_id, p1_used, p2_used FROM walk
+  WHERE p2_used IS NOT NULL AND (p2_used - p1_used - 1) <= {int(slop)}
+    AND least(CAST(((p1_used - 1) % 5) + 1 AS DOUBLE),
+              CAST(((p2_used - 1) % 5) + 1 AS DOUBLE))
+          = CAST({lo!r} AS DOUBLE)
+    AND greatest(CAST(((p1_used - 1) % 5) + 1 AS DOUBLE),
+                 CAST(((p2_used - 1) % 5) + 1 AS DOUBLE))
+          = CAST({hi!r} AS DOUBLE)
+),
+freqs AS (
+  SELECT doc_id,
+         sum(1.0 / ((p2_used + 1 - p1_used) + 1)) AS freq
+  FROM matches GROUP BY doc_id
+),
+qdl AS (SELECT * FROM (VALUES {_qdl()}) AS t(lo, hi, q)),
+scored AS (
+  SELECT f.doc_id,
+         (SELECT idf_sum FROM idfs)
+           * ({K1}+1) * f.freq
+           / (f.freq + {K1}*((1-{B}) + {B}*q.q/(SELECT avgdl FROM pcoll)))
+           AS score
+  FROM freqs f
+  JOIN pdls l USING (doc_id) JOIN qdl q ON l.dl BETWEEN q.lo AND q.hi
+)
+{_topk('scored', k)}
+""".strip()
+
+
 def span_payload_check(
     term: str, payload_value: float, k: int = 10,
     table: str = "documents",

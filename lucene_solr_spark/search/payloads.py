@@ -161,7 +161,10 @@ def payload_term_topk(
 
 
 def _near_ordered_walk(
-    pos_lists: list, pay_lists: list, slop: int
+    pos_lists: list,
+    pay_lists: list,
+    slop: int,
+    expected: list | None = None,
 ) -> tuple[float, list]:
     """One document's NearSpansOrdered enumeration
     (lucene/core/.../spans/NearSpansOrdered.java:182-337) for
@@ -221,8 +224,19 @@ def _near_ordered_walk(
             match_start = prev_start
             last_start = prev_start
         if slop_acc <= slop:
-            freq += 1.0 / ((match_end - match_start) + 1)
-            payloads.extend(used_pay)
+            # SpanNearPayloadCheckQuery.java acceptPosition: the match
+            # counts only when its used occurrences' payloads equal the
+            # expected collection (order-insensitive — the reference's
+            # own comment concedes order is unreliable); a missing
+            # payload can never equal an expected byte array
+            accept = expected is None or (
+                len(used_pay) == len(expected)
+                and all(p is not None for p in used_pay)
+                and sorted(used_pay) == expected
+            )
+            if accept:
+                freq += 1.0 / ((match_end - match_start) + 1)
+                payloads.extend(used_pay)
         if exhausted:
             return freq, payloads
 
@@ -412,6 +426,116 @@ def span_payload_check_topk(
             id_col,
             (
                 F.lit(idf)
+                * F.lit(1.2 + 1)
+                * F.col("freq")
+                / (
+                    F.col("freq")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1 - 0.75)
+                        + F.lit(0.75) * F.col("q") / F.lit(avgdl)
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def span_near_payload_check_topk(
+    docs: DataFrame,
+    terms: list[str],
+    slop: int,
+    expected_payloads: list[float],
+    k: int = 10,
+    text_col: str = "text",
+    delimiter: str = "|",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SpanNearPayloadCheckQuery (lucene/core/.../spans/
+    SpanNearPayloadCheckQuery.java:30-60): the ordered NearSpans walk,
+    but a slop-passing match is ACCEPTED only when its used
+    occurrences' payloads equal the expected collection
+    (order-insensitive — the reference iterates an unordered payload
+    collection and says so). freq sums sloppyFreq over accepted
+    matches only; score is the plain SpanScorer BM25 (no payload
+    multiplication), idf summed over the clause terms' dfs."""
+    if len(terms) < 2:
+        raise ValueError("span_near_payload_check needs >= 2 clauses")
+    expected = sorted(float(p) for p in expected_payloads)
+    spark = docs.sparkSession
+    rows = payload_token_rows(docs, text_col, delimiter, id_col)
+    dls = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    sdl = dls.agg(F.sum("dl")).collect()[0][0] or 0
+    n_docs = docs.count()
+    avgdl = float(sdl) / float(n_docs) if n_docs else 1.0
+    uniq = sorted(set(terms))
+    df_rows = (
+        rows.where(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in df_rows}
+    if any(dfs.get(t, 0) == 0 for t in uniq):
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    idf_sum = sum(
+        math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in uniq
+    )
+    crows = rows.where(F.col("term").isin(uniq))
+    cand = (
+        crows.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "term", "payload"))
+            ).alias("occ"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .where(F.col("nt") == len(uniq))
+        .select(id_col, "occ")
+    )
+    clause_terms = list(terms)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, freqs = [], []
+            for did, occ in zip(pdf[id_col], pdf["occ"]):
+                by_term: dict = {}
+                for o in occ:
+                    by_term.setdefault(o["term"], ([], []))
+                    by_term[o["term"]][0].append(o["pos"])
+                    by_term[o["term"]][1].append(o["payload"])
+                pos_lists = [by_term[t][0] for t in clause_terms]
+                pay_lists = [by_term[t][1] for t in clause_terms]
+                freq, _ = _near_ordered_walk(
+                    pos_lists, pay_lists, slop, expected=expected
+                )
+                if freq <= 0.0:
+                    continue
+                ids.append(did)
+                freqs.append(freq)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "freq": pd.Series(freqs, dtype="float64"),
+                }
+            )
+
+    matched = cand.mapInPandas(run, f"{id_col} long, freq double")
+    qdl = _qdl_intervals(spark)
+    scored = (
+        matched.join(dls, id_col)
+        .join(
+            F.broadcast(qdl),
+            (F.col("dl") >= F.col("lo")) & (F.col("dl") <= F.col("hi")),
+        )
+        .select(
+            id_col,
+            (
+                F.lit(idf_sum)
                 * F.lit(1.2 + 1)
                 * F.col("freq")
                 / (

@@ -171,3 +171,26 @@ def test_span_payload_check_accepts_missing_payload(spark):
     # doc 2 has freq 2 (payload-less occurrence accepted + exact match)
     # vs doc 1's zero; doc 0 freq 1
     assert hits[2] > hits[0]
+
+
+def test_span_near_payload_check_filters_matches(spark):
+    from lucene_solr_spark.search.payloads import (
+        span_near_payload_check_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "scan|2.0 merge|4.0"),   # payloads {2,4} -> accepted
+            (1, "scan|1.0 merge|4.0"),   # {1,4} -> rejected
+            (2, "x|1.0 scan|4.0 merge|2.0"),  # {4,2} -> accepted
+            (3, "merge|2.0 scan|4.0"),   # wrong order -> no match
+        ],
+        "doc_id long, text string",
+    )
+    hits = sorted(
+        r["doc_id"]
+        for r in span_near_payload_check_topk(
+            docs, ["scan", "merge"], 4, [2.0, 4.0], k=10
+        ).collect()
+    )
+    assert hits == [0, 2]
