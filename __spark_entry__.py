@@ -3880,6 +3880,23 @@ def q_datemath(spark, sf_dir):
 
 # ---------------- facets / stats / grouping ----------------
 
+def q_facet_multiselect(spark, sf_dir):
+    """Multi-select faceting ({!tag}/{!ex}, SimpleFacets.java:124
+    excludeStr): the lang facet EXCLUDES the tagged lang fq, so its
+    counts span every language even though the page is filtered to
+    lang='en' — the e-commerce checkbox-facet pattern."""
+    from lucene_solr_spark.search.handler import select
+
+    out = select(
+        _searcher(spark, sf_dir),
+        "scan",
+        fq=["{!tag=lg}lang = 'en'"],
+        facet_field=["{!ex=lg}lang"],
+        facet_limit=5,
+    )
+    return out["facets"]["lang"]
+
+
 def q_facet_lang(spark, sf_dir):
     matched = _matched_docs(spark, sf_dir, "scan")
     d = _index(spark, sf_dir).docs
@@ -4904,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_wrapper": q_span_near_wrapper,
         "decontaminate_bloom": q_decontaminate_bloom,
         "span_near_payload_check": q_span_near_payload_check,
+        "facet_multiselect": q_facet_multiselect,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5139,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "facet_multiselect",
         "span_near_payload_check",
         "decontaminate_bloom",
         "span_near_wrapper",
@@ -5462,6 +5481,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near_wrapper": O.span_near_multi_docs(["scan", ("prefix", "mer")], 4),
         "decontaminate_bloom": O.decontaminate(n=4, eval_mod=23),
         "span_near_payload_check": O.span_near_payload_check("scan", "merge", 4, [2.0, 4.0]),
+        "facet_multiselect": O.facet_field("scan", "lang"),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

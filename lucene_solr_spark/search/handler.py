@@ -164,6 +164,24 @@ def select(
             )
 
     docs = searcher.index.docs
+    # {!tag=NAME}expr on fq entries + {!ex=NAME}field on facet fields —
+    # multi-select faceting (SimpleFacets.java:124 excludeStr ->
+    # SolrIndexSearcher.getDocListAndSet with the tagged filters
+    # removed): an ex-tagged facet counts over the docset with the
+    # excluded fqs NOT applied.
+    scored_prefq = scored
+    fq_parsed: list[tuple[set, str]] = []
+    if fq:
+        for raw in fq:
+            m = _TAG_RX.match(raw.strip())
+            if m:
+                fq_parsed.append(
+                    (set(m.group("tags").split(",")),
+                     m.group("body").strip())
+                )
+            else:
+                fq_parsed.append((set(), raw))
+        fq = [body for _, body in fq_parsed]
     if fq:
         for expr in fq:
             if filter_cache is not None:
@@ -315,9 +333,32 @@ def select(
     if facet_field:
         match_ids = scored.select("doc_id")
         for field in facet_field:
-            src = (facet_docs if facet_docs is not None else docs).join(
-                match_ids, "doc_id"
-            )
+            facet_key = field
+            ex_m = _EX_RX.match(field.strip())
+            if ex_m:
+                excluded = set(ex_m.group("tags").split(","))
+                field = ex_m.group("body").strip()
+                facet_key = ex_m.group("key") or field
+                # re-derive the docset with the excluded fqs dropped
+                docs_ex = searcher.index.docs
+                for tags, expr in fq_parsed:
+                    if tags & excluded:
+                        continue
+                    ids = _fq_doc_ids(searcher, expr)
+                    if ids is None:
+                        docs_ex = docs_ex.where(F.expr(expr))
+                    else:
+                        docs_ex = docs_ex.join(ids, "doc_id", "left_semi")
+                ex_ids = scored_prefq.select("doc_id").join(
+                    docs_ex.select("doc_id"), "doc_id", "left_semi"
+                )
+                src = (
+                    facet_docs if facet_docs is not None else docs_ex
+                ).join(ex_ids, "doc_id")
+            else:
+                src = (
+                    facet_docs if facet_docs is not None else docs
+                ).join(match_ids, "doc_id")
             # NULL field values are not terms: they never form a value
             # bucket (SimpleFacets enumerates indexed terms) and are
             # reported only under facet.missing
@@ -355,7 +396,7 @@ def select(
                     )
                 )
                 f = f.unionByName(miss)
-            facets[field] = f
+            facets[facet_key] = f
     return {
         "response": page,
         "facets": facets,
@@ -485,6 +526,14 @@ _LOCAL_PARAMS = re.compile(
     re.S,
 )
 _LP_PAIR = re.compile(r"([a-zA-Z.]+)=(\"[^\"]*\"|'[^']*'|[^\s}]+)")
+
+# {!tag=a,b}fqexpr / {!ex=a key=k}facetfield — the tag/ex multi-select
+# pair (QueryParsing localParams with CommonParams.TAG / EXCLUDE)
+_TAG_RX = re.compile(r"^\{!\s*tag=(?P<tags>[^}\s]+)\s*\}(?P<body>.*)$")
+_EX_RX = re.compile(
+    r"^\{!\s*ex=(?P<tags>[^}\s]+)(?:\s+key=(?P<key>[^}\s]+))?\s*\}"
+    r"(?P<body>.*)$"
+)
 
 
 def parse_local_params(s: str):

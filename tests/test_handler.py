@@ -766,3 +766,41 @@ def test_phps_roundtrip_unserialize():
     assert doc["ok"] is False and doc["gap"] is None
     # arrays serialize with integer keys (PHPSerializedWriter.writeArray)
     assert doc["tags"] == {0: "ü", 1: "v"}
+
+
+def test_tag_ex_multiselect_faceting(spark):
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.executor import Searcher
+    from lucene_solr_spark.search.handler import select
+
+    docs = spark.createDataFrame(
+        [
+            (0, "scan data", "en", "a"),
+            (1, "scan data", "de", "a"),
+            (2, "scan data", "fr", "b"),
+            (3, "other", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, src string",
+    )
+    s = Searcher(build_index(spark, docs))
+    out = select(
+        s,
+        "scan",
+        fq=["{!tag=lg}lang = 'en'", "src = 'a'"],
+        facet_field=["{!ex=lg}lang", "src"],
+        facet_limit=-1,
+    )
+    # the page honors every fq
+    assert [r["doc_id"] for r in out["response"].collect()] == [0]
+    # the ex-tagged lang facet ignores the lang fq but keeps src='a'
+    lang_counts = {
+        r["lang"]: r["cnt"] for r in out["facets"]["lang"].collect()
+    }
+    assert lang_counts == {"en": 1, "de": 1}
+    # the untagged src facet counts over the FULLY filtered set
+    src_counts = {
+        r["src"]: r["cnt"] for r in out["facets"]["src"].collect()
+    }
+    assert src_counts == {"a": 1}
