@@ -127,6 +127,17 @@ HEADLINE = [
     "suggest_fst",
     "synonym_wordnet",
     "group_main",
+    # round-5b additions: bloom pruning, prefix-tree spatial, domain
+    # mixing, bloom decontamination, DIH chain, merge, multiselect
+    "bloom_term",
+    "bloom_absent",
+    "geofilt_prefix",
+    "domain_mix",
+    "decontaminate_bloom",
+    "dih_transform",
+    "facet_multiselect",
+    "span_near_wrapper",
+    "index_merge",
 ]
 
 
