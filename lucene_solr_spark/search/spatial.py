@@ -359,10 +359,16 @@ def geofilt_prefix(
     Identical results to :func:`geofilt` (the cover is complete;
     false-positive cells are removed by the exact verify)."""
     p, cells = cover_cells(lat, lon, d_km, max_cells)
-    gh = (
-        F.col(gh_col)
-        if gh_col is not None
-        else geohash_encode(F.col(lat_col), F.col(lon_col))
-    )
-    pruned = docs.where(F.substring(gh, 1, p).isin(cells))
+    if gh_col is not None:
+        # stored geohash: OR of startswith predicates — Catalyst
+        # translates each to a parquet StringStartsWith pushed filter
+        # (range [prefix, prefix+0xff)), so row groups outside the
+        # cover never leave disk
+        cond = F.col(gh_col).startswith(cells[0])
+        for c in cells[1:]:
+            cond = cond | F.col(gh_col).startswith(c)
+        pruned = docs.where(cond)
+    else:
+        gh = geohash_encode(F.col(lat_col), F.col(lon_col))
+        pruned = docs.where(F.substring(gh, 1, p).isin(cells))
     return geofilt(pruned, lat, lon, d_km, lat_col, lon_col)

@@ -35,3 +35,29 @@ def test_prefix_cover_is_complete_and_prunes(spark):
     # completeness of the cell math itself: the center's own cell is
     # always in the cover
     assert geohash_encode_py(12.5, 40.0)[:p] in cells
+
+
+def test_stored_geohash_prefix_filter_pushes_down(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search.spatial import (
+        geofilt,
+        geofilt_prefix,
+        geohash_encode,
+        with_synthetic_coords,
+    )
+
+    pts = with_synthetic_coords(
+        spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    ).withColumn("gh", geohash_encode(F.col("lat"), F.col("lon")))
+    d = str(tmp_path / "pts")
+    pts.orderBy("gh").write.parquet(d)  # sorted -> tight row groups
+    stored = spark.read.parquet(d)
+    fast = geofilt_prefix(stored, 12.5, 40.0, 800.0, gh_col="gh")
+    full = geofilt(stored, 12.5, 40.0, 800.0)
+    assert sorted(
+        (r["doc_id"], r["dist_km"]) for r in fast.collect()
+    ) == sorted((r["doc_id"], r["dist_km"]) for r in full.collect())
+    # the startswith predicates reach the parquet scan
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan and "PushedFilters" in plan
