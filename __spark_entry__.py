@@ -2957,6 +2957,22 @@ def q_mlt(spark, sf_dir):
     return _topk_rounded(more_like_this(_seg_searcher(spark, sf_dir), 0, 10))
 
 
+def q_highlight_gradient(spark, sf_dir):
+    """GradientFormatter (lucene/highlighter/.../GradientFormatter.
+    java:95-170): match wrapped in <font bgcolor> interpolated per
+    channel between #FFFFFF and #FF0000 by the doc's rounded BM25
+    score over the top-10 max."""
+    from lucene_solr_spark.search.highlight import highlight_gradient
+
+    top = _topk_rounded(
+        _searcher(spark, sf_dir).search(TermQuery("scan"), 10)
+    )
+    mx = top.agg(F.max("score")).collect()[0][0]
+    return highlight_gradient(
+        _docs(spark, sf_dir), "scan", top, float(mx)
+    ).orderBy("doc_id")
+
+
 def q_highlight(spark, sf_dir):
     return highlight(_docs(spark, sf_dir), "scan")
 
@@ -4922,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "span_near_payload_check": q_span_near_payload_check,
         "facet_multiselect": q_facet_multiselect,
+        "highlight_gradient": q_highlight_gradient,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5157,6 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "highlight_gradient",
         "facet_multiselect",
         "span_near_payload_check",
         "decontaminate_bloom",
@@ -5482,6 +5500,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": O.decontaminate(n=4, eval_mod=23),
         "span_near_payload_check": O.span_near_payload_check("scan", "merge", 4, [2.0, 4.0]),
         "facet_multiselect": O.facet_field("scan", "lang"),
+        "highlight_gradient": O.highlight_gradient("scan"),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

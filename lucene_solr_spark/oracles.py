@@ -2542,6 +2542,53 @@ ORDER BY doc_id
 """.strip()
 
 
+def highlight_gradient(
+    term: str, fragment_size: int = 100, table: str = "documents"
+) -> str:
+    """GradientFormatter twin over the rounded top-10 BM25 scores:
+    bgcolor channels = getColorVal with min #FFFFFF / max #FF0000 (R
+    fixed FF; G=B = floor(255 * min(max,score)/max)), zero-padded
+    uppercase hex; snippet = the highlight fragment with the <font>
+    wrapper."""
+    import re as _re
+
+    rx = f"(?i)\\b{_re.escape(term)}\\b"
+    rx_prefix = f"(?is)^(.*?)\\b{_re.escape(term)}\\b"
+    half = fragment_size // 2
+    return f"""
+WITH {tok_ctes(table)}, {_scored_cte([term], table)},
+top10 AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+maxs AS (SELECT max(score) AS m FROM top10),
+colored AS (
+  SELECT doc_id,
+    '#FF'
+      || printf('%02X', CAST(floor(255.0 *
+           (least((SELECT m FROM maxs), score) / (SELECT m FROM maxs)))
+           AS INT))
+      || printf('%02X', CAST(floor(255.0 *
+           (least((SELECT m FROM maxs), score) / (SELECT m FROM maxs)))
+           AS INT)) AS bgcolor
+  FROM top10
+)
+SELECT c.doc_id, c.bgcolor,
+       regexp_replace(
+         substr(d.text,
+                CAST(greatest(1,
+                     length(regexp_extract(d.text, '{_sq(rx_prefix)}', 1))
+                     + 1 - {half}) AS BIGINT),
+                {fragment_size}),
+         '{_sq(rx)}',
+         '<font bgcolor="' || c.bgcolor || '">{_sq(term)}</font>',
+         'g') AS snippet
+FROM colored c JOIN {table} d USING (doc_id)
+WHERE regexp_matches(d.text, '{_sq(rx)}')
+ORDER BY c.doc_id
+""".strip()
+
+
 def highlight_phrase(
     terms: list[str], fragment_size: int = 100, table: str = "documents"
 ) -> str:

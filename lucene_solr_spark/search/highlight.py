@@ -190,3 +190,76 @@ def highlight_with_alternate(
         )
     )
     return hl.unionByName(alt)
+
+
+def _hex2(col):
+    return F.lpad(F.upper(F.hex(col)), 2, "0")
+
+
+def highlight_gradient(
+    docs: DataFrame,
+    term: str,
+    scored: DataFrame,
+    max_score: float,
+    min_bg: str = "#FFFFFF",
+    max_bg: str = "#FF0000",
+    text_col: str = "text",
+    fragment_size: int = FRAGMENT_SIZE,
+) -> DataFrame:
+    """GradientFormatter (lucene/highlighter/.../GradientFormatter.
+    java:95-170): matches wrapped in <font bgcolor="#RRGGBB"> with each
+    channel interpolated between the min and max colors by
+    min(maxScore, score)/maxScore — getColorVal's ``min(cMin,cMax) +
+    (int)(|cMin-cMax| * relScore)`` per channel, intToHex's zero-padded
+    uppercase bytes. ``scored`` supplies (doc_id, score); arithmetic is
+    double-precision here and in the oracle twin (the reference uses
+    float32 — a <=1 colour-step deviation at exact channel boundaries).
+    Returns (doc_id, bgcolor, snippet)."""
+
+    def ch(h: str, i: int) -> int:
+        return int(h[i : i + 2], 16)
+
+    def color_val(cmin: int, cmax: int):
+        if cmin == cmax:
+            return F.lit(cmin)
+        scale = float(abs(cmin - cmax))
+        rel = F.least(F.lit(float(max_score)), F.col("score")) / F.lit(
+            float(max_score)
+        )
+        return (
+            F.lit(min(cmin, cmax))
+            + F.floor(F.lit(scale) * rel).cast("int")
+        )
+
+    bgcolor = F.concat(
+        F.lit("#"),
+        _hex2(color_val(ch(min_bg, 1), ch(max_bg, 1))),
+        _hex2(color_val(ch(min_bg, 3), ch(max_bg, 3))),
+        _hex2(color_val(ch(min_bg, 5), ch(max_bg, 5))),
+    )
+    rx_find = f"(?i)\\b{re.escape(term)}\\b"
+    rx_prefix = f"(?is)^(.*?)\\b{re.escape(term)}\\b"
+    matched = (
+        docs.join(scored, "doc_id")
+        .where(F.col(text_col).rlike(rx_find))
+        .withColumn("bgcolor", bgcolor)
+        .withColumn(
+            "_pos",
+            F.length(F.regexp_extract(F.col(text_col), rx_prefix, 1))
+            + F.lit(1),
+        )
+    )
+    start = F.greatest(
+        F.lit(1), F.col("_pos") - F.lit(fragment_size // 2)
+    )
+    frag = F.substring(F.col(text_col), start, fragment_size)
+    wrapped = F.regexp_replace(
+        frag,
+        rx_find,
+        F.concat(
+            F.lit('<font bgcolor="'),
+            F.col("bgcolor"),
+            F.lit(f'">{term}</font>'),
+        ),
+    )
+    return matched.select("doc_id", "bgcolor", wrapped.alias("snippet"))
