@@ -4407,6 +4407,24 @@ def q_block_join(spark, sf_dir):
 
 # ---------------- dedup / text analytics ----------------
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Exact dedup with keep-best-copy survivor selection: the doubled
+    corpus's second copy carries quality n_chars+1, so every duplicate
+    group's survivor is the HIGHER-quality copy (max_by fused into the
+    one groupBy — no survivor join-back)."""
+    from lucene_solr_spark.datapipe.dedup import exact_dedup_keep_best
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    doubled = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+    )
+    return exact_dedup_keep_best(doubled, "n_chars").orderBy("text_hash")
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = d.unionByName(
@@ -4939,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_payload_check": q_span_near_payload_check,
         "facet_multiselect": q_facet_multiselect,
         "highlight_gradient": q_highlight_gradient,
+        "dedup_keep_best": q_dedup_keep_best,
         "block_join_child": q_block_join_child,
         "highlight_alternate": q_highlight_alternate,
         "spellcheck_popular": q_spellcheck_popular,
@@ -5174,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
         "span_near_payload_check",
@@ -5501,6 +5521,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near_payload_check": O.span_near_payload_check("scan", "merge", 4, [2.0, 4.0]),
         "facet_multiselect": O.facet_field("scan", "lang"),
         "highlight_gradient": O.highlight_gradient("scan"),
+        "dedup_keep_best": O.dedup_keep_best(),
         "mlt_interesting": O.mlt_interesting_terms(1),
         "cjk_bigram_freq": O.cjk_bigram_freq(30),
         "luke_stats": O.luke_index_stats(),

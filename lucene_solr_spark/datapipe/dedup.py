@@ -531,3 +531,35 @@ def simhash_near_pairs(
             F.col("ha").bitwiseXOR(F.col("hb"))
         ).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy of each duplicate group
+    instead of the lowest id — the survivor is the row with the
+    highest ``quality_col`` (ties broken by lowest id for
+    determinism). Real pretraining dedup keeps the best-scored copy
+    (longest, cleanest, highest quality signal), not the first seen.
+
+    One shuffle: max_by over the (hash) groupBy — the same plan shape
+    as exact_duplicate_groups, survivor selection fused into the agg
+    (no second join back)."""
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(id_col),
+            F.col(quality_col).alias("_q"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col("_q"), -F.col(id_col)),
+            ).alias("keep_doc_id"),
+        )
+    )

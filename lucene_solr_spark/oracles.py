@@ -1372,6 +1372,28 @@ FROM u GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
 """.strip()
 
 
+def dedup_keep_best(table: str = "documents") -> str:
+    """exact_dedup_keep_best twin over the doubled corpus where the
+    second copy carries quality+1: survivor = highest quality, ties by
+    lowest id."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, text, n_chars AS q FROM {table}
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, n_chars + 1 AS q FROM {table}
+),
+r AS (
+  SELECT md5(text) AS text_hash, doc_id, q,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY q DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY md5(text)) AS n_dups
+  FROM u
+)
+SELECT text_hash, n_dups, doc_id AS keep_doc_id
+FROM r WHERE rk = 1 ORDER BY text_hash
+""".strip()
+
+
 def _shingle_ctes(table: str = "documents", n: int = 3) -> str:
     """Post-stop consecutive token 3-gram shingles (distinct per doc)."""
     return f"""

@@ -179,3 +179,22 @@ def test_simhash_carry_across_tiny_arrow_batches(spark, texts_df):
         else:
             spark.conf.set(key, old)
     assert got == want and len(want) > 0
+
+
+def test_exact_dedup_keep_best_survivor(spark):
+    from lucene_solr_spark.datapipe.dedup import exact_dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same text", 5),
+            (1, "same text", 9),   # best quality -> survivor
+            (2, "same text", 9),   # tie -> lower id wins among best
+            (3, "unique", 1),
+        ],
+        "doc_id long, text string, quality long",
+    )
+    got = {
+        r["text_hash"]: (r["n_dups"], r["keep_doc_id"])
+        for r in exact_dedup_keep_best(docs, "quality").collect()
+    }
+    assert sorted(got.values()) == [(1, 3), (3, 1)]
