@@ -1091,6 +1091,87 @@ def q_minimal_stem_freq(spark, sf_dir):
     )
 
 
+def q_elision_freq(spark, sf_dir):
+    """ElisionFilter with the FrenchAnalyzer default articles
+    (lucene/analysis/common/.../util/ElisionFilter.java:52-74,
+    fr/FrenchAnalyzer.java:102-104): the corpus has no apostrophes, so
+    the gate deterministically prepends ``l'<w1> qu'<w2>`` to each doc
+    before analysis; top-20 post-elision post-stop terms."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(elision=True)
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9_]+"), 0
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("l'"),
+            F.coalesce(F.element_at(words, 1), F.lit("")),
+            F.lit(" qu'"),
+            F.coalesce(F.element_at(words, 2), F.lit("")),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_type_token_freq(spark, sf_dir):
+    """TypeTokenFilter whitelist (lucene/analysis/common/.../core/
+    TypeTokenFilter.java:30-55, useWhiteList=true, types={<NUM>}; type
+    constants StandardTokenizer.java:60-97): the corpus has no digits,
+    so the gate appends ``doc_id % 10`` (and ``3.5`` on every third
+    doc); keep only <NUM>-typed tokens, top-20."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(keep_types=frozenset({"<NUM>"}))
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            (F.col("doc_id") % 10).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" 3.5")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -4900,6 +4981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 5 ---
+        "elision_freq": q_elision_freq,
+        "type_token_freq": q_type_token_freq,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5193,6 +5276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 via tools/gate_check.py).
     never_checked = [
         # added this session — newest first
+        "elision_freq",
+        "type_token_freq",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5337,6 +5422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "elision_freq": O.elision_freq(),
+        "type_token_freq": O.type_token_freq(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

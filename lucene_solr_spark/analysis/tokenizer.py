@@ -508,6 +508,43 @@ def english_minimal_stem(s: str) -> str:
     return s[:-1]
 
 
+# FrenchAnalyzer.DEFAULT_ARTICLES (lucene/analysis/common/.../fr/
+# FrenchAnalyzer.java:102-104) — the elidable articles, matched
+# case-insensitively (CharArraySet ignoreCase=true).
+FRENCH_ARTICLES: frozenset[str] = frozenset(
+    {"l", "m", "t", "qu", "n", "s", "j"}
+)
+
+
+def elide_token(s: str, articles: frozenset[str]) -> str:
+    """ElisionFilter (lucene/analysis/common/.../util/ElisionFilter.java:
+    52-74): find the FIRST apostrophe (ASCII ``'`` or U+2019); if the
+    prefix before it is in the article set (case-insensitive), strip
+    prefix + apostrophe.  Tokens without an apostrophe, or with a
+    non-article prefix, pass through unchanged.  Arity/position
+    preserving (not a FilteringTokenFilter)."""
+    idx = -1
+    for i, ch in enumerate(s):
+        if ch == "'" or ch == "’":
+            idx = i
+            break
+    if idx >= 0 and s[:idx].lower() in articles:
+        return s[idx + 1:]
+    return s
+
+
+_NUM_TOKEN_RE = re.compile(r"[0-9]+(?:[.'][0-9]+)*\Z")
+
+
+def token_type(s: str) -> str:
+    """StandardTokenizer type attribute (lucene/analysis/common/.../
+    standard/StandardTokenizer.java:60-97): ``<NUM>`` for all-digit
+    tokens (digits optionally joined by ``.``/``'`` per the grammar's
+    numeric rule), ``<ALPHANUM>`` otherwise — the two types the ASCII
+    grammar can produce (the CJK/Thai types need their scripts)."""
+    return "<NUM>" if _NUM_TOKEN_RE.match(s) else "<ALPHANUM>"
+
+
 def english_possessive(s: str) -> str:
     """EnglishPossessiveFilter.java:55-62: strip a trailing 's (also
     the Unicode apostrophes the 3.6+ path handles)."""
@@ -698,6 +735,10 @@ def make_analyzer(
     remove_duplicates: bool = False,
     limit_tokens: int | None = None,
     hyphenated_words: bool = False,
+    elision: frozenset[str] | bool | None = None,
+    stop_types: frozenset[str] | None = None,
+    keep_types: frozenset[str] | None = None,
+    position_increment: int | None = None,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -898,6 +939,25 @@ def make_analyzer(
                 compound, only_longest_match=compound_longest
             )
 
+    elision_set: frozenset[str] | None
+    if elision is True:
+        elision_set = FRENCH_ARTICLES
+    elif elision:
+        elision_set = frozenset(a.lower() for a in elision)
+    else:
+        elision_set = None
+    if stop_types is not None and keep_types is not None:
+        raise ValueError("stop_types and keep_types are mutually exclusive")
+    type_set = keep_types if keep_types is not None else stop_types
+    type_whitelist = keep_types is not None
+    if type_set is not None and (common_grams or cjk_bigram):
+        raise ValueError(
+            "stop_types/keep_types cannot combine with "
+            "common_grams/cjk_bigram chains"
+        )
+    if elision_set is not None and common_grams:
+        raise ValueError("elision cannot combine with common_grams")
+
     def run(text: str) -> tuple[list[str], list[int]]:
         if common_grams == "query":
             # CommonGramsQueryFilter chain (query side of the pair):
@@ -948,6 +1008,19 @@ def make_analyzer(
         terms: list[str] = []
         positions: list[int] = []
         for pos, tok in enumerate(raw):
+            if type_set is not None:
+                # TypeTokenFilter (LA/core/TypeTokenFilter.java:30-55):
+                # a FilteringTokenFilter keyed on the TOKENIZER's type
+                # attribute (assigned before any downstream mutation);
+                # useWhiteList=False drops listed types, True keeps
+                # only them. Dropped slots leave position gaps.
+                in_set = token_type(tok) in type_set
+                if in_set != type_whitelist:
+                    continue
+            if elision_set is not None:
+                # ElisionFilter runs immediately after the tokenizer in
+                # the reference chain (FrenchAnalyzer.java:194-196)
+                tok = elide_token(tok, elision_set)
             if trim:
                 # TrimFilter (LA/miscellaneous/TrimFilter.java): strip
                 # leading/trailing whitespace in place; a token trimmed
@@ -1038,4 +1111,20 @@ def make_analyzer(
                 out_p.append(s)
         return out_t, out_p
 
-    return run
+    if position_increment is None:
+        return run
+
+    def run_posfilter(text: str) -> tuple[list[str], list[int]]:
+        # PositionFilter (lucene/analysis/common/.../position/
+        # PositionFilter.java:58-76): the first token keeps its
+        # original increment; every later token's increment is forced
+        # to ``positionIncrement`` (default 0) — the query-side flatten
+        # used with shingles so the parser yields a boolean, not a
+        # cross-position phrase.
+        t, p = run(text)
+        if not t:
+            return t, p
+        base = p[0]
+        return t, [base + i * position_increment for i in range(len(t))]
+
+    return run_posfilter

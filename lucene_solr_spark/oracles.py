@@ -6033,3 +6033,59 @@ out AS (
 )
 SELECT vec_id, centroid_id, is_dup FROM out ORDER BY vec_id
 """.strip()
+
+
+def elision_freq(k: int = 20, table: str = "documents") -> str:
+    """ElisionFilter twin (ElisionFilter.java:52-74 + FrenchAnalyzer
+    DEFAULT_ARTICLES): the gate prepends an elidable ``l'<first-word>``
+    and ``qu'<second-word>`` to each doc (the corpus itself has no
+    apostrophes), tokenizes, strips the article prefix at the first
+    apostrophe, THEN applies the stop filter (reference chain order
+    Elision -> LowerCase -> Stop, FrenchAnalyzer.java:194-196)."""
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         concat('l''', list_extract(regexp_extract_all(lower(text),
+                    '[a-z0-9_]+'), 1), ' ',
+                'qu''', list_extract(regexp_extract_all(lower(text),
+                    '[a-z0-9_]+'), 2), ' ',
+                text) AS text
+  FROM {table}
+),
+raw AS (
+  SELECT unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term
+  FROM src
+),
+elided AS (
+  SELECT regexp_replace(term, '^(l|m|t|qu|n|s|j)''', '') AS term
+  FROM raw WHERE length(term) <= 255
+)
+SELECT term, count(*) AS cnt FROM elided
+WHERE term NOT IN ({STOP_LIST})
+GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
+
+
+def type_token_freq(k: int = 20, table: str = "documents") -> str:
+    """TypeTokenFilter whitelist twin (TypeTokenFilter.java:30-55,
+    useWhiteList=true, types={{<NUM>}}): the gate appends
+    ``<doc_id mod 10>`` and (every third doc) ``3.5`` to each doc's
+    text — the corpus has no digits — and keeps only tokens the
+    StandardTokenizer types as <NUM> (all-digit runs optionally joined
+    by . or ')."""
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         concat(text, ' ', CAST(doc_id % 10 AS VARCHAR),
+                CASE WHEN doc_id % 3 = 0 THEN ' 3.5' ELSE '' END) AS text
+  FROM {table}
+),
+raw AS (
+  SELECT unnest(regexp_extract_all(lower(text), {PATTERN_LIT})) AS term
+  FROM src
+)
+SELECT term, count(*) AS cnt FROM raw
+WHERE length(term) <= 255
+  AND regexp_full_match(term, '[0-9]+([.''][0-9]+)*')
+GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
