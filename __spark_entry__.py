@@ -1172,6 +1172,39 @@ def q_type_token_freq(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (datapipe/lm.py; Wenzek
+    et al. 2020): add-alpha model trained on the corpus itself, per-doc
+    log-perplexity, top-20 most-perplexing docs — the KenLM filter of a
+    pretraining pipeline as two aggregations + two gram joins."""
+    from lucene_solr_spark.datapipe.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, bi, v, t = train_bigram_lm(d)
+    return (
+        score_perplexity(d, uni, bi, v, t)
+        .orderBy(F.desc("logppl"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (datapipe/lm.py; Xie et
+    al. 2023): target = lang='en' docs, source = full corpus; top-20
+    most-target-like docs by summed bucket log-ratio."""
+    from lucene_solr_spark.datapipe.lm import dsir_importance_weights
+
+    d = _docs(spark, sf_dir)
+    w = dsir_importance_weights(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "en").select("doc_id", "text"),
+    )
+    return w.orderBy(F.desc("logweight"), F.asc("doc_id")).limit(20)
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -4983,6 +5016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "elision_freq": q_elision_freq,
         "type_token_freq": q_type_token_freq,
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5278,6 +5313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added this session — newest first
         "elision_freq",
         "type_token_freq",
+        "lm_perplexity",
+        "dsir_weights",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5424,6 +5461,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "elision_freq": O.elision_freq(),
         "type_token_freq": O.type_token_freq(),
+        "lm_perplexity": O.lm_perplexity(),
+        "dsir_weights": O.dsir_weights(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

@@ -1,0 +1,242 @@
+"""N-gram language-model quality scoring for pretraining pipelines.
+
+Two standard corpus-filtering primitives a 100 TB training-data
+pipeline needs, neither present in the reference engine (they are the
+data-pipeline layer the survey's §6 brief adds on top of the Lucene
+operator set):
+
+  - **Bigram LM perplexity** (CCNet-style, Wenzek et al. 2020): train
+    add-alpha-smoothed unigram/bigram counts on the corpus itself (or a
+    held-out reference slice), score each document by per-token
+    log-perplexity, and drop the most-perplexing tail. The classic
+    KenLM filter re-expressed as two Spark aggregations and one join.
+  - **DSIR importance weights** (Xie et al. 2023): hashed-unigram
+    importance sampling — weight(doc) = sum over tokens of
+    log(p_target(bucket) / p_source(bucket)) over md5 hash buckets,
+    where target is a quality-selected subset and source the full
+    corpus. Selects source documents that "look like" the target
+    distribution.
+
+Spark shape (both): tokenization is a single JVM-side
+``regexp_extract_all`` (no Python in the hot path); counts are
+groupBy aggregations with map-side partial combine; scoring joins the
+token stream against the model on the n-gram key. The model tables are
+DataFrames — at 10^12-turn scale they stay distributed (shuffle join
+on the gram key, skew-safe because gram frequency caps at corpus
+frequency); at small scale AQE broadcasts them automatically. Scoring
+is one explode + one join + one groupBy — no driver collection at any
+size.
+
+Determinism: smoothing arithmetic is fixed-literal double math, the
+same operator order the DuckDB oracle twin uses; md5 bucketing is the
+repo-standard replayable hash (never ``rand()``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+TOKEN_SQL_PATTERN = "[a-z0-9_]+"
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, term) token stream, pure Catalyst."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}', 0)"
+    )
+    return df.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Count model: returns (unigrams, bigrams, vocab_size, total_tokens).
+
+    unigrams: (term, c1); bigrams: (w1, w2, c2). Two aggregations over
+    one token pass; the bigram frame derives from the same scan via a
+    self-join-free array shift (transform over sequence), so the text
+    is read once per aggregate with full map-side combine.
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}', 0)"
+    )
+    base = df.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                # sequence(a, b) counts DOWN when b < a, so guard
+                # 0/1-token docs explicitly
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    stats = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c1").alias("t")
+    ).collect()[0]
+    return uni, bi, int(stats["v"]), int(stats["t"])
+
+
+def score_perplexity(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    total_tokens: int,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram log-perplexity under the add-alpha model.
+
+    p(w_1) = (c1(w_1) + a) / (T + a*V);
+    p(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + a) / (c1(w_{i-1}) + a*V).
+    logppl(doc) = -(sum log p) / N.  Unseen grams fall back to the
+    smoothing mass via left joins (coalesce to 0 counts).
+
+    Returns (doc_id, n_tokens, logppl). One explode, two joins on the
+    gram keys, one groupBy — all shuffle keys are corpus-bounded.
+    """
+    a = float(alpha)
+    av = a * vocab_size
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}', 0)"
+    )
+    base = df.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+    first = (
+        # get() not [0]: ANSI mode may evaluate the projection before
+        # the size()>0 filter in the collapsed plan
+        base.select("doc_id", F.get(F.col("toks"), 0).alias("term"))
+        .join(uni, "term", "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a))
+                / F.lit(float(total_tokens) + av)
+            ).alias("lp"),
+        )
+    )
+    # bigrams from the SAME array via an index shift — no positional
+    # self-join; the only shuffles left are the two model joins and the
+    # final per-doc aggregate
+    rest = (
+        base.select(
+            "doc_id",
+            F.explode(
+                # sequence(a, b) counts DOWN when b < a, so guard
+                # 0/1-token docs explicitly
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .join(bi, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("term").alias("w1"), "c1"), "w1", "left"
+        )
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(a))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(av))
+            ).alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp") / F.count(F.lit(1))).alias("logppl"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR hashed-unigram importance weight per source document:
+    w(doc) = sum_tokens log(p_target(b) / p_source(b)), b =
+    md5-bucket(term) mod num_buckets. Both distributions are
+    add-alpha smoothed over the bucket space so unseen buckets stay
+    finite. Returns (doc_id, n_tokens, logweight).
+
+    The bucket tables are num_buckets rows — broadcast-sized at any
+    corpus scale (the whole point of the hashing trick: model size is
+    fixed while the corpus grows), so the scoring join is a broadcast
+    hash join with zero shuffle on the big side beyond the final
+    per-doc groupBy.
+    """
+    a = float(alpha)
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+            % num_buckets
+        ).alias("bucket")
+
+    def dist(df: DataFrame):
+        toks = _tokens(df, text_col)
+        cnt = toks.groupBy(bucket(F.col("term"))).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        total = int(
+            cnt.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+        )
+        return cnt, total
+
+    src_cnt, src_total = dist(source)
+    tgt_cnt, tgt_total = dist(target)
+    av = a * num_buckets
+    ratio = (
+        src_cnt.withColumnRenamed("c", "cs")
+        .join(tgt_cnt.withColumnRenamed("c", "ct"), "bucket", "outer")
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                    / F.lit(tgt_total + av)
+                )
+                / (
+                    (F.coalesce(F.col("cs"), F.lit(0)) + F.lit(a))
+                    / F.lit(src_total + av)
+                )
+            ).alias("lr"),
+        )
+    )
+    toks = _tokens(source, text_col).select(
+        "doc_id", bucket(F.col("term"))
+    )
+    return (
+        toks.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("logweight"),
+        )
+    )

@@ -6089,3 +6089,91 @@ WHERE length(term) <= 255
   AND regexp_full_match(term, '[0-9]+([.''][0-9]+)*')
 GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def lm_perplexity(
+    k: int = 20, alpha: float = 0.5, table: str = "documents"
+) -> str:
+    """Bigram-LM perplexity twin (datapipe/lm.py): add-alpha smoothed
+    unigram/bigram model trained on the same corpus; per-doc
+    logppl = -(sum log p)/N with the identical operator order."""
+    a = repr(float(alpha))
+    return f"""
+WITH src AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+  FROM {table}
+),
+src1 AS (SELECT * FROM src WHERE len(arr) > 0),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM src1),
+uni AS (SELECT term, count(*) AS c1 FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS v, sum(c1) AS t FROM uni),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+  FROM src1, LATERAL unnest(generate_series(1, len(arr) - 1)) AS u(i)
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+firsts AS (
+  SELECT s.doc_id,
+         ln((coalesce(u.c1, 0) + {a})
+            / (st.t + {a} * st.v)) AS lp
+  FROM (SELECT doc_id, arr[1] AS term FROM src1) s
+  CROSS JOIN stats st
+  LEFT JOIN uni u USING (term)
+),
+rests AS (
+  SELECT b.doc_id,
+         ln((coalesce(bb.c2, 0) + {a})
+            / (coalesce(u.c1, 0) + {a} * st.v)) AS lp
+  FROM bg b
+  CROSS JOIN stats st
+  LEFT JOIN bi bb ON bb.w1 = b.w1 AND bb.w2 = b.w2
+  LEFT JOIN uni u ON u.term = b.w1
+)
+SELECT doc_id, count(*) AS n_tokens,
+       -sum(lp) / count(*) AS logppl
+FROM (SELECT * FROM firsts UNION ALL SELECT * FROM rests)
+GROUP BY 1 ORDER BY logppl DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def dsir_weights(
+    k: int = 20,
+    num_buckets: int = 4096,
+    alpha: float = 0.5,
+    target_lang: str = "en",
+    table: str = "documents",
+) -> str:
+    """DSIR hashed-unigram importance-weight twin (datapipe/lm.py):
+    target = ``lang = '{target_lang}'`` docs, source = full corpus;
+    w(doc) = sum log((ct+a)/(Tt+a*B) / ((cs+a)/(Ts+a*B))) over
+    md5-mod-{num_buckets} buckets."""
+    a = repr(float(alpha))
+    h = _hash60_sql("term") + f" % {num_buckets}"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM {table}
+),
+bt AS (SELECT doc_id, lang, {h} AS bucket FROM tok),
+srcd AS (SELECT bucket, count(*) AS cs FROM bt GROUP BY 1),
+tgtd AS (
+  SELECT bucket, count(*) AS ct FROM bt
+  WHERE lang = '{target_lang}' GROUP BY 1
+),
+tots AS (
+  SELECT (SELECT sum(cs) FROM srcd) AS ts,
+         (SELECT coalesce(sum(ct), 0) FROM tgtd) AS tt
+),
+ratio AS (
+  SELECT coalesce(s.bucket, g.bucket) AS bucket,
+         ln(((coalesce(g.ct, 0) + {a}) / (t.tt + {a} * {num_buckets}))
+            / ((coalesce(s.cs, 0) + {a})
+               / (t.ts + {a} * {num_buckets}))) AS lr
+  FROM srcd s FULL OUTER JOIN tgtd g ON s.bucket = g.bucket
+  CROSS JOIN tots t
+)
+SELECT b.doc_id, count(*) AS n_tokens, sum(r.lr) AS logweight
+FROM bt b JOIN ratio r ON r.bucket = b.bucket
+GROUP BY 1 ORDER BY logweight DESC, doc_id ASC LIMIT {k}
+""".strip()
