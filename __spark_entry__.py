@@ -1205,6 +1205,74 @@ def q_dsir_weights(spark, sf_dir):
     return w.orderBy(F.desc("logweight"), F.asc("doc_id")).limit(20)
 
 
+def q_hunspell_freq(spark, sf_dir):
+    """HunspellStemFilter in the analyzer chain (lucene/analysis/
+    common/.../hunspell/HunspellStemFilter.java:75-108, stem discovery
+    HunspellStemmer.java:114-167): dictionary = the corpus's own
+    distinct tokens (every entry flagged A+U — a Hunspell dictionary
+    is a small driver-side artifact by nature, like the real .dic
+    files), rules SFX A 0 s [^s] and PFX U 0 un . with crossProduct N;
+    the gate appends ``<w1>s un<w2>`` to each doc so both rules fire;
+    top-20 stemmed term frequencies."""
+    from lucene_solr_spark.analysis.hunspell import (
+        HunspellDictionary,
+        HunspellStemmer,
+    )
+    from lucene_solr_spark.analysis.tokenizer import (
+        TOKEN_PATTERN,
+        make_analyzer,
+    )
+
+    low = _docs(spark, sf_dir).select(F.lower("text").alias("t"))
+    vocab = (
+        low.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("t"), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("term")
+        )
+        .where(F.length("term") <= 255)
+        .distinct()
+        .collect()
+    )
+    dic_text = "\n".join(r["term"] + "/AU" for r in vocab)
+    aff_text = "SFX A N 1\nSFX A 0 s [^s]\nPFX U N 1\nPFX U 0 un .\n"
+    stemmer = HunspellStemmer(HunspellDictionary(aff_text, dic_text))
+    an = make_analyzer(hunspell=stemmer)
+
+    arr = F.regexp_extract_all(
+        F.col("t"), F.lit("[a-z0-9_]+"), F.lit(0)
+    )
+    docs = low.select(
+        F.concat(
+            F.col("t"),
+            F.lit(" "),
+            F.coalesce(F.element_at(arr, 1), F.lit("")),
+            F.lit("s un"),
+            F.coalesce(F.element_at(arr, 2), F.lit("")),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5018,6 +5086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_token_freq": q_type_token_freq,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
+        "hunspell_freq": q_hunspell_freq,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5315,6 +5384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_token_freq",
         "lm_perplexity",
         "dsir_weights",
+        "hunspell_freq",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5463,6 +5533,7 @@ def oracle_sql() -> dict[str, str]:
         "type_token_freq": O.type_token_freq(),
         "lm_perplexity": O.lm_perplexity(),
         "dsir_weights": O.dsir_weights(),
+        "hunspell_freq": O.hunspell_freq(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

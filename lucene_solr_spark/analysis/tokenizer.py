@@ -739,6 +739,8 @@ def make_analyzer(
     stop_types: frozenset[str] | None = None,
     keep_types: frozenset[str] | None = None,
     position_increment: int | None = None,
+    hunspell=None,
+    hunspell_dedup: bool = True,
 ):
     """Configurable chain factory — the Analyzer extension slot
     (lucene/core/.../analysis/Analyzer.java; Solr fieldType analyzer
@@ -938,6 +940,24 @@ def make_analyzer(
             comp_fn = make_compound_filter(
                 compound, only_longest_match=compound_longest
             )
+
+    if hunspell is not None:
+        # HunspellStemFilter slot (LA/hunspell/HunspellStemFilter.java):
+        # multi-stem emission shares the phonetic/compound injector
+        # slot (all three can change arity), mutually exclusive with
+        # them and the gram/shape filters
+        if phonetic or compound is not None or hyphenator is not None \
+                or ngram or edge_ngram or shingle or cjk_bigram \
+                or word_delimiter or common_grams:
+            raise ValueError(
+                "hunspell cannot combine with phonetic/compound/"
+                "gram/shape filters"
+            )
+        from .hunspell import HunspellStemmer, make_hunspell_filter
+
+        if not isinstance(hunspell, HunspellStemmer):
+            hunspell = HunspellStemmer(hunspell)
+        comp_fn = make_hunspell_filter(hunspell, dedup=hunspell_dedup)
 
     elision_set: frozenset[str] | None
     if elision is True:

@@ -6177,3 +6177,61 @@ SELECT b.doc_id, count(*) AS n_tokens, sum(r.lr) AS logweight
 FROM bt b JOIN ratio r ON r.bucket = b.bucket
 GROUP BY 1 ORDER BY logweight DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def hunspell_freq(k: int = 20, table: str = "documents") -> str:
+    """HunspellStemFilter twin (HunspellStemmer.java:114-167,
+    HunspellStemFilter.java:75-108). Gate setup: dictionary = the
+    corpus's own distinct raw tokens, every entry flagged A+U; rules
+    (crossProduct N, so no recursion):
+      SFX A 0 s [^s]   — strip trailing s when the stem doesn't end s
+      PFX U 0 un .     — strip leading un
+    The gate appends ``<w1>s`` and ``un<w2>`` to each doc so the rules
+    actually fire.  Emissions per surviving token: itself if in the
+    dictionary, each affix-derived stem whose base is in the
+    dictionary, or the token unchanged when no emission fired."""
+    return f"""
+WITH low AS (SELECT lower(text) AS t FROM {table}),
+arrs AS (
+  SELECT t, regexp_extract_all(t, '[a-z0-9_]+') AS arr FROM low
+),
+dic AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(regexp_extract_all(t, {PATTERN_LIT})) AS term FROM low
+  ) WHERE length(term) <= 255
+),
+derived AS (
+  SELECT concat(t, ' ', coalesce(arr[1], ''), 's un',
+                coalesce(arr[2], '')) AS text
+  FROM arrs
+),
+tok AS (
+  SELECT term FROM (
+    SELECT unnest(regexp_extract_all(text, {PATTERN_LIT})) AS term
+    FROM derived
+  ) WHERE length(term) <= 255 AND term NOT IN ({STOP_LIST})
+),
+flagged AS (
+  SELECT term,
+         (term IN (SELECT term FROM dic)) AS in_dic,
+         (term LIKE '%s' AND length(term) > 1
+          AND substr(term, length(term) - 1, 1) <> 's'
+          AND substr(term, 1, length(term) - 1)
+              IN (SELECT term FROM dic)) AS sfx_ok,
+         (term LIKE 'un%' AND length(term) >= 3
+          AND substr(term, 3) IN (SELECT term FROM dic)) AS pfx_ok
+  FROM tok
+),
+emit AS (
+  SELECT term AS out FROM flagged WHERE in_dic
+  UNION ALL
+  SELECT substr(term, 1, length(term) - 1) FROM flagged WHERE sfx_ok
+  UNION ALL
+  SELECT substr(term, 3) FROM flagged WHERE pfx_ok
+  UNION ALL
+  SELECT term FROM flagged
+  WHERE NOT in_dic AND NOT sfx_ok AND NOT pfx_ok
+)
+SELECT out AS term, count(*) AS cnt FROM emit
+GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()
