@@ -1273,6 +1273,30 @@ def q_hunspell_freq(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (datapipe/dedup.py::
+    boilerplate_line_dedup — the CCNet/RefinedWeb shared-line filter):
+    each doc gets 3 lines (its text / a footer shared by ALL docs / a
+    unique line); the footer's line-df >= 3 drops it everywhere, the
+    other lines survive, text reassembled in order."""
+    from lucene_solr_spark.datapipe.dedup import boilerplate_line_dedup
+
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9_]+"), F.lit(0)
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to the newsletter\n"),
+            F.element_at(words, 1),
+            F.lit(" unique "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return boilerplate_line_dedup(d, min_docs=3).orderBy("doc_id")
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5087,6 +5111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
         "hunspell_freq": q_hunspell_freq,
+        "line_dedup": q_line_dedup,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5385,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity",
         "dsir_weights",
         "hunspell_freq",
+        "line_dedup",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5534,6 +5560,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": O.lm_perplexity(),
         "dsir_weights": O.dsir_weights(),
         "hunspell_freq": O.hunspell_freq(),
+        "line_dedup": O.line_dedup(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

@@ -138,6 +138,14 @@ HEADLINE = [
     "facet_multiselect",
     "span_near_wrapper",
     "index_merge",
+    # round-5c additions: LM quality filters, hunspell, new analyzer
+    # slots
+    "lm_perplexity",
+    "dsir_weights",
+    "hunspell_freq",
+    "elision_freq",
+    "type_token_freq",
+    "line_dedup",
 ]
 
 

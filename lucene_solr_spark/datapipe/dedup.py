@@ -563,3 +563,66 @@ def exact_dedup_keep_best(
             ).alias("keep_doc_id"),
         )
     )
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level exact dedup — the CCNet/RefinedWeb boilerplate
+    remover: a line whose EXACT text appears in >= ``min_docs``
+    distinct documents (cookie banners, navigation, footers) is
+    dropped from every document; all other lines are kept in order and
+    the document text reassembled.
+
+    Not a reference-engine operator (the pretraining-pipeline layer):
+    at 10^12-turn scale the repeated-line table is the interesting
+    part — line df is computed with one groupBy (map-side combine
+    collapses the boilerplate keys early, which is exactly the skewed
+    case: the most frequent line appears everywhere), then a shuffle
+    join of lines against the SMALL over-threshold set; Catalyst
+    broadcasts it when it fits, which for real boilerplate (a tiny
+    fraction of distinct lines) it does.
+
+    Returns (doc_id, text) with the cleaned text ('' when every line
+    was boilerplate).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "pos", "line"
+        ),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .where(F.col("line_df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    return (
+        lines.select(id_col)
+        .distinct()
+        .join(
+            kept.groupBy(id_col).agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    sep,
+                ).alias(text_col)
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )

@@ -6235,3 +6235,44 @@ emit AS (
 SELECT out AS term, count(*) AS cnt FROM emit
 GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def line_dedup(
+    min_docs: int = 3, table: str = "documents"
+) -> str:
+    """boilerplate_line_dedup twin: the gate builds 3-line docs
+    (full text / a shared footer / a per-doc unique line); lines in
+    >= min_docs distinct docs are dropped, text reassembled in order."""
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         concat(text, chr(10), 'subscribe to the newsletter', chr(10),
+                list_extract(regexp_extract_all(lower(text),
+                    '[a-z0-9_]+'), 1),
+                ' unique ', CAST(doc_id AS VARCHAR)) AS text
+  FROM {table}
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM src
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS ldf FROM lines GROUP BY 1
+  ) WHERE ldf >= {min_docs}
+),
+kept AS (
+  SELECT * FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text
+FROM (SELECT DISTINCT doc_id FROM lines) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""".strip()

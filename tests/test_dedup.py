@@ -198,3 +198,44 @@ def test_exact_dedup_keep_best_survivor(spark):
         for r in exact_dedup_keep_best(docs, "quality").collect()
     }
     assert sorted(got.values()) == [(1, 3), (3, 1)]
+
+
+def test_boilerplate_line_dedup(spark):
+    from lucene_solr_spark.datapipe.dedup import boilerplate_line_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha one\nFOOTER\nbeta"),
+            (2, "gamma two\nFOOTER\ndelta"),
+            (3, "epsilon\nFOOTER"),
+            (4, "FOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_line_dedup(d, min_docs=3).collect()
+    }
+    # FOOTER appears in 4 >= 3 docs -> removed everywhere; unique
+    # lines keep their original order; all-boilerplate doc -> ''
+    assert out == {
+        1: "alpha one\nbeta",
+        2: "gamma two\ndelta",
+        3: "epsilon",
+        4: "",
+    }
+
+
+def test_boilerplate_line_dedup_threshold(spark):
+    from lucene_solr_spark.datapipe.dedup import boilerplate_line_dedup
+
+    d = spark.createDataFrame(
+        [(1, "x\nshared"), (2, "y\nshared")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_line_dedup(d, min_docs=3).collect()
+    }
+    # only 2 docs share the line -> below threshold, kept
+    assert out == {1: "x\nshared", 2: "y\nshared"}
