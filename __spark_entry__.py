@@ -1297,6 +1297,27 @@ def q_line_dedup(spark, sf_dir):
     return boilerplate_line_dedup(d, min_docs=3).orderBy("doc_id")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring span dedup (datapipe/dedup.py::
+    duplicate_span_removal, the ExactSubstr policy of Lee et al.
+    2022): a 10-token slogan planted on even doc_ids is fully covered
+    by duplicated 8-shingles and removed; cross-boundary shingles are
+    unique so the docs' own tokens survive."""
+    from lucene_solr_spark.datapipe.dedup import duplicate_span_removal
+
+    slogan = "zeta eta theta iota kappa lambda mu nu xi omicron"
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" " + slogan)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_span_removal(d, k=8).orderBy("doc_id")
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5112,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "hunspell_freq": q_hunspell_freq,
         "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5411,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights",
         "hunspell_freq",
         "line_dedup",
+        "span_dedup",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5561,6 +5584,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": O.dsir_weights(),
         "hunspell_freq": O.hunspell_freq(),
         "line_dedup": O.line_dedup(),
+        "span_dedup": O.span_dedup(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

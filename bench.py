@@ -146,6 +146,7 @@ HEADLINE = [
     "elision_freq",
     "type_token_freq",
     "line_dedup",
+    "span_dedup",
 ]
 
 

@@ -626,3 +626,83 @@ def boilerplate_line_dedup(
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         )
     )
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span dedup (the ExactSubstr policy of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any token covered by a ``k``-token shingle whose exact
+    text occurs more than once in the corpus (in another document OR
+    elsewhere in the same one) is removed; survivors are reassembled
+    in order.  Returns (doc_id, text) — '' when everything was
+    duplicated.
+
+    Not a reference-engine operator (pretraining-pipeline layer).
+    Spark shape instead of the paper's suffix array: one shingle
+    projection (arrays, no explode-per-token), a count>1 groupBy, and
+    a coverage explode that is k-times the DUPLICATED occurrences only
+    — the blowup is proportional to the dup mass being removed, never
+    the corpus. All joins key on (doc, pos) or the shingle string;
+    the duplicated-shingle set is the small side and broadcasts.
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    )
+    base = df.select(F.col(id_col), toks.alias("arr"))
+    sh = base.where(F.size("arr") >= k).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(arr) - {k}), "
+                f"i -> struct(i AS start, "
+                f"array_join(slice(arr, i + 1, {k}), ' ') AS sh))"
+            )
+        ).alias("s"),
+    ).select(id_col, "s.start", "s.sh")
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("sh")
+    )
+    cov = (
+        sh.join(dup, "sh")
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(start, start + {k - 1})")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("arr").alias("pos", "term")
+    )
+    kept = tok_rows.join(cov, [id_col, "pos"], "left_anti")
+    return (
+        base.select(id_col)
+        .join(
+            kept.groupBy(id_col).agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "term"))
+                        ),
+                        lambda x: x["term"],
+                    ),
+                    " ",
+                ).alias(text_col)
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )

@@ -6276,3 +6276,58 @@ FROM (SELECT DISTINCT doc_id FROM lines) d
 LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id
 """.strip()
+
+
+def span_dedup(k: int = 8, table: str = "documents") -> str:
+    """duplicate_span_removal twin (ExactSubstr, Lee et al. 2022):
+    the gate plants a 10-token slogan on even doc_ids; every token
+    covered by a k-shingle occurring >1 time in the corpus is removed
+    and the survivors space-joined in order."""
+    slogan = "zeta eta theta iota kappa lambda mu nu xi omicron"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN concat(text, ' ', '{slogan}') ELSE text END AS text
+  FROM {table}
+),
+src AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+  FROM planted
+),
+sh AS (
+  SELECT doc_id, i - 1 AS start,
+         array_to_string(list_slice(arr, i, i + {k} - 1), ' ') AS s
+  FROM src, LATERAL unnest(generate_series(1, len(arr) - {k} + 1))
+       AS u(i)
+  WHERE len(arr) >= {k}
+),
+dup AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT sh.doc_id,
+           unnest(generate_series(sh.start, sh.start + {k} - 1)) AS p
+    FROM sh JOIN dup USING (s)
+  )
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM src
+),
+kept AS (
+  SELECT t.doc_id, t.term, t.pos FROM tok t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY 1
+)
+SELECT s.doc_id, coalesce(a.text, '') AS text
+FROM src s LEFT JOIN agg a USING (doc_id)
+ORDER BY s.doc_id
+""".strip()

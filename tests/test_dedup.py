@@ -239,3 +239,59 @@ def test_boilerplate_line_dedup_threshold(spark):
     }
     # only 2 docs share the line -> below threshold, kept
     assert out == {1: "x\nshared", 2: "y\nshared"}
+
+
+def test_duplicate_span_removal(spark):
+    from lucene_solr_spark.datapipe.dedup import duplicate_span_removal
+
+    # docs 1 and 2 share an exact 4-token run; doc 3 is clean
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta p q r s gamma"),
+            (2, "delta p q r s epsilon zeta"),
+            (3, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_removal(d, k=4).collect()
+    }
+    # the duplicated shingle "p q r s" covers exactly those 4 tokens
+    # in both docs; boundary shingles are unique so neighbors survive
+    assert out == {
+        1: "alpha beta gamma",
+        2: "delta epsilon zeta",
+        3: "one two three four five",
+    }
+
+
+def test_duplicate_span_removal_within_doc(spark):
+    from lucene_solr_spark.datapipe.dedup import duplicate_span_removal
+
+    # the SAME doc repeats a 3-run: both occurrences removed (count>1
+    # includes within-doc repeats, Lee et al.'s self-repetition case)
+    d = spark.createDataFrame(
+        [(1, "x y z junk x y z"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_removal(d, k=3).collect()
+    }
+    assert out[1] == "junk"
+
+
+def test_duplicate_span_removal_short_docs_untouched(spark):
+    from lucene_solr_spark.datapipe.dedup import duplicate_span_removal
+
+    # docs shorter than k produce no shingles and pass through whole
+    d = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in duplicate_span_removal(d, k=8).collect()
+    }
+    assert out == {1: "tiny doc", 2: "tiny doc"}
