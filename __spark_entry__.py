@@ -1318,6 +1318,59 @@ def q_span_dedup(spark, sf_dir):
     return duplicate_span_removal(d, k=8).orderBy("doc_id")
 
 
+def q_wikipedia_freq(spark, sf_dir):
+    """WikipediaTokenizer (lucene/analysis/common/.../wikipedia/
+    WikipediaTokenizerImpl.jflex state grammar; behavior pinned to
+    WikipediaTokenizerTest vectors in tests/test_wikipedia.py): the
+    corpus is plain text, so the gate synthesizes markup from the
+    doc's own columns (heading=source, internal link=w1, bold=w2,
+    external link URL+label, category=lang) and counts (type, term)
+    over the REAL tokenizer's typed output; top-20."""
+    from lucene_solr_spark.analysis.wikipedia import wikipedia_tokenize
+
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("== "), F.lower("source"), F.lit(" ==\n[["),
+            F.coalesce(F.element_at(words, 1), F.lit("")),
+            F.lit("]] '''"),
+            F.coalesce(F.element_at(words, 2), F.lit("")),
+            F.lit("''' [http://example.com/"), F.lower("source"),
+            F.lit(" "),
+            F.coalesce(F.element_at(words, 3), F.lit("")),
+            F.lit("] [[Category:"), F.lower("lang"), F.lit("]] "),
+            F.lower("text"),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            types: list[str] = []
+            terms: list[str] = []
+            for t in pdf["text"]:
+                for tok in wikipedia_tokenize(t or ""):
+                    types.append(tok.type)
+                    terms.append(tok.term)
+            yield pd.DataFrame(
+                {
+                    "type": pd.Series(types, dtype="object"),
+                    "term": pd.Series(terms, dtype="object"),
+                }
+            )
+
+    return (
+        docs.mapInPandas(run, "type string, term string")
+        .groupBy("type", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("type"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5134,6 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hunspell_freq": q_hunspell_freq,
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
+        "wikipedia_freq": q_wikipedia_freq,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5434,6 +5488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hunspell_freq",
         "line_dedup",
         "span_dedup",
+        "wikipedia_freq",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5585,6 +5640,7 @@ def oracle_sql() -> dict[str, str]:
         "hunspell_freq": O.hunspell_freq(),
         "line_dedup": O.line_dedup(),
         "span_dedup": O.span_dedup(),
+        "wikipedia_freq": O.wikipedia_freq(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

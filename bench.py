@@ -147,6 +147,7 @@ HEADLINE = [
     "type_token_freq",
     "line_dedup",
     "span_dedup",
+    "wikipedia_freq",
 ]
 
 

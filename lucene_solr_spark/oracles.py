@@ -6331,3 +6331,40 @@ SELECT s.doc_id, coalesce(a.text, '') AS text
 FROM src s LEFT JOIN agg a USING (doc_id)
 ORDER BY s.doc_id
 """.strip()
+
+
+def wikipedia_freq(k: int = 20, table: str = "documents") -> str:
+    """WikipediaTokenizer twin: the gate wraps each doc in synthesized
+    markup — ``== <source> == [[<w1>]] '''<w2>'''
+    [http://example.com/<source> <w3>] [[Category:<lang>]] <text>`` —
+    so the twin can enumerate the typed emissions directly from the
+    columns: heading=source(h), link=w1(il), bold=w2(b), URL(elu),
+    label=w3(el), category=lang(c), plus the body tokens (ALPHANUM)."""
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, lang, source, lower(text) AS t,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM {table}
+),
+emit AS (
+  SELECT 'h' AS type, lower(source) AS term FROM arrs
+  UNION ALL
+  SELECT 'il', list_extract(arr, 1) FROM arrs
+  WHERE list_extract(arr, 1) IS NOT NULL
+  UNION ALL
+  SELECT 'b', list_extract(arr, 2) FROM arrs
+  WHERE list_extract(arr, 2) IS NOT NULL
+  UNION ALL
+  SELECT 'elu', concat('http://example.com/', lower(source))
+  FROM arrs
+  UNION ALL
+  SELECT 'el', list_extract(arr, 3) FROM arrs
+  WHERE list_extract(arr, 3) IS NOT NULL
+  UNION ALL
+  SELECT 'c', lower(lang) FROM arrs
+  UNION ALL
+  SELECT '<ALPHANUM>', unnest(arr) FROM arrs
+)
+SELECT type, term, count(*) AS cnt FROM emit
+GROUP BY 1, 2 ORDER BY cnt DESC, type ASC, term ASC LIMIT {k}
+""".strip()
