@@ -1371,6 +1371,65 @@ def q_wikipedia_freq(spark, sf_dir):
     )
 
 
+def q_url_email_freq(spark, sf_dir):
+    """UAX29URLEmailTokenizer (lucene/analysis/common/.../standard/
+    UAX29URLEmailTokenizer.java:40-85; subset grammar pinned in
+    tests/test_urlemail.py): the corpus has no URLs/emails, so the
+    gate appends ``<w1>@example.com https://example.org/<w2>``;
+    (type, term) counts over the typed output, top-20."""
+    from lucene_solr_spark.analysis.tokenizer import (
+        tokenize_url_email_typed,
+    )
+
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lower("text"),
+            F.when(
+                F.element_at(words, 1).isNotNull(),
+                F.concat(
+                    F.lit(" "), F.element_at(words, 1),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.element_at(words, 2).isNotNull(),
+                F.concat(
+                    F.lit(" https://example.org/"),
+                    F.element_at(words, 2),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            types: list[str] = []
+            terms: list[str] = []
+            for t in pdf["text"]:
+                tt, ty = tokenize_url_email_typed(t or "")
+                terms.extend(tt)
+                types.extend(ty)
+            yield pd.DataFrame(
+                {
+                    "type": pd.Series(types, dtype="object"),
+                    "term": pd.Series(terms, dtype="object"),
+                }
+            )
+
+    return (
+        docs.mapInPandas(run, "type string, term string")
+        .groupBy("type", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("type"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5188,6 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
         "wikipedia_freq": q_wikipedia_freq,
+        "url_email_freq": q_url_email_freq,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5489,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup",
         "span_dedup",
         "wikipedia_freq",
+        "url_email_freq",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5641,6 +5702,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": O.line_dedup(),
         "span_dedup": O.span_dedup(),
         "wikipedia_freq": O.wikipedia_freq(),
+        "url_email_freq": O.url_email_freq(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

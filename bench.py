@@ -148,6 +148,7 @@ HEADLINE = [
     "line_dedup",
     "span_dedup",
     "wikipedia_freq",
+    "url_email_freq",
 ]
 
 

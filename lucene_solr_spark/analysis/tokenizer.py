@@ -1148,3 +1148,52 @@ def make_analyzer(
         return t, [base + i * position_increment for i in range(len(t))]
 
     return run_posfilter
+
+
+# ---- UAX29URLEmailTokenizer ----------------------------------------
+# (lucene/analysis/common/.../standard/UAX29URLEmailTokenizer.java:
+# 40-85 + UAX29URLEmailTokenizerImpl.jflex): StandardTokenizer rules
+# plus single-token <URL> and <EMAIL> emissions.  This is the
+# practically-used subset of the RFC grammar: scheme://host/path...
+# and www.-prefixed URLs, and local@domain emails; the full jflex
+# grammar additionally covers IP-literal hosts and bare registered
+# domains, which the transcripts corpus never exercises.
+_UE_EMAIL = r"[A-Za-z0-9_]+(?:[.+\-][A-Za-z0-9_]+)*@[A-Za-z0-9]+(?:[.\-][A-Za-z0-9]+)+"
+_UE_URL = (
+    r"(?:(?:https?|ftp)://|www\.)[A-Za-z0-9\-]+(?:\.[A-Za-z0-9\-]+)*"
+    r"(?::[0-9]+)?(?:/[^\s\])>\"']*)?(?:\?[^\s\])>\"']*)?"
+)
+_UE_WORD = r"[A-Za-z0-9_]+(?:[.'][A-Za-z0-9_]+)*"
+_UE_RE = re.compile(
+    f"(?P<email>{_UE_EMAIL})|(?P<url>{_UE_URL})|(?P<word>{_UE_WORD})"
+)
+
+
+def tokenize_url_email_typed(
+    text: str,
+) -> tuple[list[str], list[str]]:
+    """(terms, types): <URL>/<EMAIL> kept whole, everything else via
+    the standard word rule typed <NUM>/<ALPHANUM>.  Case preserved —
+    lowercasing is the downstream LowerCaseFilter's job, exactly as in
+    the reference chain."""
+    terms: list[str] = []
+    types: list[str] = []
+    for m in _UE_RE.finditer(text):
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        terms.append(tok)
+        if m.lastgroup == "email":
+            types.append("<EMAIL>")
+        elif m.lastgroup == "url":
+            types.append("<URL>")
+        else:
+            types.append(token_type(tok))
+    return terms, types
+
+
+def tokenize_url_email(text: str) -> list[str]:
+    return tokenize_url_email_typed(text)[0]
+
+
+_TOKENIZERS["url_email"] = tokenize_url_email

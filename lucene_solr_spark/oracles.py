@@ -6368,3 +6368,31 @@ emit AS (
 SELECT type, term, count(*) AS cnt FROM emit
 GROUP BY 1, 2 ORDER BY cnt DESC, type ASC, term ASC LIMIT {k}
 """.strip()
+
+
+def url_email_freq(k: int = 20, table: str = "documents") -> str:
+    """UAX29URLEmailTokenizer twin: the gate appends
+    ``<w1>@example.com https://example.org/<w2>`` to each doc; URLs and
+    emails emit whole with their types, body tokens are <ALPHANUM>."""
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, lower(text) AS t,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM {table}
+),
+emit AS (
+  SELECT '<EMAIL>' AS type,
+         concat(list_extract(arr, 1), '@example.com') AS term
+  FROM arrs WHERE list_extract(arr, 1) IS NOT NULL
+  UNION ALL
+  SELECT '<URL>',
+         concat('https://example.org/', list_extract(arr, 2))
+  FROM arrs WHERE list_extract(arr, 2) IS NOT NULL
+  UNION ALL
+  SELECT '<ALPHANUM>', unnest(regexp_extract_all(t, {PATTERN_LIT}))
+  FROM arrs
+)
+SELECT type, term, count(*) AS cnt FROM emit
+WHERE length(term) <= 255
+GROUP BY 1, 2 ORDER BY cnt DESC, type ASC, term ASC LIMIT {k}
+""".strip()
