@@ -1430,6 +1430,43 @@ def q_url_email_freq(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule filter set (Rae et al. 2021 §A1.1) as one
+    whole-stage-codegen projection: per-doc rule booleans + verdict
+    (functions/text_analysis.py::with_gopher_rules)."""
+    from lucene_solr_spark.functions.text_analysis import (
+        with_gopher_rules,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        with_gopher_rules(d)
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as one codegen
+    projection; every third doc gets a sentence-punctuated tail so the
+    line/sentence rules discriminate
+    (functions/text_analysis.py::with_c4_filters)."""
+    from lucene_solr_spark.functions.text_analysis import (
+        with_c4_filters,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(". done. yes. ok.")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return with_c4_filters(d).drop("text").orderBy("doc_id")
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5248,6 +5285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "wikipedia_freq": q_wikipedia_freq,
         "url_email_freq": q_url_email_freq,
+        "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
         "bloom_and": q_bloom_and,
@@ -5550,6 +5589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup",
         "wikipedia_freq",
         "url_email_freq",
+        "gopher_rules",
+        "c4_filters",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5703,6 +5744,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": O.span_dedup(),
         "wikipedia_freq": O.wikipedia_freq(),
         "url_email_freq": O.url_email_freq(),
+        "gopher_rules": O.gopher_rules(),
+        "c4_filters": O.c4_filters(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(
             ["scan", "merge"],

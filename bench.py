@@ -149,6 +149,8 @@ HEADLINE = [
     "span_dedup",
     "wikipedia_freq",
     "url_email_freq",
+    "gopher_rules",
+    "c4_filters",
 ]
 
 

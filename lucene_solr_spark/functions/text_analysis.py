@@ -210,3 +210,122 @@ def with_repetition_ratio(
         / F.size(grams).cast("double")
     )
     return df.withColumn("rep_ratio", rep).drop("__toks")
+
+
+def with_gopher_rules(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1 — the document
+    filter set of the Gopher/MassiveText pipeline), each as a boolean
+    column plus the overall verdict.  Pure Catalyst projections — one
+    whole-stage-codegen pass, no shuffle:
+
+      gr_word_count      50 <= #words <= 100,000
+      gr_mean_word_len   3 <= mean word length <= 10
+      gr_hash_ratio      #'#' / #words <= 0.1
+      gr_ellipsis_ratio  #'...' / #lines <= 0.3  (lines = \\n splits)
+      gr_bullet_ratio    <= 90% of lines start with a bullet
+      gr_stop_presence   >= 2 of the 8 Gopher indicator stopwords
+      gr_alpha_ratio     >= 80% of words contain an alphabetic char
+      gopher_pass        all of the above
+    """
+    words = F.expr(
+        f"regexp_extract_all({text_col}, '[^\\\\s]+', 0)"
+    )
+    nw = F.size(words).cast("double")
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.size(lines).cast("double")
+    mean_len = (
+        F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
+        / F.greatest(nw, F.lit(1.0))
+    )
+    n_hash = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    ).cast("double")
+    n_ellipsis = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.', 0)")
+    ).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.rlike("^\\s*([-*•])"),
+        )
+    ).cast("double")
+    # the 8 indicator words (Gopher §A1.1: and, the, to, of + 4 more
+    # common function words; presence of >= 2 in the doc)
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stops = sum(
+        F.when(
+            F.col(text_col).rlike(f"(^|\\s){w}(\\s|$)"), 1
+        ).otherwise(0)
+        for w in stops
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double")
+    checks = {
+        "gr_word_count": (nw >= 50) & (nw <= 100000),
+        "gr_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "gr_hash_ratio": (n_hash / F.greatest(nw, F.lit(1.0))) <= 0.1,
+        "gr_ellipsis_ratio": (
+            n_ellipsis / F.greatest(nl, F.lit(1.0))
+        ) <= 0.3,
+        "gr_bullet_ratio": (
+            n_bullet / F.greatest(nl, F.lit(1.0))
+        ) <= 0.9,
+        "gr_stop_presence": n_stops >= F.lit(2),
+        "gr_alpha_ratio": (
+            n_alpha_words / F.greatest(nw, F.lit(1.0))
+        ) >= 0.8,
+    }
+    out = df
+    verdict = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        verdict = verdict & F.col(name)
+    return out.withColumn("gopher_pass", verdict)
+
+
+def with_c4_filters(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2 — the filters that
+    produced the Colossal Clean Crawled Corpus), as boolean columns +
+    verdict; line-level rules are computed over \\n splits.  Pure
+    Catalyst, no shuffle:
+
+      c4_min_words      >= 5 words
+      c4_no_lorem       no 'lorem ipsum'
+      c4_no_braces      no '{' (code page indicator)
+      c4_no_badlines    >= 50% of lines end with terminal punctuation
+      c4_min_sentences  >= 3 sentences (terminal-punctuation splits)
+    """
+    words = F.expr(
+        f"regexp_extract_all({text_col}, '[^\\\\s]+', 0)"
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("double")
+    n_good_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike("[.!?\"']\\s*$"))
+    ).cast("double")
+    n_sentences = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
+    )
+    checks = {
+        "c4_min_words": F.size(words) >= 5,
+        "c4_no_lorem": ~F.lower(F.col(text_col)).contains(
+            "lorem ipsum"
+        ),
+        "c4_no_braces": ~F.col(text_col).contains("{"),
+        "c4_no_badlines": (
+            n_good_lines / F.greatest(n_lines, F.lit(1.0))
+        ) >= 0.5,
+        "c4_min_sentences": n_sentences >= 3,
+    }
+    out = df
+    verdict = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        verdict = verdict & F.col(name)
+    return out.withColumn("c4_pass", verdict)

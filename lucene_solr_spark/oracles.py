@@ -6396,3 +6396,94 @@ SELECT type, term, count(*) AS cnt FROM emit
 WHERE length(term) <= 255
 GROUP BY 1, 2 ORDER BY cnt DESC, type ASC, term ASC LIMIT {k}
 """.strip()
+
+
+def gopher_rules(table: str = "documents") -> str:
+    """with_gopher_rules twin (Rae et al. 2021 §A1.1): per-doc rule
+    booleans + verdict, identical thresholds and counting."""
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_sum = " + ".join(
+        f"CASE WHEN regexp_matches(text, '(^|\\s){w}(\\s|$)') "
+        "THEN 1 ELSE 0 END"
+        for w in stops
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '[^\\s]+')) AS DOUBLE)
+           AS nw,
+         CAST(len(string_split(text, chr(10))) AS DOUBLE) AS nl,
+         regexp_extract_all(text, '[^\\s]+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM {table}
+),
+feat AS (
+  SELECT doc_id, nw, nl,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           / greatest(nw, 1.0) AS mean_len,
+         CAST(length(text) - length(replace(text, '#', ''))
+              AS DOUBLE) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+              AS DOUBLE) AS n_ellipsis,
+         CAST(len(list_filter(lines,
+              x -> regexp_matches(x, '^\\s*([-*•])')))
+              AS DOUBLE) AS n_bullet,
+         ({stop_sum}) AS n_stops,
+         CAST(len(list_filter(words,
+              x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) AS n_alpha
+  FROM base
+)
+SELECT doc_id,
+       nw >= 50 AND nw <= 100000 AS gr_word_count,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS gr_mean_word_len,
+       n_hash / greatest(nw, 1.0) <= 0.1 AS gr_hash_ratio,
+       n_ellipsis / greatest(nl, 1.0) <= 0.3 AS gr_ellipsis_ratio,
+       n_bullet / greatest(nl, 1.0) <= 0.9 AS gr_bullet_ratio,
+       n_stops >= 2 AS gr_stop_presence,
+       n_alpha / greatest(nw, 1.0) >= 0.8 AS gr_alpha_ratio,
+       (nw >= 50 AND nw <= 100000)
+         AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         AND (n_hash / greatest(nw, 1.0) <= 0.1)
+         AND (n_ellipsis / greatest(nl, 1.0) <= 0.3)
+         AND (n_bullet / greatest(nl, 1.0) <= 0.9)
+         AND (n_stops >= 2)
+         AND (n_alpha / greatest(nw, 1.0) >= 0.8) AS gopher_pass
+FROM feat ORDER BY doc_id
+""".strip()
+
+
+def c4_filters(table: str = "documents") -> str:
+    """with_c4_filters twin (Raffel et al. 2020 §2.2): the gate gives
+    every third doc a sentence-punctuated tail so the line/sentence
+    rules discriminate."""
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat(text, '. done. yes. ok.')
+              ELSE text END AS text
+  FROM {table}
+),
+feat AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[^\\s]+')) AS nw,
+         CAST(len(string_split(text, chr(10))) AS DOUBLE) AS nl,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              x -> regexp_matches(x, '[.!?"'']\\s*$')))
+              AS DOUBLE) AS n_good,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sent
+  FROM src
+)
+SELECT doc_id,
+       nw >= 5 AS c4_min_words,
+       NOT contains(lower(text), 'lorem ipsum') AS c4_no_lorem,
+       NOT contains(text, '{{') AS c4_no_braces,
+       n_good / greatest(nl, 1.0) >= 0.5 AS c4_no_badlines,
+       n_sent >= 3 AS c4_min_sentences,
+       (nw >= 5) AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{{')
+         AND (n_good / greatest(nl, 1.0) >= 0.5)
+         AND (n_sent >= 3) AS c4_pass
+FROM feat ORDER BY doc_id
+""".strip()
