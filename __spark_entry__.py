@@ -1467,6 +1467,34 @@ def q_c4_filters(spark, sf_dir):
     return with_c4_filters(d).drop("text").orderBy("doc_id")
 
 
+def q_reversed_freq(spark, sf_dir):
+    """ReverseStringFilter (lucene/analysis/common/.../reverse/
+    ReverseStringFilter.java:48-80) in the chain's final slot: top-20
+    reversed post-stop terms."""
+    from lucene_solr_spark.analysis.tokenizer import make_analyzer
+
+    an = make_analyzer(reverse_tokens=True)
+    docs = _docs(spark, sf_dir).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[str] = []
+            for t in pdf["text"]:
+                terms, _ = an(t or "")
+                rows.extend(terms)
+            yield pd.DataFrame({"term": pd.Series(rows, dtype="object")})
+
+    return (
+        docs.mapInPandas(run, "term string")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5286,6 +5314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_freq": q_wikipedia_freq,
         "url_email_freq": q_url_email_freq,
         "gopher_rules": q_gopher_rules,
+        "reversed_freq": q_reversed_freq,
         "c4_filters": q_c4_filters,
         "bloom_term": q_bloom_term,
         "bloom_absent": q_bloom_absent,
@@ -5590,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_freq",
         "url_email_freq",
         "gopher_rules",
+        "reversed_freq",
         "c4_filters",
         "dedup_keep_best",
         "highlight_gradient",
@@ -5745,6 +5775,7 @@ def oracle_sql() -> dict[str, str]:
         "wikipedia_freq": O.wikipedia_freq(),
         "url_email_freq": O.url_email_freq(),
         "gopher_rules": O.gopher_rules(),
+        "reversed_freq": O.reversed_freq(),
         "c4_filters": O.c4_filters(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),
         "edismax_qf": O.edismax_qf_sql(

@@ -151,6 +151,7 @@ HEADLINE = [
     "url_email_freq",
     "gopher_rules",
     "c4_filters",
+    "reversed_freq",
 ]
 
 

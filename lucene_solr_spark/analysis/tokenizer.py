@@ -732,6 +732,8 @@ def make_analyzer(
     trim: bool = False,
     keep_words: frozenset[str] | None = None,
     capitalization: bool = False,
+    reverse_tokens: bool = False,
+    reverse_marker: str | None = None,
     remove_duplicates: bool = False,
     limit_tokens: int | None = None,
     hyphenated_words: bool = False,
@@ -1073,6 +1075,15 @@ def make_analyzer(
                 tok = stem_fn(tok)
             if capitalization:
                 tok = capitalize_token(tok)
+            if reverse_tokens:
+                # ReverseStringFilter (LA/reverse/ReverseStringFilter
+                # .java:48-80): reverse each token in place; an
+                # optional marker char is PREPENDED to the reversed
+                # form (the ReversedWildcardFilter convention for
+                # leading-wildcard dictionaries)
+                tok = tok[::-1]
+                if reverse_marker is not None:
+                    tok = reverse_marker + tok
             if gram_fn is not None:
                 # all grams of one source token share its position
                 # (NGramTokenFilter keeps posIncrement of the first gram

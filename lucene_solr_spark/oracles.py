@@ -6487,3 +6487,12 @@ SELECT doc_id,
          AND (n_sent >= 3) AS c4_pass
 FROM feat ORDER BY doc_id
 """.strip()
+
+
+def reversed_freq(k: int = 20, table: str = "documents") -> str:
+    """ReverseStringFilter twin: reverse() over the post-stop stream."""
+    return f"""
+WITH {tok_ctes(table)}
+SELECT reverse(term) AS term, count(*) AS cnt
+FROM tok GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
+""".strip()

@@ -138,3 +138,22 @@ def test_position_filter_fixed_increment():
 def test_position_filter_empty_stream():
     an = make_analyzer(position_increment=0)
     assert an("") == ([], [])
+
+
+# ---- ReverseStringFilter --------------------------------------------
+
+def test_reverse_tokens():
+    # ReverseStringFilter.java:48-80
+    an = make_analyzer(reverse_tokens=True, stop=False)
+    terms, pos = an("apache lucene")
+    assert terms == ["ehcapa", "enecul"]
+    assert pos == [0, 1]
+
+
+def test_reverse_tokens_with_marker():
+    # the \u0001 START_OF_HEADING marker ReversedWildcardFilter uses
+    an = make_analyzer(
+        reverse_tokens=True, reverse_marker="\u0001", stop=False
+    )
+    terms, _ = an("abc")
+    assert terms == ["\u0001cba"]
