@@ -1289,7 +1289,7 @@ def q_line_dedup(spark, sf_dir):
         F.concat(
             F.col("text"),
             F.lit("\nsubscribe to the newsletter\n"),
-            F.element_at(words, 1),
+            F.coalesce(F.element_at(words, 1), F.lit("")),
             F.lit(" unique "),
             F.col("doc_id").cast("string"),
         ).alias("text"),

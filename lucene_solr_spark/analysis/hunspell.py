@@ -68,6 +68,16 @@ class HunspellDictionary:
         self._parse_aff(aff_text)
         self.words: dict[str, tuple[frozenset, ...]] = {}
         self._parse_dic(dic_text)
+        # bounded set of append lengths -> O(#lengths) dict probes per
+        # token instead of scanning every distinct append string (the
+        # reference builds a CharArrayMap keyed by append for the same
+        # reason, HunspellDictionary.java:260-268)
+        self.suffix_lens = sorted(
+            {len(a) for a in self.suffixes if a}, reverse=True
+        )
+        self.prefix_lens = sorted(
+            {len(a) for a in self.prefixes if a}, reverse=True
+        )
 
     # -- parsing ------------------------------------------------------
 
@@ -164,20 +174,29 @@ class HunspellStemmer:
 
     def _stem(self, word: str, flags, depth: int) -> list[str]:
         stems: list[str] = []
-        for append, rules in self.dic.suffixes.items():
-            if append and word.endswith(append):
-                for sfx in rules:
-                    if flags is not None and sfx.flag not in flags:
-                        continue
-                    stripped = word[: len(word) - len(append)] + sfx.strip
-                    stems.extend(self._apply(stripped, sfx, depth))
-        for append, rules in self.dic.prefixes.items():
-            if append and word.startswith(append):
-                for pfx in rules:
-                    if flags is not None and pfx.flag not in flags:
-                        continue
-                    stripped = pfx.strip + word[len(append):]
-                    stems.extend(self._apply(stripped, pfx, depth))
+        n = len(word)
+        for ln in self.dic.suffix_lens:
+            if ln > n:
+                continue
+            rules = self.dic.suffixes.get(word[n - ln:])
+            if rules is None:
+                continue
+            for sfx in rules:
+                if flags is not None and sfx.flag not in flags:
+                    continue
+                stripped = word[: n - ln] + sfx.strip
+                stems.extend(self._apply(stripped, sfx, depth))
+        for ln in self.dic.prefix_lens:
+            if ln > n:
+                continue
+            rules = self.dic.prefixes.get(word[:ln])
+            if rules is None:
+                continue
+            for pfx in rules:
+                if flags is not None and pfx.flag not in flags:
+                    continue
+                stripped = pfx.strip + word[ln:]
+                stems.extend(self._apply(stripped, pfx, depth))
         return stems
 
     def _apply(self, stripped: str, affix: HunspellAffix,

@@ -326,6 +326,12 @@ def wikipedia_terms_positions(
     pos = -1
     for t in toks:
         pos += t.pos_inc
+        if pos < 0:
+            # a bare-[ link label is the reference's one posInc=0
+            # stream opener (EXTERNAL_LINK_STATE ALPHANUM rule fires
+            # with numLinkToks==0 even when no URL matched); clamp the
+            # resulting -1 to a valid first position
+            pos = 0
         terms.append(t.term)
         positions.append(pos)
     return terms, positions

@@ -590,9 +590,14 @@ def boilerplate_line_dedup(
     Returns (doc_id, text) with the cleaned text ('' when every line
     was boilerplate).
     """
+    # F.split takes a Java regex — quote the separator so '.'/'|'
+    # callers split on the literal string array_join re-inserts
+    sep_rx = "".join(
+        "\\" + c if c in r"\.[]{}()*+?^$|" else c for c in sep
+    )
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias(
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias(
             "pos", "line"
         ),
     )
@@ -604,8 +609,7 @@ def boilerplate_line_dedup(
     )
     kept = lines.join(boiler, "line", "left_anti")
     return (
-        lines.select(id_col)
-        .distinct()
+        df.select(id_col)
         .join(
             kept.groupBy(id_col).agg(
                 F.array_join(

@@ -86,8 +86,14 @@ def train_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
+    # persist the model frames: scoring joins uni twice (first-token
+    # and backoff denominators) and bi once — without a cache each
+    # reference re-runs the full corpus tokenize+aggregate subtree
+    uni = uni.persist()
+    bi = bi.persist()
     stats = uni.agg(
-        F.count(F.lit(1)).alias("v"), F.sum("c1").alias("t")
+        F.count(F.lit(1)).alias("v"),
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("t"),
     ).collect()[0]
     return uni, bi, int(stats["v"]), int(stats["t"])
 
