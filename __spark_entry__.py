@@ -5621,6 +5621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules",
         "reversed_freq",
         "c4_filters",
+        # ex-rows-only gates re-checked with their VALUES oracles
+        # (r4 driver rows were err:"no_oracle")
+        "check_index",
+        "doc_routing",
+        "signature_lookup3",
+        "image_features",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
