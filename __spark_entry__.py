@@ -1495,6 +1495,67 @@ def q_reversed_freq(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 §A1.2) per doc
+    (functions/text_analysis.py::with_gopher_repetition); every fourth
+    doc gets a duplicated repeated-2-gram line appended twice so each
+    signal discriminates."""
+    from lucene_solr_spark.functions.text_analysis import (
+        with_gopher_repetition,
+    )
+
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    dup_line = F.concat(
+        F.element_at(words, 1), F.lit(" "), F.element_at(words, 2),
+        F.lit(" "), F.element_at(words, 1), F.lit(" "),
+        F.element_at(words, 2),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit("\n"), dup_line, F.lit("\n"),
+                dup_line,
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        with_gopher_repetition(d).drop("text").orderBy("doc_id")
+    )
+
+
+def q_collocations_pmi(spark, sf_dir):
+    """PMI phrase mining over the bigram count model (datapipe/lm.py::
+    pmi_collocations, Church & Hanks 1990): top-20 collocations with
+    bigram count >= 5."""
+    from lucene_solr_spark.datapipe.lm import (
+        pmi_collocations,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, bi, v, t = train_bigram_lm(d)
+    return pmi_collocations(uni, bi, t, min_count=5, k=20)
+
+
+def q_keywords_tfidf(spark, sf_dir):
+    """Per-doc tf-idf keyword extraction (datapipe/lm.py::
+    tfidf_keywords): top-3 terms per doc, first 50 doc_ids."""
+    from lucene_solr_spark.datapipe.lm import tfidf_keywords
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        tfidf_keywords(d, top_k=3)
+        .where(F.col("doc_id") < 50)
+        .orderBy("doc_id", "rank")
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5314,6 +5375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_freq": q_wikipedia_freq,
         "url_email_freq": q_url_email_freq,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
+        "collocations_pmi": q_collocations_pmi,
+        "keywords_tfidf": q_keywords_tfidf,
         "reversed_freq": q_reversed_freq,
         "c4_filters": q_c4_filters,
         "bloom_term": q_bloom_term,
@@ -5619,6 +5683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikipedia_freq",
         "url_email_freq",
         "gopher_rules",
+        "gopher_repetition",
+        "collocations_pmi",
+        "keywords_tfidf",
         "reversed_freq",
         "c4_filters",
         # ex-rows-only gates re-checked with their VALUES oracles
@@ -5781,6 +5848,9 @@ def oracle_sql() -> dict[str, str]:
         "wikipedia_freq": O.wikipedia_freq(),
         "url_email_freq": O.url_email_freq(),
         "gopher_rules": O.gopher_rules(),
+        "gopher_repetition": O.gopher_repetition(),
+        "collocations_pmi": O.collocations_pmi(),
+        "keywords_tfidf": O.keywords_tfidf(),
         "reversed_freq": O.reversed_freq(),
         "c4_filters": O.c4_filters(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),

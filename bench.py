@@ -152,6 +152,9 @@ HEADLINE = [
     "gopher_rules",
     "c4_filters",
     "reversed_freq",
+    "gopher_repetition",
+    "collocations_pmi",
+    "keywords_tfidf",
 ]
 
 

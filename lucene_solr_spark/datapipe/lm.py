@@ -246,3 +246,93 @@ def dsir_importance_weights(
             F.sum("lr").alias("logweight"),
         )
     )
+
+
+def pmi_collocations(
+    uni: DataFrame,
+    bi: DataFrame,
+    total_tokens: int,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    trained count model (Church & Hanks 1990 — the phrase-mining step
+    of tokenizer/vocab construction):
+
+      pmi(w1, w2) = ln( (c2/T2) / ((c1(w1)/T) * (c1(w2)/T)) )
+
+    with a min bigram count to suppress rare-pair noise.  Two joins of
+    the bigram frame against the unigram frame (both model-sized, not
+    corpus-sized) and one top-k.
+    """
+    t2_row = bi.agg(
+        F.coalesce(F.sum("c2"), F.lit(0)).alias("t2")
+    ).collect()[0]
+    t2 = int(t2_row["t2"])
+    t = float(total_tokens)
+    return (
+        bi.where(F.col("c2") >= min_count)
+        .join(
+            uni.select(
+                F.col("term").alias("w1"), F.col("c1").alias("ca")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("term").alias("w2"), F.col("c1").alias("cb")
+            ),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.log(
+                (F.col("c2") / F.lit(float(t2)))
+                / ((F.col("ca") / F.lit(t)) * (F.col("cb") / F.lit(t)))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf (the classic
+    Salton weighting): score = tf * ln(N / df), top_k terms per doc
+    (ties: term asc).  One token explode, one (doc, term) aggregate,
+    one df aggregate joined back, one per-doc window top-k — the same
+    shuffle shape as the index build itself, so it scales wherever
+    the index does.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = _tokens(df, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "term", "score")
+    )

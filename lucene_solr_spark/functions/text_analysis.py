@@ -329,3 +329,101 @@ def with_c4_filters(
         out = out.withColumn(name, cond)
         verdict = verdict & F.col(name)
     return out.withColumn("c4_pass", verdict)
+
+
+def with_gopher_repetition(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.2 — the
+    duplicate-content rules that complement the §A1.1 quality rules),
+    one pure-Catalyst projection per doc, no shuffle:
+
+      rep_dup_line_frac        1 - distinct_lines/total_lines
+      rep_dup_line_char_frac   chars in lines occurring >1x / total
+                               line chars
+      rep_top2gram_char_frac   token-chars covered by occurrences of
+                               the most frequent 2-gram / total token
+                               chars (tie-break: lexicographically
+                               greatest gram at the max count)
+      rep_dup3gram_char_frac   token-chars of 3-gram occurrences
+                               whose gram repeats / total 3-gram
+                               occurrence chars
+
+    Character counts are over token characters (separators excluded),
+    making the SQL twin exact; the paper's thresholds are applied by
+    the caller.
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    out = df.withColumn("__toks", toks).withColumn(
+        "__lines", F.split(F.col(text_col), "\n")
+    )
+    lines, tks = F.col("__lines"), F.col("__toks")
+    nl = F.size(lines).cast("double")
+    dup_line_frac = F.when(nl <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / nl
+    )
+    line_chars = F.expr(
+        "aggregate(__lines, 0L, (a, x) -> a + length(x))"
+    ).cast("double")
+    dup_line_chars = F.expr(
+        "aggregate(transform(__lines, l -> struct(l AS l, "
+        "size(filter(__lines, x -> x = l)) AS c)), 0L, "
+        "(a, s) -> a + IF(s.c > 1, length(s.l), 0L))"
+    ).cast("double")
+    dup_line_char_frac = F.when(
+        line_chars <= 0, F.lit(0.0)
+    ).otherwise(dup_line_chars / line_chars)
+
+    def grams_expr(n):
+        return (
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"transform(sequence(1, size(__toks) - {n - 1}), "
+            "i -> concat_ws(' ', "
+            + ", ".join(f"__toks[i + {j} - 1]" for j in range(n))
+            + ")) ELSE array() END"
+        )
+
+    out = out.withColumn("__g2", F.expr(grams_expr(2))).withColumn(
+        "__g3", F.expr(grams_expr(3))
+    )
+    tok_chars = F.expr(
+        "aggregate(__toks, 0L, (a, x) -> a + length(x))"
+    ).cast("double")
+    # most frequent 2-gram: max count, then lexicographically greatest
+    top2_cnt = F.expr(
+        "array_max(transform(array_distinct(__g2), "
+        "g -> size(filter(__g2, x -> x = g))))"
+    )
+    top2_gram = F.expr(
+        "array_max(filter(array_distinct(__g2), "
+        "g -> size(filter(__g2, x -> x = g)) = "
+        "array_max(transform(array_distinct(__g2), "
+        "h -> size(filter(__g2, x -> x = h))))))"
+    )
+    top2_chars = (
+        top2_cnt.cast("double")
+        * (F.length(top2_gram) - 1).cast("double")  # minus the space
+    )
+    top2_frac = F.when(
+        (F.size(F.col("__g2")) <= 0) | (tok_chars <= 0), F.lit(0.0)
+    ).otherwise(top2_chars / tok_chars)
+    g3_chars = F.expr(
+        "aggregate(__g3, 0L, (a, x) -> a + length(x) - 2)"
+    ).cast("double")
+    dup3_chars = F.expr(
+        "aggregate(transform(__g3, g -> struct(g AS g, "
+        "size(filter(__g3, x -> x = g)) AS c)), 0L, "
+        "(a, s) -> a + IF(s.c > 1, length(s.g) - 2, 0L))"
+    ).cast("double")
+    dup3_frac = F.when(g3_chars <= 0, F.lit(0.0)).otherwise(
+        dup3_chars / g3_chars
+    )
+    return (
+        out.withColumn("rep_dup_line_frac", dup_line_frac)
+        .withColumn("rep_dup_line_char_frac", dup_line_char_frac)
+        .withColumn("rep_top2gram_char_frac", top2_frac)
+        .withColumn("rep_dup3gram_char_frac", dup3_frac)
+        .drop("__toks", "__lines", "__g2", "__g3")
+    )

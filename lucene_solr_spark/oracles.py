@@ -6496,3 +6496,153 @@ WITH {tok_ctes(table)}
 SELECT reverse(term) AS term, count(*) AS cnt
 FROM tok GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def gopher_repetition(table: str = "documents") -> str:
+    """with_gopher_repetition twin (Rae et al. 2021 §A1.2): the gate
+    appends a duplicated ``<w1> <w2> <w1> <w2>`` line twice on every
+    fourth doc; identical per-doc list arithmetic."""
+    return f"""
+WITH arr0 AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS a0
+  FROM {table}
+),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           concat(text, chr(10),
+                  a0[1], ' ', a0[2], ' ', a0[1], ' ', a0[2], chr(10),
+                  a0[1], ' ', a0[2], ' ', a0[1], ' ', a0[2])
+         ELSE text END AS text
+  FROM arr0
+),
+base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM src
+),
+grams AS (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+             i -> concat(toks[i], ' ', toks[i + 1]))
+         ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))
+         ELSE [] END AS g3
+  FROM base
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(lines) AS DOUBLE) AS nl,
+         CAST(len(list_distinct(lines)) AS DOUBLE) AS nld,
+         CAST(list_sum(list_transform(lines, x -> length(x)))
+              AS DOUBLE) AS line_chars,
+         CAST(coalesce(list_sum(list_transform(lines,
+              l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                        THEN length(l) ELSE 0 END)), 0)
+              AS DOUBLE) AS dup_line_chars,
+         CAST(coalesce(list_sum(list_transform(toks,
+              x -> length(x))), 0) AS DOUBLE) AS tok_chars,
+         g2, g3
+  FROM grams
+),
+tops AS (
+  SELECT doc_id, nl, nld, line_chars, dup_line_chars, tok_chars, g2,
+         g3,
+         CASE WHEN len(g2) > 0 THEN
+           list_max(list_transform(list_distinct(g2),
+             g -> len(list_filter(g2, x -> x = g))))
+         ELSE 0 END AS top2_cnt
+  FROM feat
+)
+SELECT doc_id,
+       CASE WHEN nl <= 0 THEN 0.0 ELSE 1.0 - nld / nl END
+         AS rep_dup_line_frac,
+       CASE WHEN line_chars <= 0 THEN 0.0
+            ELSE dup_line_chars / line_chars END
+         AS rep_dup_line_char_frac,
+       CASE WHEN len(g2) <= 0 OR tok_chars <= 0 THEN 0.0
+            ELSE CAST(top2_cnt AS DOUBLE)
+                 * (length(list_max(list_filter(list_distinct(g2),
+                     g -> len(list_filter(g2, x -> x = g))
+                          = top2_cnt))) - 1)
+                 / tok_chars END
+         AS rep_top2gram_char_frac,
+       CASE WHEN coalesce(list_sum(list_transform(g3,
+                 x -> length(x) - 2)), 0) <= 0 THEN 0.0
+            ELSE CAST(coalesce(list_sum(list_transform(g3,
+                 g -> CASE WHEN len(list_filter(g3, x -> x = g)) > 1
+                      THEN length(g) - 2 ELSE 0 END)), 0) AS DOUBLE)
+                 / list_sum(list_transform(g3, x -> length(x) - 2))
+            END
+         AS rep_dup3gram_char_frac
+FROM tops ORDER BY doc_id
+""".strip()
+
+
+def collocations_pmi(
+    min_count: int = 5, k: int = 20, table: str = "documents"
+) -> str:
+    """pmi_collocations twin: identical count model + PMI arithmetic."""
+    return f"""
+WITH src AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+  FROM {table}
+),
+tok AS (SELECT unnest(arr) AS term FROM src),
+uni AS (SELECT term, count(*) AS c1 FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+bg AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2
+  FROM src, LATERAL unnest(generate_series(1, len(arr) - 1)) AS u(i)
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+t2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS t2 FROM bi)
+SELECT b.w1, b.w2, b.c2,
+       ln((b.c2 / t2.t2)
+          / ((ua.c1 / tot.t) * (ub.c1 / tot.t))) AS pmi
+FROM bi b
+JOIN uni ua ON ua.term = b.w1
+JOIN uni ub ON ub.term = b.w2
+CROSS JOIN tot CROSS JOIN t2
+WHERE b.c2 >= {min_count}
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT {k}
+""".strip()
+
+
+def keywords_tfidf(
+    top_k: int = 3, table: str = "documents", limit_docs: int = 50
+) -> str:
+    """tfidf_keywords twin over the first ``limit_docs`` doc_ids:
+    score = tf * ln(N/df), row_number per doc by (score desc, term)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+           AS term
+  FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * ln(n.n / d.df) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, score FROM ranked
+WHERE rank <= {top_k} AND doc_id < {limit_docs}
+ORDER BY doc_id, rank
+""".strip()

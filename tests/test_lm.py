@@ -96,3 +96,47 @@ def test_dsir_token_counts(spark):
         for r in dsir_importance_weights(src, tgt).collect()
     }
     assert out == {0: 3, 1: 1}
+
+
+def test_pmi_collocations(spark):
+    from lucene_solr_spark.datapipe.lm import (
+        pmi_collocations,
+        train_bigram_lm,
+    )
+    import math
+
+    # "a b" always adjacent (5x); "x" pairs with varied neighbors
+    rows = [(i, "a b x " + ("p" if i % 2 else "q")) for i in range(5)]
+    d = _df(spark, rows)
+    uni, bi, v, t = train_bigram_lm(d)
+    out = pmi_collocations(uni, bi, t, min_count=5, k=5).collect()
+    assert out[0]["w1"] == "a" and out[0]["w2"] == "b"
+    # hand value: c2=5, T2=15, ca=cb=5, T=20
+    exp = math.log((5 / 15) / ((5 / 20) * (5 / 20)))
+    assert out[0]["pmi"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_tfidf_keywords(spark):
+    from lucene_solr_spark.datapipe.lm import tfidf_keywords
+    import math
+
+    d = _df(
+        spark,
+        [
+            (1, "rare rare common"),
+            (2, "common other"),
+            (3, "common third"),
+        ],
+    )
+    out = [
+        r
+        for r in tfidf_keywords(d, top_k=2).collect()
+        if r["doc_id"] == 1
+    ]
+    out.sort(key=lambda r: r["rank"])
+    # "rare" df=1 tf=2 -> 2*ln(3); "common" df=3 -> score 0
+    assert out[0]["term"] == "rare"
+    assert out[0]["score"] == pytest.approx(
+        2 * math.log(3.0), rel=1e-12
+    )
+    assert out[1]["score"] == pytest.approx(0.0, abs=1e-12)

@@ -37,3 +37,35 @@ def test_c4_filters(spark):
     assert out[2]["c4_no_braces"] is False
     assert out[3]["c4_no_lorem"] is False
     assert out[4]["c4_min_words"] is False
+
+
+def test_gopher_repetition(spark):
+    from lucene_solr_spark.functions.text_analysis import (
+        with_gopher_repetition,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa bb"),
+            (2, "x y z\ndup line\ndup line"),
+            (3, "unique words only here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_gopher_repetition(d).collect()
+    }
+    # doc1: "aa bb" covers all 12 token chars (3 occurrences x 4
+    # chars); every 3-gram repeats
+    assert out[1]["rep_top2gram_char_frac"] == 1.0
+    assert out[1]["rep_dup3gram_char_frac"] == 1.0
+    # doc2: 1 of 3 lines duplicated -> 1/3; dup-line chars 16/21
+    assert abs(out[2]["rep_dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(out[2]["rep_dup_line_char_frac"] - 16 / 21) < 1e-9
+    # doc3: no repetition beyond the single top 2-gram's own chars
+    assert out[3]["rep_dup_line_frac"] == 0.0
+    assert out[3]["rep_dup3gram_char_frac"] == 0.0
+    # empty doc: all zeros, no division errors
+    assert out[4]["rep_top2gram_char_frac"] == 0.0
