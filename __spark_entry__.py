@@ -1556,6 +1556,59 @@ def q_keywords_tfidf(spark, sf_dir):
     )
 
 
+def _transcript_frame(spark, sf_dir):
+    """Derived transcript frame in the north-rule input shape
+    (conv_id, turn_idx, role, text) built deterministically from the
+    documents table: conv = doc_id // 10, turn = doc_id % 10, role by
+    turn parity."""
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("c"), (F.col("doc_id") / 10).cast("long").cast("string")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 10).alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+    )
+
+
+def q_conv_windows(spark, sf_dir):
+    """Greedy in-order context-window packing of conversation turns
+    (datapipe/training.py::pack_conversation_windows) — the SFT
+    chunking step over the north-rule transcript shape; vs a
+    recursive-CTE oracle."""
+    from lucene_solr_spark.datapipe.training import (
+        pack_conversation_windows,
+    )
+
+    t = _transcript_frame(spark, sf_dir)
+    return pack_conversation_windows(t, budget=64).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def q_role_stats(spark, sf_dir):
+    """Role-conditioned transcript statistics over the derived
+    north-rule transcript frame: one groupBy."""
+    t = _transcript_frame(spark, sf_dir)
+    toks = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).cast("long")
+    return (
+        t.select("role", toks.alias("nt"))
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("nt").alias("n_tokens"),
+            (
+                F.sum("nt").cast("double") / F.count(F.lit(1))
+            ).alias("avg_tokens"),
+        )
+        .orderBy("role")
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5378,6 +5431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "collocations_pmi": q_collocations_pmi,
         "keywords_tfidf": q_keywords_tfidf,
+        "conv_windows": q_conv_windows,
+        "role_stats": q_role_stats,
         "reversed_freq": q_reversed_freq,
         "c4_filters": q_c4_filters,
         "bloom_term": q_bloom_term,
@@ -5686,6 +5741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition",
         "collocations_pmi",
         "keywords_tfidf",
+        "conv_windows",
+        "role_stats",
         "reversed_freq",
         "c4_filters",
         # ex-rows-only gates re-checked with their VALUES oracles
@@ -5851,6 +5908,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": O.gopher_repetition(),
         "collocations_pmi": O.collocations_pmi(),
         "keywords_tfidf": O.keywords_tfidf(),
+        "conv_windows": O.conv_windows(),
+        "role_stats": O.role_stats(),
         "reversed_freq": O.reversed_freq(),
         "c4_filters": O.c4_filters(),
         "bm25_fielded": O.bm25_fielded_term("scan", "substr(text, 1, 80)"),

@@ -155,6 +155,8 @@ HEADLINE = [
     "gopher_repetition",
     "collocations_pmi",
     "keywords_tfidf",
+    "conv_windows",
+    "role_stats",
 ]
 
 

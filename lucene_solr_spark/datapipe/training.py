@@ -366,3 +366,55 @@ def decontaminate_bloom(
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
+
+
+def pack_conversation_windows(
+    df: DataFrame,
+    budget: int = 64,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window packing for multi-turn TRANSCRIPTS (the
+    north-rule input shape: conv_id, turn_idx, role, text): walk each
+    conversation's turns IN ORDER and start a new window whenever the
+    running token total would exceed ``budget`` — the SFT-data
+    chunking step that must preserve turn order (unlike
+    :func:`pack_next_fit`, whose bins are order-free within a hash
+    bucket).  An oversized single turn still gets a window of its own.
+
+    applyInPandas per conversation: a conversation is bounded (10^2-3
+    turns) so the per-group walk is a tiny int loop; 10^12 turns just
+    means more groups, which is exactly what Spark scales.
+
+    Output: (conv_id, turn_idx, n_tokens, window_idx).
+    """
+    toks = F.size(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        )
+    )
+    base = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(order_col).alias("turn_idx"),
+        toks.cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        wins = []
+        win, fill = 0, 0
+        for t in pdf["n_tokens"].to_numpy():
+            if fill > 0 and fill + t > budget:
+                win += 1
+                fill = 0
+            fill += int(t)
+            wins.append(win)
+        pdf["window_idx"] = pd.Series(wins, dtype="int64")
+        return pdf[["conv_id", "turn_idx", "n_tokens", "window_idx"]]
+
+    return base.groupBy("conv_id").applyInPandas(
+        pack,
+        "conv_id string, turn_idx long, n_tokens long, "
+        "window_idx long",
+    )

@@ -6646,3 +6646,49 @@ SELECT doc_id, rank, term, score FROM ranked
 WHERE rank <= {top_k} AND doc_id < {limit_docs}
 ORDER BY doc_id, rank
 """.strip()
+
+
+def conv_windows(budget: int = 64, table: str = "documents") -> str:
+    """pack_conversation_windows twin over the derived transcript
+    frame (conv_id = 'c' || doc_id // 10, turn_idx = doc_id % 10):
+    greedy in-order window walk as a recursive CTE."""
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT concat('c', CAST(doc_id // 10 AS VARCHAR)) AS conv_id,
+         CAST(doc_id % 10 AS BIGINT) AS turn_idx,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id // 10
+                            ORDER BY doc_id % 10) AS rn
+  FROM {table}
+),
+rec AS (
+  SELECT conv_id, rn, turn_idx, n_tokens,
+         CAST(0 AS BIGINT) AS window_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.conv_id, t.rn, t.turn_idx, t.n_tokens,
+         CASE WHEN rec.fill > 0 AND rec.fill + t.n_tokens > {budget}
+              THEN rec.window_idx + 1 ELSE rec.window_idx END,
+         CASE WHEN rec.fill > 0 AND rec.fill + t.n_tokens > {budget}
+              THEN t.n_tokens ELSE rec.fill + t.n_tokens END
+  FROM rec JOIN t ON t.conv_id = rec.conv_id AND t.rn = rec.rn + 1
+)
+SELECT conv_id, turn_idx, n_tokens, window_idx FROM rec
+ORDER BY conv_id, turn_idx
+""".strip()
+
+
+def role_stats(table: str = "documents") -> str:
+    """Role-conditioned transcript stats twin over the same derived
+    frame (role = user/assistant by turn parity)."""
+    return f"""
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+         AS role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+            AS BIGINT) AS n_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+            AS DOUBLE) / count(*) AS avg_tokens
+FROM {table} GROUP BY 1 ORDER BY role
+""".strip()

@@ -185,3 +185,29 @@ def test_decontaminate_bloom_equals_exact(spark):
         for r in decontaminate_bloom(corpus, ev, n=4).collect()
     )
     assert exact == fast and len(exact) > 0
+
+
+def test_pack_conversation_windows(spark):
+    from lucene_solr_spark.datapipe.training import (
+        pack_conversation_windows,
+    )
+
+    rows = [
+        ("c1", 0, "u", "one two three"),          # 3 tokens
+        ("c1", 1, "a", "four five six seven"),    # 4 -> fill 7
+        ("c1", 2, "u", "a b c d"),                # 4 -> overflow @8
+        ("c1", 3, "a", "x"),                      # 1 -> fill 5
+        ("c2", 0, "u", " ".join(["w"] * 20)),     # oversized alone
+        ("c2", 1, "a", "tail"),
+    ]
+    d = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string"
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["window_idx"]
+        for r in pack_conversation_windows(d, budget=8).collect()
+    }
+    assert out[("c1", 0)] == 0 and out[("c1", 1)] == 0
+    assert out[("c1", 2)] == 1 and out[("c1", 3)] == 1
+    # oversized first turn keeps window 0; next turn opens window 1
+    assert out[("c2", 0)] == 0 and out[("c2", 1)] == 1
