@@ -1609,6 +1609,41 @@ def q_role_stats(spark, sf_dir):
     )
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup (datapipe/dedup.py::
+    conversation_dedup): transcript frame doubled under a second conv
+    prefix so every conversation has one exact duplicate."""
+    from lucene_solr_spark.datapipe.dedup import conversation_dedup
+
+    t = _transcript_frame(spark, sf_dir)
+    t2 = t.unionByName(
+        t.withColumn(
+            "conv_id",
+            F.concat(F.lit("d"), F.substring("conv_id", 2, 100)),
+        )
+    )
+    return conversation_dedup(t2).orderBy("conv_sig")
+
+
+def q_lm_backoff(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (datapipe/lm.py::
+    score_stupid_backoff, Brants et al. 2007): bottom-20 docs by mean
+    log backoff score (the least-fluent tail a web-scale LM filter
+    drops)."""
+    from lucene_solr_spark.datapipe.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, bi, tri, v, t = train_trigram_lm(d)
+    return (
+        score_stupid_backoff(d, uni, bi, tri, t)
+        .orderBy(F.asc("logscore"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5432,6 +5467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "keywords_tfidf": q_keywords_tfidf,
         "conv_windows": q_conv_windows,
+        "conv_dedup": q_conv_dedup,
+        "lm_backoff": q_lm_backoff,
         "role_stats": q_role_stats,
         "reversed_freq": q_reversed_freq,
         "c4_filters": q_c4_filters,
@@ -5742,6 +5779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi",
         "keywords_tfidf",
         "conv_windows",
+        "conv_dedup",
+        "lm_backoff",
         "role_stats",
         "reversed_freq",
         "c4_filters",
@@ -5909,6 +5948,8 @@ def oracle_sql() -> dict[str, str]:
         "collocations_pmi": O.collocations_pmi(),
         "keywords_tfidf": O.keywords_tfidf(),
         "conv_windows": O.conv_windows(),
+        "conv_dedup": O.conv_dedup(),
+        "lm_backoff": O.lm_backoff(),
         "role_stats": O.role_stats(),
         "reversed_freq": O.reversed_freq(),
         "c4_filters": O.c4_filters(),

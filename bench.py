@@ -157,6 +157,8 @@ HEADLINE = [
     "keywords_tfidf",
     "conv_windows",
     "role_stats",
+    "conv_dedup",
+    "lm_backoff",
 ]
 
 

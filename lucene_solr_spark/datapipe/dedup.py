@@ -710,3 +710,44 @@ def duplicate_span_removal(
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         )
     )
+
+
+def conversation_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup over the north-rule transcript
+    shape: a conversation's signature is md5 over its turn texts in
+    turn order (record-separator joined); returns duplicate groups
+    (conv_sig, n_dups, keep_conv = min conv_id).  One per-conversation
+    aggregate + one group-by-signature — the same two-shuffle shape as
+    document exact dedup, with the turn->conversation rollup fused
+    into the first aggregation."""
+    sig = (
+        df.groupBy(conv_col)
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(order_col, text_col)
+                            )
+                        ),
+                        lambda x: x[text_col],
+                    ),
+                    "\x1e",
+                )
+            ).alias("conv_sig")
+        )
+    )
+    return (
+        sig.groupBy("conv_sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(conv_col).alias("keep_conv"),
+        )
+        .where(F.col("n_dups") > 1)
+    )

@@ -336,3 +336,121 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+def train_trigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """(uni, bi, tri, vocab_size, total_tokens): the bigram model of
+    :func:`train_bigram_lm` plus trigram counts (w1, w2, w3, c3) from
+    the same single-scan array-shift projection."""
+    uni, bi, v, t = train_bigram_lm(df, text_col)
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}', 0)"
+    )
+    tri = (
+        df.select(toks.alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN "
+                    "transform(sequence(1, size(toks) - 2), "
+                    "i -> struct(toks[i-1] AS w1, toks[i] AS w2, "
+                    "toks[i+1] AS w3)) "
+                    "ELSE array() END"
+                )
+            ).alias("tg")
+        )
+        .select("tg.w1", "tg.w2", "tg.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .persist()
+    )
+    return uni, bi, tri, v, t
+
+
+def score_stupid_backoff(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean log stupid-backoff score (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale LM
+    score that skips normalization):
+
+      S(w3 | w1 w2) = c3/c2(w1,w2)            if c3 > 0
+                    = a * c2(w2,w3)/c1(w2)    elif that count > 0
+                    = a^2 * c1(w3)/T          elif c1(w3) > 0
+                    = a^2 * 1/T               otherwise (floor)
+
+    Scores trigram positions only (docs with < 3 tokens are excluded).
+    Returns (doc_id, n_scored, logscore).  Same join shape as
+    :func:`score_perplexity` with one extra (small) trigram join.
+    """
+    a = float(alpha)
+    t = float(total_tokens)
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_SQL_PATTERN}', 0)"
+    )
+    trips = (
+        df.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), "
+                    "i -> struct(toks[i-1] AS w1, toks[i] AS w2, "
+                    "toks[i+1] AS w3))"
+                )
+            ).alias("tg"),
+        )
+        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+    )
+    c2_ctx = bi.select(
+        F.col("w1"), F.col("w2"), F.col("c2").alias("c2_ctx")
+    )
+    c2_hi = bi.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c2").alias("c2_hi"),
+    )
+    c1_mid = uni.select(
+        F.col("term").alias("w2"), F.col("c1").alias("c1_mid")
+    )
+    c1_last = uni.select(
+        F.col("term").alias("w3"), F.col("c1").alias("c1_last")
+    )
+    scored = (
+        trips.join(tri, ["w1", "w2", "w3"], "left")
+        .join(c2_ctx, ["w1", "w2"], "left")
+        .join(c2_hi, ["w2", "w3"], "left")
+        .join(c1_mid, "w2", "left")
+        .join(c1_last, "w3", "left")
+        .select(
+            "doc_id",
+            F.log(
+                F.when(
+                    F.col("c3").isNotNull(),
+                    F.col("c3") / F.col("c2_ctx"),
+                )
+                .when(
+                    F.col("c2_hi").isNotNull(),
+                    F.lit(a) * F.col("c2_hi") / F.col("c1_mid"),
+                )
+                .when(
+                    F.col("c1_last").isNotNull(),
+                    F.lit(a * a) * F.col("c1_last") / F.lit(t),
+                )
+                .otherwise(F.lit(a * a) / F.lit(t))
+            ).alias("ls"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.sum("ls") / F.count(F.lit(1))).alias("logscore"),
+    )

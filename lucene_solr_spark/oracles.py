@@ -6692,3 +6692,85 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
             AS DOUBLE) / count(*) AS avg_tokens
 FROM {table} GROUP BY 1 ORDER BY role
 """.strip()
+
+
+def conv_dedup(table: str = "documents") -> str:
+    """Conversation-level exact dedup twin: md5 over the turn texts
+    concatenated in turn order; groups with >1 conversation.  The gate
+    doubles the conversations so collisions exist."""
+    return f"""
+WITH t AS (
+  SELECT concat('c', CAST(doc_id // 10 AS VARCHAR)) AS conv_id,
+         doc_id % 10 AS turn_idx, text
+  FROM {table}
+  UNION ALL
+  SELECT concat('d', CAST(doc_id // 10 AS VARCHAR)),
+         doc_id % 10, text
+  FROM {table}
+),
+sig AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS conv_sig
+  FROM t GROUP BY 1
+)
+SELECT conv_sig, CAST(count(*) AS BIGINT) AS n_dups,
+       min(conv_id) AS keep_conv
+FROM sig GROUP BY 1 HAVING count(*) > 1
+ORDER BY conv_sig
+""".strip()
+
+
+def lm_backoff(
+    k: int = 20, alpha: float = 0.4, table: str = "documents"
+) -> str:
+    """score_stupid_backoff twin (Brants et al. 2007): identical
+    count model, CASE cascade, and floor."""
+    a = repr(float(alpha))
+    return f"""
+WITH src AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+  FROM {table}
+),
+tok AS (SELECT unnest(arr) AS term FROM src),
+uni AS (SELECT term, count(*) AS c1 FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+bg AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2
+  FROM src, LATERAL unnest(generate_series(1, len(arr) - 1)) AS u(i)
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+tg AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2, arr[i + 2] AS w3
+  FROM src, LATERAL unnest(generate_series(1, len(arr) - 2)) AS u(i)
+  WHERE len(arr) >= 3
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+trips AS (
+  SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2, arr[i + 2] AS w3
+  FROM src, LATERAL unnest(generate_series(1, len(arr) - 2)) AS u(i)
+  WHERE len(arr) >= 3
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(CASE
+              WHEN tr.c3 IS NOT NULL
+                THEN tr.c3 / bctx.c2
+              WHEN bhi.c2 IS NOT NULL
+                THEN {a} * bhi.c2 / umid.c1
+              WHEN ulast.c1 IS NOT NULL
+                THEN {a} * {a} * ulast.c1 / tot.t
+              ELSE {a} * {a} / tot.t
+            END) AS ls
+  FROM trips p
+  CROSS JOIN tot
+  LEFT JOIN tri tr ON tr.w1 = p.w1 AND tr.w2 = p.w2 AND tr.w3 = p.w3
+  LEFT JOIN bi bctx ON bctx.w1 = p.w1 AND bctx.w2 = p.w2
+  LEFT JOIN bi bhi ON bhi.w1 = p.w2 AND bhi.w2 = p.w3
+  LEFT JOIN uni umid ON umid.term = p.w2
+  LEFT JOIN uni ulast ON ulast.term = p.w3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       sum(ls) / count(*) AS logscore
+FROM scored GROUP BY 1
+ORDER BY logscore ASC, doc_id ASC LIMIT {k}
+""".strip()

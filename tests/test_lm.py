@@ -140,3 +140,52 @@ def test_tfidf_keywords(spark):
         2 * math.log(3.0), rel=1e-12
     )
     assert out[1]["score"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_stupid_backoff_hand_computed(spark):
+    from lucene_solr_spark.datapipe.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+    import math
+
+    train = _df(spark, [(0, "a b c"), (1, "a b d")])
+    uni, bi, tri, v, t = train_trigram_lm(train)
+    # seen trigram: S(c|a b) = c3/c2(a,b) = 1/2
+    out = {
+        r["doc_id"]: r
+        for r in score_stupid_backoff(train, uni, bi, tri, t).collect()
+    }
+    assert out[0]["logscore"] == pytest.approx(
+        math.log(0.5), rel=1e-12
+    )
+    # backoff chain: "x b c": trigram (x,b,c) unseen, bigram (b,c)
+    # seen -> a * c2(b,c)/c1(b) = 0.4 * 1/2
+    probe = _df(spark, [(9, "x b c")])
+    o = score_stupid_backoff(probe, uni, bi, tri, t).collect()[0]
+    assert o["logscore"] == pytest.approx(
+        math.log(0.4 * 0.5), rel=1e-12
+    )
+    # full floor: all-unseen trigram over unseen words
+    probe2 = _df(spark, [(10, "q r s")])
+    o2 = score_stupid_backoff(probe2, uni, bi, tri, t).collect()[0]
+    assert o2["logscore"] == pytest.approx(
+        math.log(0.4 * 0.4 / 6.0), rel=1e-12
+    )
+
+
+def test_conversation_dedup(spark):
+    from lucene_solr_spark.datapipe.dedup import conversation_dedup
+
+    rows = [
+        ("c1", 0, "hello"), ("c1", 1, "world"),
+        ("c2", 0, "hello"), ("c2", 1, "world"),   # dup of c1
+        ("c3", 0, "different"),
+        ("c4", 1, "world"), ("c4", 0, "hello"),   # same AFTER ordering
+    ]
+    d = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, text string"
+    )
+    out = conversation_dedup(d).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 3 and out[0]["keep_conv"] == "c1"
