@@ -1644,6 +1644,19 @@ def q_lm_backoff(spark, sf_dir):
     )
 
 
+def q_embed_outliers(spark, sf_dir):
+    """Per-cluster embedding outliers (datapipe/similarity.py::
+    embedding_outliers — prototypicality filtering, Sorscher et al.
+    2022): top-20 vectors by squared distance from their label
+    centroid."""
+    from lucene_solr_spark.datapipe.similarity import (
+        embedding_outliers,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_outliers(d, k=20)
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5469,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_windows": q_conv_windows,
         "conv_dedup": q_conv_dedup,
         "lm_backoff": q_lm_backoff,
+        "embed_outliers": q_embed_outliers,
         "role_stats": q_role_stats,
         "reversed_freq": q_reversed_freq,
         "c4_filters": q_c4_filters,
@@ -5781,6 +5795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_windows",
         "conv_dedup",
         "lm_backoff",
+        "embed_outliers",
         "role_stats",
         "reversed_freq",
         "c4_filters",
@@ -5950,6 +5965,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_windows": O.conv_windows(),
         "conv_dedup": O.conv_dedup(),
         "lm_backoff": O.lm_backoff(),
+        "embed_outliers": O.embed_outliers(),
         "role_stats": O.role_stats(),
         "reversed_freq": O.reversed_freq(),
         "c4_filters": O.c4_filters(),

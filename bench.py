@@ -159,6 +159,7 @@ HEADLINE = [
     "role_stats",
     "conv_dedup",
     "lm_backoff",
+    "embed_outliers",
 ]
 
 

@@ -599,3 +599,41 @@ def semantic_dedup(
         per_cluster,
         f"{id_col} long, centroid_id long, is_dup boolean",
     )
+
+
+def embedding_outliers(
+    df,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+):
+    """Per-cluster embedding outlier detection — the SemDeDup-family
+    quality filter that drops points far from their group centroid
+    (prototypicality filtering, Sorscher et al. 2022 "Beyond neural
+    scaling laws"): distance2 = sum_d (x_d - mean_d(group))^2, top-k
+    by distance (desc, id asc).
+
+    Spark shape: one posexplode to (group, dim, val), one partial+final
+    avg per (group, dim) — centroid tables are #groups x dims rows,
+    broadcast-sized — then a broadcast join back and one aggregate per
+    vector. No driver-side vectors, no all-pairs anything.
+    """
+    import pyspark.sql.functions as F
+
+    dims = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    cent = dims.groupBy("grp", "dim").agg(
+        F.avg("val").alias("mu")
+    )
+    return (
+        dims.join(F.broadcast(cent), ["grp", "dim"])
+        .withColumn("d2", (F.col("val") - F.col("mu")) ** 2)
+        .groupBy(id_col, "grp")
+        .agg(F.sum("d2").alias("dist2"))
+        .orderBy(F.desc("dist2"), F.asc(id_col))
+        .limit(k)
+    )

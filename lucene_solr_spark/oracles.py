@@ -6774,3 +6774,23 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
 FROM scored GROUP BY 1
 ORDER BY logscore ASC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def embed_outliers(k: int = 20, table: str = "embeddings") -> str:
+    """embedding_outliers twin: identical per-(label, dim) centroid +
+    squared-distance arithmetic (embedding FLOAT[] cast to DOUBLE at
+    the unnest, matching Spark's float->double promotion in avg/sum)."""
+    return f"""
+WITH dims AS (
+  SELECT vec_id, label AS grp,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM {table}
+),
+cent AS (
+  SELECT grp, dim, avg(val) AS mu FROM dims GROUP BY 1, 2
+)
+SELECT d.vec_id, d.grp, sum((d.val - c.mu) * (d.val - c.mu)) AS dist2
+FROM dims d JOIN cent c ON c.grp = d.grp AND c.dim = d.dim
+GROUP BY 1, 2 ORDER BY dist2 DESC, d.vec_id ASC LIMIT {k}
+""".strip()

@@ -92,3 +92,26 @@ def test_bucket_cap_drops_degenerate(clustered, spark):
         for r in got
     )
     assert any(int(r["id_a"]) < N_BASE for r in got)
+
+
+def test_embedding_outliers(spark):
+    from lucene_solr_spark.datapipe.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (0, [0.0, 0.0], 1),
+        (1, [0.2, 0.0], 1),
+        (2, [10.0, 10.0], 1),   # far outlier in group 1
+        (3, [5.0, 5.0], 2),
+        (4, [5.0, 5.0], 2),     # tight group 2
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_outliers(d, k=5).collect()
+    assert out[0]["vec_id"] == 2     # the planted outlier ranks first
+    # the two identical group-2 points have identical distance; tie
+    # broken by vec_id asc
+    d2 = {r["vec_id"]: r["dist2"] for r in out}
+    assert abs(d2[3] - d2[4]) < 1e-12
