@@ -1657,6 +1657,73 @@ def q_embed_outliers(spark, sf_dir):
     return embedding_outliers(d, k=20)
 
 
+def _lr_model(spark, sf_dir):
+    """Shared fit for the quality_lr gates: rule -> model distillation
+    — labels come from the hand-tuned heuristic rule
+    (with_quality_score >= 0.5, the `quality` gate), and the LR learns
+    to reproduce it from the same analysis features. This is the
+    standard bootstrap when scaling a tuned rule beyond its domain
+    (and the gate shape of GPT-3's curated-vs-crawl classifier, with
+    the rule standing in for the curated slice the synthetic corpus
+    lacks — its lang/source columns are uncorrelated with text).
+    Canonical repartition + sortWithinPartitions makes the fit
+    bit-stable under ANY input file layout (the partial sums see
+    identical rows in identical order everywhere)."""
+    from lucene_solr_spark.datapipe.classifier import (
+        train_quality_lr,
+        with_lr_features,
+    )
+    from lucene_solr_spark.functions.text_analysis import (
+        with_quality_score,
+    )
+
+    # 0.69 ~ the corpus median quality at every sf -> balanced classes
+    labeled = with_quality_score(_docs(spark, sf_dir)).withColumn(
+        "label", (F.col("quality") >= 0.69).cast("int")
+    )
+    d = with_lr_features(labeled.select("doc_id", "text", "lang", "label"))
+    d = d.repartition(8, "doc_id").sortWithinPartitions("doc_id")
+    return d, train_quality_lr(d, "label", n_iter=8, l2=1e-3)
+
+
+def q_quality_lr_train(spark, sf_dir):
+    """Model-based quality filtering, training half (datapipe/
+    classifier.py::train_quality_lr — the GPT-3 appendix-A LR quality
+    model / LLaMA Wikipedia-reference classifier stage): distributed
+    Newton/IRLS over analysis-chain features, one map-only Arrow
+    partial pass per iteration, bit-deterministic driver combine.
+    Output: the fitted standardized weights. Pinned oracle justified
+    by the independent numpy IRLS twin in tests/test_classifier.py."""
+    from lucene_solr_spark.datapipe.classifier import FEATURE_COLS
+
+    _, model = _lr_model(spark, sf_dir)
+    names = ["bias"] + list(FEATURE_COLS)
+    rows = [
+        (i, names[i], round(float(model["weights"][i]), 4))
+        for i in range(len(names))
+    ]
+    return spark.createDataFrame(
+        rows, "idx int, feature string, weight double"
+    ).orderBy("idx")
+
+
+def q_quality_lr_filter(spark, sf_dir):
+    """Model-based quality filtering, inference half: score every doc
+    with the trained model as a PURE Catalyst sigmoid projection
+    (whole-stage codegen — the path that runs over 100 TB is zero
+    Python), keep score >= 0.5, per-lang kept counts (the kept slice
+    should track the heuristic-rule positives the model distills)."""
+    from lucene_solr_spark.datapipe.classifier import quality_filter_lr
+
+    d, model = _lr_model(spark, sf_dir)
+    kept = quality_filter_lr(d, model, threshold=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
 def q_auto_stopword_freq(spark, sf_dir):
     """QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java:75-168): terms in >78% of docs join
@@ -5466,6 +5533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything else in the window (see the reorder after the dict).
     base = {
         # --- new in round 5 ---
+        "quality_lr_train": q_quality_lr_train,
+        "quality_lr_filter": q_quality_lr_filter,
         "elision_freq": q_elision_freq,
         "type_token_freq": q_type_token_freq,
         "lm_perplexity": q_lm_perplexity,

@@ -160,6 +160,9 @@ HEADLINE = [
     "conv_dedup",
     "lm_backoff",
     "embed_outliers",
+    # round-5d additions: model-based quality filtering
+    "quality_lr_train",
+    "quality_lr_filter",
 ]
 
 
