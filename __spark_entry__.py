@@ -5874,6 +5874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_routing",
         "signature_lookup3",
         "image_features",
+        # round-5d: model-based quality filtering (new operator family)
+        "quality_lr_train",
+        "quality_lr_filter",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5891,10 +5894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmer_override_freq",
         "bloom_term",
         "bloom_absent",
-        "bloom_and",
         "span_near_scored",
         "payload_near",
-        "payload_near_max",
         "snowball_freq",
         "group_truncate",
         "mapping_charfilter_freq",
