@@ -5512,6 +5512,27 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_quota_sample(spark, sf_dir):
+    """Domain-balanced quota sampling (datapipe/training.py::
+    quota_sample — FineWeb-style fixed per-domain budgets): exactly 12
+    docs per source, selected as the 12 lowest md5-mod-10000 buckets
+    (replayable, never rand()). Runs the two-phase exact path
+    (broadcast per-domain counts -> map-side hash prefilter at margin
+    0.5 -> window over candidates only, shortfall fallback) so the
+    gate exercises the 10^12-row scale shape, not just the window."""
+    from lucene_solr_spark.datapipe.training import quota_sample
+
+    out = quota_sample(
+        _docs(spark, sf_dir),
+        12,
+        domain_col="source",
+        prefilter_margin=0.5,
+    )
+    return out.select(
+        "doc_id", F.col("source").alias("domain")
+    ).orderBy("domain", "doc_id")
+
+
 def q_pack_seq(spark, sf_dir):
     """Context-window packing: greedy next-fit of docs into 256-token
     bins, parallel across 32 hash buckets, sequential (by doc_id)
@@ -5693,6 +5714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
+        "quota_sample": q_quota_sample,
         "pack_seq": q_pack_seq,
         "func_dist": q_func_dist,
         "func_ord": q_func_ord,
@@ -5874,16 +5896,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_routing",
         "signature_lookup3",
         "image_features",
-        # round-5d: model-based quality filtering (new operator family)
+        # round-5d: model-based quality filtering + quota sampling
+        # (new operator families)
         "quality_lr_train",
         "quality_lr_filter",
+        "quota_sample",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
         "span_near_payload_check",
         "decontaminate_bloom",
         "span_near_wrapper",
-        "span_payload_check",
         "index_merge",
         "per_field_analyzer",
         "dih_entity",
@@ -6240,6 +6263,7 @@ def oracle_sql() -> dict[str, str]:
             {"en": 1.0, "es": 0.5, "de": 0.25, "fr": 0.1},
             default_rate=0.05,
         ),
+        "quota_sample": O.quota_sample(quota=12, domain_col="source"),
         "pack_seq": O.pack_next_fit(budget=256, n_buckets=32),
         "func_dist": O.func_dist(),
         "func_ord": O.func_ord(),

@@ -160,9 +160,10 @@ HEADLINE = [
     "conv_dedup",
     "lm_backoff",
     "embed_outliers",
-    # round-5d additions: model-based quality filtering
+    # round-5d additions: model-based quality filtering, quota sampling
     "quality_lr_train",
     "quality_lr_filter",
+    "quota_sample",
 ]
 
 

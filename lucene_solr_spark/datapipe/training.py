@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _gram_rows(
@@ -162,6 +162,90 @@ def stratified_sample(
         rate_map[F.col(stratum_col)], F.lit(float(default_rate))
     )
     return df.where(h < (rate * 10000).cast("long"))
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    prefilter_margin: float = 0.0,
+) -> DataFrame:
+    """Domain-balanced quota sampling: keep EXACTLY min(quota, |domain|)
+    rows per domain — the fixed-budget counterpart of
+    :func:`stratified_sample` (the "N docs per domain" balancing step
+    of a pretraining mix, e.g. FineWeb's per-dump budgets). Selection
+    is the quota lowest md5(id) values per domain (ties by id), so the
+    sample is uniform-random yet replayable across runs and clusters.
+
+    Scale shape: a naive ``row_number() over (partition by domain)``
+    sorts EVERY row of a 10^12-row corpus. With ``prefilter_margin``
+    = m > 0, a two-phase exact variant runs instead: (1) one tiny
+    count aggregate per domain (broadcast-sized); (2) a map-side hash
+    threshold keeps ~quota*(1+m) candidates per domain — the same
+    md5-mod-10000 cut ``stratified_sample`` uses, so Catalyst pushes
+    it into the scan; (3) the window runs over candidates only. The
+    threshold keeps every row whose hash bucket is <= the quantile
+    bound, which can only ADMIT extra candidates, never exclude a
+    true top-quota row, UNLESS the margin underestimates bucket skew —
+    so a per-domain candidate-count check falls back to the full
+    window for any domain that came up short (exactness is
+    unconditional; the margin only tunes how much work phase 3 does).
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    d = df.withColumn("_h", h)
+    w = Window.partitionBy(domain_col).orderBy("_h", id_col)
+
+    def exact(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= quota)
+            .drop("_rn", "_h")
+        )
+
+    if prefilter_margin <= 0:
+        return exact(d)
+
+    counts = d.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("_n_dom")
+    )
+    # hash cut admitting ~quota*(1+m) rows out of n_dom uniform buckets
+    cut = F.least(
+        F.lit(10000).cast("long"),
+        F.ceil(
+            F.lit(10000.0)
+            * F.lit(quota * (1.0 + prefilter_margin))
+            / F.col("_n_dom")
+        ).cast("long"),
+    )
+    cand = d.join(
+        F.broadcast(counts.withColumn("_cut", cut)), domain_col
+    ).where(F.col("_h") < F.col("_cut"))
+    # exactness guard: any domain whose candidate pool is smaller than
+    # its full quota (margin lost to bucket skew) re-runs unfiltered
+    short = (
+        cand.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n_cand"))
+        .join(counts, domain_col)
+        .where(
+            F.col("_n_cand") < F.least(F.lit(quota), F.col("_n_dom"))
+        )
+        .select(domain_col)
+    )
+    ok = exact(
+        cand.join(F.broadcast(short), domain_col, "left_anti").drop(
+            "_n_dom", "_cut"
+        )
+    )
+    redo = exact(d.join(F.broadcast(short), domain_col, "left_semi"))
+    return ok.unionByName(redo)
 
 
 # docs longer than the budget get a bin of their own (next-fit never

@@ -4155,6 +4155,30 @@ ORDER BY doc_id
 """.strip()
 
 
+def quota_sample(
+    quota: int = 12,
+    domain_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """Domain-balanced quota-sampling twin: the ``quota`` lowest
+    md5-mod-10000 buckets per domain (ties by doc_id) — the same
+    deterministic order the Spark two-phase path selects."""
+    h = _hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, domain
+FROM (
+  SELECT doc_id, {domain_col} AS domain,
+         row_number() OVER (
+           PARTITION BY {domain_col}
+           ORDER BY {h} % 10000, doc_id
+         ) AS rn
+  FROM {table}
+)
+WHERE rn <= {quota}
+ORDER BY domain, doc_id
+""".strip()
+
+
 def pack_next_fit(
     budget: int = 256, n_buckets: int = 32, table: str = "documents"
 ) -> str:
