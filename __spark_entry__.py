@@ -1659,8 +1659,9 @@ def q_embed_outliers(spark, sf_dir):
 
 def _lr_model(spark, sf_dir):
     """Shared fit for the quality_lr gates: rule -> model distillation
-    — labels come from the hand-tuned heuristic rule
-    (with_quality_score >= 0.5, the `quality` gate), and the LR learns
+    — labels come from the hand-tuned heuristic rule thresholded at
+    its corpus MEDIAN (with_quality_score >= 0.69, balanced classes;
+    the `quality` gate's 0.5 cut passes every doc), and the LR learns
     to reproduce it from the same analysis features. This is the
     standard bootstrap when scaling a tuned rule beyond its domain
     (and the gate shape of GPT-3's curated-vs-crawl classifier, with

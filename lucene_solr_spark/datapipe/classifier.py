@@ -67,8 +67,9 @@ def with_lr_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _partials_schema(d: int) -> str:
-    return "pid long, n long, grad array<double>, hess array<double>, loss double"
+_PARTIALS_SCHEMA = (
+    "pid long, n long, grad array<double>, hess array<double>, loss double"
+)
 
 
 def _combine_sorted(rows, d: int):
@@ -135,7 +136,7 @@ def train_quality_lr(
                 }
             )
 
-    rows = src.mapInPandas(moments, _partials_schema(d - 1)).collect()
+    rows = src.mapInPandas(moments, _PARTIALS_SCHEMA).collect()
     s, S2, _, n_total = _combine_sorted(rows, d - 1)
     means = s / max(n_total, 1)
     var = np.diag(S2) / max(n_total, 1) - means * means
@@ -183,7 +184,7 @@ def train_quality_lr(
                     }
                 )
 
-        rows = src.mapInPandas(partials, _partials_schema(d)).collect()
+        rows = src.mapInPandas(partials, _PARTIALS_SCHEMA).collect()
         g, H, loss, _ = _combine_sorted(rows, d)
         # L2 on non-bias weights
         reg = l2 * n_total

@@ -147,14 +147,7 @@ def stratified_sample(
     rebalancing step of a pretraining mix. Unlisted strata get
     ``default_rate``. Pure map-side filter; Catalyst pushes it into
     the scan."""
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
+    h = _bucket_hash(id_col)
     rate_map = F.create_map(
         *[x for kv in rates.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     )
@@ -162,6 +155,21 @@ def stratified_sample(
         rate_map[F.col(stratum_col)], F.lit(float(default_rate))
     )
     return df.where(h < (rate * 10000).cast("long"))
+
+
+def _bucket_hash(id_col: str):
+    """md5-mod-10000 replayable sampling bucket — the ONE hash shared
+    by stratified_sample / quota_sample / domain_mix. The DuckDB twin
+    (oracles.py::_hash60_sql) mirrors this exact expression; keep them
+    in lockstep."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
 
 
 def quota_sample(
@@ -189,18 +197,11 @@ def quota_sample(
     bound, which can only ADMIT extra candidates, never exclude a
     true top-quota row, UNLESS the margin underestimates bucket skew —
     so a per-domain candidate-count check falls back to the full
-    window for any domain that came up short (exactness is
-    unconditional; the margin only tunes how much work phase 3 does).
+    window for any domain that came up short, INCLUDING domains whose
+    cut admitted zero candidates (exactness is unconditional; the
+    margin only tunes how much work phase 3 does).
     """
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
-    d = df.withColumn("_h", h)
+    d = df.withColumn("_h", _bucket_hash(id_col))
     w = Window.partitionBy(domain_col).orderBy("_h", id_col)
 
     def exact(frame: DataFrame) -> DataFrame:
@@ -228,14 +229,23 @@ def quota_sample(
     cand = d.join(
         F.broadcast(counts.withColumn("_cut", cut)), domain_col
     ).where(F.col("_h") < F.col("_cut"))
+    # one pass feeds both the shortfall check and the final window
+    cand = cand.localCheckpoint()
     # exactness guard: any domain whose candidate pool is smaller than
-    # its full quota (margin lost to bucket skew) re-runs unfiltered
+    # its full quota (margin lost to bucket skew) re-runs unfiltered.
+    # Derived from COUNTS, not cand: a domain whose cut admitted zero
+    # candidates is absent from cand entirely and must still re-run.
     short = (
-        cand.groupBy(domain_col)
-        .agg(F.count(F.lit(1)).alias("_n_cand"))
-        .join(counts, domain_col)
+        counts.join(
+            cand.groupBy(domain_col).agg(
+                F.count(F.lit(1)).alias("_n_cand")
+            ),
+            domain_col,
+            "left",
+        )
         .where(
-            F.col("_n_cand") < F.least(F.lit(quota), F.col("_n_dom"))
+            F.coalesce(F.col("_n_cand"), F.lit(0))
+            < F.least(F.lit(quota), F.col("_n_dom"))
         )
         .select(domain_col)
     )
@@ -350,14 +360,7 @@ def domain_mix(
         *[x for kv in rates.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     )
     rate = F.coalesce(rate_map[F.col(domain_col)], F.lit(0.0))
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
+    h = _bucket_hash(id_col)
     n_copies = F.floor(rate).cast("long") + F.when(
         h < ((rate - F.floor(rate)) * 10000).cast("long"), F.lit(1)
     ).otherwise(F.lit(0))

@@ -57,6 +57,30 @@ def test_shortfall_fallback_still_exact(domains_df):
     assert _ids(naive) == _ids(thin)
 
 
+def test_zero_candidate_domain_still_sampled(spark):
+    # regression: a domain whose hash cut admits ZERO candidates must
+    # fall back to the full window, not vanish. Construct ids whose
+    # md5 buckets all sit above the cut (quota=1, margin=0.5, 10 rows
+    # -> cut = ceil(10000*1.5/10) = 1500).
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10000
+
+    high = [i for i in range(100000) if bucket(i) >= 2000][:10]
+    assert len(high) == 10
+    df = spark.createDataFrame(
+        [(i, "only", "t") for i in high],
+        "doc_id long, source string, text string",
+    )
+    out = quota_sample(df, 1, domain_col="source", prefilter_margin=0.5)
+    rows = out.collect()
+    assert len(rows) == 1
+    # and it is the naive winner: lowest bucket, ties by id
+    want = min(high, key=lambda i: (bucket(i), i))
+    assert rows[0]["doc_id"] == want
+
+
 def test_replayable(domains_df):
     a = quota_sample(domains_df, 5, domain_col="source")
     b = quota_sample(
