@@ -1558,9 +1558,24 @@ def q_keywords_tfidf(spark, sf_dir):
 
 def _transcript_frame(spark, sf_dir):
     """Derived transcript frame in the north-rule input shape
-    (conv_id, turn_idx, role, text) built deterministically from the
-    documents table: conv = doc_id // 10, turn = doc_id % 10, role by
-    turn parity."""
+    (conv_id, turn_idx, role, text, tool, ts) built deterministically
+    from the documents table: conv = doc_id // 10, turn = doc_id % 10,
+    role by turn parity; assistant turns carry a tool call indexed by
+    ((doc_id//2)^2 + doc_id//10) % 4 into search/code/browse/none —
+    quadratic so consecutive turns take varying strides and the pair
+    distribution is non-uniform — and ts from doc_id minutes."""
+    half = (F.col("doc_id") / 2).cast("long")
+    tool = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.element_at(
+            F.array(
+                F.lit("search"), F.lit("code"),
+                F.lit("browse"), F.lit("none"),
+            ),
+            (half * half + (F.col("doc_id") / 10).cast("long"))
+            .cast("int") % 4 + 1,
+        ),
+    )
     return _docs(spark, sf_dir).select(
         F.concat(
             F.lit("c"), (F.col("doc_id") / 10).cast("long").cast("string")
@@ -1570,6 +1585,10 @@ def _transcript_frame(spark, sf_dir):
         .otherwise(F.lit("assistant"))
         .alias("role"),
         F.col("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id") * 60
+        ).alias("ts"),
     )
 
 
@@ -1607,6 +1626,17 @@ def q_role_stats(spark, sf_dir):
         )
         .orderBy("role")
     )
+
+
+def q_tool_bigrams(spark, sf_dir):
+    """Agent-trace tool-sequence mining (datapipe/training.py::
+    tool_bigrams): most frequent consecutive tool-call pairs within
+    conversations of the north-rule transcript frame ('none' and
+    tool-less turns are transparent). One bounded window (lead over
+    conversations) + one count aggregate; vs a lead() window twin."""
+    from lucene_solr_spark.datapipe.training import tool_bigrams
+
+    return tool_bigrams(_transcript_frame(spark, sf_dir), top_k=12)
 
 
 def q_conv_dedup(spark, sf_dir):
@@ -5572,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_tfidf": q_keywords_tfidf,
         "conv_windows": q_conv_windows,
         "conv_dedup": q_conv_dedup,
+        "tool_bigrams": q_tool_bigrams,
         "lm_backoff": q_lm_backoff,
         "embed_outliers": q_embed_outliers,
         "role_stats": q_role_stats,
@@ -5902,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train",
         "quality_lr_filter",
         "quota_sample",
+        "tool_bigrams",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5920,7 +5952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_absent",
         "span_near_scored",
         "payload_near",
-        "snowball_freq",
         "group_truncate",
         "mapping_charfilter_freq",
         "keep_word_freq",
@@ -6058,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
         "keywords_tfidf": O.keywords_tfidf(),
         "conv_windows": O.conv_windows(),
         "conv_dedup": O.conv_dedup(),
+        "tool_bigrams": O.tool_bigrams(top_k=12),
         "lm_backoff": O.lm_backoff(),
         "embed_outliers": O.embed_outliers(),
         "role_stats": O.role_stats(),

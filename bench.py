@@ -164,6 +164,7 @@ HEADLINE = [
     "quality_lr_train",
     "quality_lr_filter",
     "quota_sample",
+    "tool_bigrams",
 ]
 
 

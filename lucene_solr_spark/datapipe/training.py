@@ -258,6 +258,42 @@ def quota_sample(
     return ok.unionByName(redo)
 
 
+def tool_bigrams(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+    top_k: int = 20,
+    skip: tuple[str, ...] = ("none",),
+) -> DataFrame:
+    """Agent-trace tool-sequence mining: the most frequent consecutive
+    tool-call pairs within conversations — the transcript analogue of
+    collocation mining, used to audit agent behavior (which tool
+    follows which) across a trace corpus. Consecutive = next non-null
+    tool call in turn order; turns without a tool call (or whose tool
+    is in ``skip``) are transparent.
+
+    Scale shape: one window (``lead`` over conversations — groups are
+    bounded by turns-per-conversation, never corpus-sized) + one
+    count aggregate; no arrays are materialized per conversation."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    t = df.where(
+        F.col(tool_col).isNotNull() & ~F.col(tool_col).isin(*skip)
+    )
+    pairs = t.withColumn("_next", F.lead(tool_col).over(w)).where(
+        F.col("_next").isNotNull()
+    )
+    return (
+        pairs.groupBy(
+            F.col(tool_col).alias("first_tool"),
+            F.col("_next").alias("next_tool"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "first_tool", "next_tool")
+        .limit(top_k)
+    )
+
+
 # docs longer than the budget get a bin of their own (next-fit never
 # splits a doc; splitting is the tokenizer's job downstream)
 def pack_next_fit(

@@ -6718,6 +6718,36 @@ FROM {table} GROUP BY 1 ORDER BY role
 """.strip()
 
 
+def tool_bigrams(table: str = "documents", top_k: int = 12) -> str:
+    """Tool-sequence mining twin over the same derived transcript
+    frame (assistant turns pick search/code/browse/none by
+    ((doc_id//2)^2 + doc_id//10) %% 4): consecutive non-'none' tool
+    pairs per conversation via lead()."""
+    return f"""
+WITH t AS (
+  SELECT concat('c', CAST(doc_id // 10 AS VARCHAR)) AS conv_id,
+         doc_id % 10 AS turn_idx,
+         CASE WHEN doc_id % 2 = 1 THEN
+           CASE CAST(((doc_id // 2) * (doc_id // 2) + doc_id // 10) % 4
+                     AS INTEGER)
+             WHEN 0 THEN 'search' WHEN 1 THEN 'code'
+             WHEN 2 THEN 'browse' WHEN 3 THEN 'none' END
+         END AS tool
+  FROM {table}
+), p AS (
+  SELECT tool AS first_tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_tool
+  FROM t WHERE tool IS NOT NULL AND tool <> 'none'
+)
+SELECT first_tool, next_tool, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p WHERE next_tool IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, first_tool, next_tool
+LIMIT {top_k}
+""".strip()
+
+
 def conv_dedup(table: str = "documents") -> str:
     """Conversation-level exact dedup twin: md5 over the turn texts
     concatenated in turn order; groups with >1 conversation.  The gate
