@@ -47,6 +47,7 @@ from lucene_solr_spark.search.query import (
 from lucene_solr_spark.search.spellcheck import suggest as spell_suggest
 
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
+_LR_CACHE: dict[str, tuple] = {}
 _SEG_CACHE: dict[str, object] = {}
 _STREAM_CACHE: dict[str, object] = {}
 _FIELDED_CACHE: dict[str, object] = {}
@@ -1699,7 +1700,12 @@ def _lr_model(spark, sf_dir):
     lacks — its lang/source columns are uncorrelated with text).
     Canonical repartition + sortWithinPartitions makes the fit
     bit-stable under ANY input file layout (the partial sums see
-    identical rows in identical order everywhere)."""
+    identical rows in identical order everywhere). Cached per sf_dir
+    (the _INDEX_CACHE convention — the fit is deterministic, so the
+    train and filter gates share one model)."""
+    cached = _LR_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     from lucene_solr_spark.datapipe.classifier import (
         train_quality_lr,
         with_lr_features,
@@ -1714,7 +1720,10 @@ def _lr_model(spark, sf_dir):
     )
     d = with_lr_features(labeled.select("doc_id", "text", "lang", "label"))
     d = d.repartition(8, "doc_id").sortWithinPartitions("doc_id")
-    return d, train_quality_lr(d, "label", n_iter=8, l2=1e-3)
+    d = d.localCheckpoint()
+    out = (d, train_quality_lr(d, "label", n_iter=8, l2=1e-3))
+    _LR_CACHE[sf_dir] = out
+    return out
 
 
 def q_quality_lr_train(spark, sf_dir):
