@@ -1564,7 +1564,8 @@ def _transcript_frame(spark, sf_dir):
     role by turn parity; assistant turns carry a tool call indexed by
     ((doc_id//2)^2 + doc_id//10) % 4 into search/code/browse/none —
     quadratic so consecutive turns take varying strides and the pair
-    distribution is non-uniform — and ts from doc_id minutes."""
+    distribution is non-uniform — and ts at one minute per turn plus
+    a doc_id^2 %% 37 jitter (non-uniform inter-turn latencies)."""
     half = (F.col("doc_id") / 2).cast("long")
     tool = F.when(
         F.col("doc_id") % 2 == 1,
@@ -1588,7 +1589,9 @@ def _transcript_frame(spark, sf_dir):
         F.col("text"),
         tool.alias("tool"),
         F.timestamp_seconds(
-            F.lit(1700000000) + F.col("doc_id") * 60
+            F.lit(1700000000)
+            + F.col("doc_id") * 60
+            + (F.col("doc_id") * F.col("doc_id")) % 37
         ).alias("ts"),
     )
 
@@ -1638,6 +1641,24 @@ def q_tool_bigrams(spark, sf_dir):
     from lucene_solr_spark.datapipe.training import tool_bigrams
 
     return tool_bigrams(_transcript_frame(spark, sf_dir), top_k=12)
+
+
+def q_turn_latency(spark, sf_dir):
+    """Agent-trace latency analytics (datapipe/training.py::
+    turn_latency_stats): per-tool response-time stats for assistant
+    turns over the transcript frame's event-time column (latency =
+    seconds since the previous turn in the conversation). One
+    conversation-bounded lag() window + one tool-vocabulary-bounded
+    aggregate; vs a lag() window twin."""
+    from lucene_solr_spark.datapipe.training import turn_latency_stats
+
+    out = turn_latency_stats(_transcript_frame(spark, sf_dir))
+    return out.select(
+        "tool",
+        "n_turns",
+        F.round("avg_latency_sec", 4).alias("avg_latency_sec"),
+        "max_latency_sec",
+    )
 
 
 def q_conv_dedup(spark, sf_dir):
@@ -5612,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_windows": q_conv_windows,
         "conv_dedup": q_conv_dedup,
         "tool_bigrams": q_tool_bigrams,
+        "turn_latency": q_turn_latency,
         "lm_backoff": q_lm_backoff,
         "embed_outliers": q_embed_outliers,
         "role_stats": q_role_stats,
@@ -5943,6 +5965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_filter",
         "quota_sample",
         "tool_bigrams",
+        "turn_latency",
         "dedup_keep_best",
         "highlight_gradient",
         "facet_multiselect",
@@ -5960,7 +5983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_term",
         "bloom_absent",
         "span_near_scored",
-        "payload_near",
         "group_truncate",
         "mapping_charfilter_freq",
         "keep_word_freq",
@@ -6099,6 +6121,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_windows": O.conv_windows(),
         "conv_dedup": O.conv_dedup(),
         "tool_bigrams": O.tool_bigrams(top_k=12),
+        "turn_latency": O.turn_latency(),
         "lm_backoff": O.lm_backoff(),
         "embed_outliers": O.embed_outliers(),
         "role_stats": O.role_stats(),

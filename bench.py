@@ -165,6 +165,7 @@ HEADLINE = [
     "quality_lr_filter",
     "quota_sample",
     "tool_bigrams",
+    "turn_latency",
 ]
 
 

@@ -294,6 +294,43 @@ def tool_bigrams(
     )
 
 
+def turn_latency_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+    responder: str = "assistant",
+) -> DataFrame:
+    """Agent-trace latency analytics: per-tool response-time stats for
+    ``responder`` turns — latency = seconds between a turn's event
+    time and the previous turn's in the same conversation. The audit
+    query of an agent-transcript corpus ("which tool is slow"), and
+    the op that exercises the transcript shape's event-time column.
+
+    Scale shape: one conversation-bounded lag() window + one count/
+    avg/max aggregate over (tool) — group count is bounded by the tool
+    vocabulary, never the corpus."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    lat = (
+        F.col(ts_col).cast("long")
+        - F.lag(F.col(ts_col).cast("long")).over(w)
+    )
+    t = df.withColumn("_lat", lat).where(
+        (F.col(role_col) == responder) & F.col("_lat").isNotNull()
+    )
+    return (
+        t.groupBy(F.coalesce(F.col(tool_col), F.lit("(none)")).alias("tool"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.avg("_lat").alias("avg_latency_sec"),
+            F.max("_lat").cast("long").alias("max_latency_sec"),
+        )
+        .orderBy("tool")
+    )
+
+
 # docs longer than the budget get a bin of their own (next-fit never
 # splits a doc; splitting is the tokenizer's job downstream)
 def pack_next_fit(

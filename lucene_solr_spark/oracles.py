@@ -6748,6 +6748,39 @@ LIMIT {top_k}
 """.strip()
 
 
+def turn_latency(table: str = "documents") -> str:
+    """Per-tool assistant response-latency twin over the same derived
+    transcript frame (ts = 1700000000 + doc_id*60 + doc_id^2 %% 37
+    epoch seconds): lag() gap per conversation, stats per tool."""
+    return f"""
+WITH t AS (
+  SELECT concat('c', CAST(doc_id // 10 AS VARCHAR)) AS conv_id,
+         doc_id % 10 AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+           AS role,
+         CASE WHEN doc_id % 2 = 1 THEN
+           CASE CAST(((doc_id // 2) * (doc_id // 2) + doc_id // 10) % 4
+                     AS INTEGER)
+             WHEN 0 THEN 'search' WHEN 1 THEN 'code'
+             WHEN 2 THEN 'browse' WHEN 3 THEN 'none' END
+         END AS tool,
+         1700000000 + doc_id * 60 + (doc_id * doc_id) % 37 AS ts_s
+  FROM {table}
+), l AS (
+  SELECT role, tool,
+         ts_s - lag(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS lat
+  FROM t
+)
+SELECT coalesce(tool, '(none)') AS tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       round(avg(lat), 4) AS avg_latency_sec,
+       CAST(max(lat) AS BIGINT) AS max_latency_sec
+FROM l WHERE role = 'assistant' AND lat IS NOT NULL
+GROUP BY 1 ORDER BY tool
+""".strip()
+
+
 def conv_dedup(table: str = "documents") -> str:
     """Conversation-level exact dedup twin: md5 over the turn texts
     concatenated in turn order; groups with >1 conversation.  The gate
