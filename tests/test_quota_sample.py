@@ -81,6 +81,37 @@ def test_zero_candidate_domain_still_sampled(spark):
     assert rows[0]["doc_id"] == want
 
 
+def test_property_two_phase_always_exact(spark):
+    # randomized-but-seeded property sweep: for a grid of corpus
+    # shapes, quotas and margins (including degenerate ones), the
+    # two-phase path must equal the naive window EXACTLY
+    import random
+
+    rng = random.Random(42)
+    for case in range(6):
+        n_domains = rng.randint(1, 6)
+        rows = []
+        next_id = 0
+        for d in range(n_domains):
+            size = rng.choice([1, 2, 7, 40, 150])
+            for _ in range(size):
+                # non-contiguous ids so hash buckets are arbitrary
+                next_id += rng.randint(1, 97)
+                rows.append((next_id, f"dom{d}", "x"))
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).repartition(rng.choice([1, 3, 8]))
+        quota = rng.choice([1, 3, 10, 200])
+        margin = rng.choice([0.0001, 0.1, 0.5, 2.0])
+        naive = quota_sample(df, quota, domain_col="source")
+        two = quota_sample(
+            df, quota, domain_col="source", prefilter_margin=margin
+        )
+        assert _ids(naive) == _ids(two), (
+            f"case {case}: quota={quota} margin={margin}"
+        )
+
+
 def test_replayable(domains_df):
     a = quota_sample(domains_df, 5, domain_col="source")
     b = quota_sample(
